@@ -1,0 +1,168 @@
+"""Engine configuration.
+
+Environment-driven config surface with the same knobs the reference exposes via
+`.env` + os.getenv (reference: app/main.py:59-108, app/embedding_gen.py:39-70,
+.env.example:1-34), plus TPU-native knobs (mesh shape, dtypes, index capacity)
+that have no reference counterpart.
+
+Unlike the reference (module-level constants read at import), config here is an
+explicit immutable dataclass so tests and multi-tenant servers can construct
+isolated configurations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.getenv(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+def _env_float(name: str, default: float) -> float:
+    try:
+        return float(os.getenv(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    raw = os.getenv(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in ("1", "true", "yes", "on")
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- embedding / encoder (reference: EMBED_DIM, OLLAMA_EMBED_MODEL) ---
+    embed_dim: int = 1024
+    embed_model: str = "mxbai-embed-large-tpu"  # BERT-large-class bi-encoder
+    embed_max_seq_len: int = 512
+    embed_batch_size: int = 64          # reference BATCH_SIZE (main.py:78)
+    encoder_weights_path: str = ""      # empty → deterministic random init
+    # --- chunking (reference: CHUNK_SIZE main.py:79, ADAPTIVE_CHUNKING main.py:100) ---
+    chunk_size: int = 512               # words per chunk
+    adaptive_chunking: bool = True      # implemented for real here (dead flag upstream)
+    chunk_overlap: int = 0
+    # --- retrieval (reference: TOP_K main.py:88) ---
+    top_k: int = 3
+    # --- index (TPU-native; replaces OpenSearch index settings main.py:350-579) ---
+    index_prefix: str = "rass-index"    # reference OPENSEARCH_INDEX_NAME prefix
+    index_capacity: int = 16384         # initial padded capacity per tenant, grows 2x
+    index_block_rows: int = 2048        # rows per scan block (streaming top-k)
+    shard_count: int = 1                # reference SHARD_COUNT (main.py:89)
+    replica_count: int = 0              # reference REPLICA_COUNT (main.py:90)
+    vector_dtype: str = "bfloat16"
+    # --- ANN (replaces HNSW m=48 ef_construction=400, main.py:563-572) ---
+    ann_enabled: bool = True
+    ann_threshold: int = 200_000        # below this, exact scan is faster than IVF
+    ivf_nlist: int = 1024
+    ivf_nprobe: int = 64
+    ivf_rerank: int = 256               # exact re-rank depth after list scan
+    pq_subvectors: int = 64             # for 10M-scale int8/PQ compression
+    # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
+    ner_model_path: str = "./ner_model/final"
+    intent_model_path: str = "./intent_model/final"
+    intent_threshold: float = 0.75      # reference INTENT_THRESHOLD (main.py:2415)
+    entity_threshold: float = 0.80      # NER confidence cutoff (main.py:2414)
+    nlu_max_seq_len: int = 128          # main.py:2424, 2624
+    # --- LLM generation (reference: BlueHive + OpenAI clients) ---
+    bluehive_api_url: str = ""
+    bluehive_bearer_token: str = ""
+    openai_api_key: str = ""
+    llm_backend: str = "echo"           # "bluehive" | "openai" | "echo" (test fake)
+    max_llm_concurrency: int = 5        # MAX_BLUEHIVE_CONCURRENCY (main.py:70)
+    max_embed_concurrency: int = 5      # MAX_EMBED_CONCURRENCY (main.py:71)
+    # --- chat persistence (reference: Prisma/Postgres, schema.prisma) ---
+    database_path: str = "./rass_chat.db"   # sqlite; ":memory:" for tests
+    max_chat_history: int = 10          # MAX_CHAT_HISTORY (main.py:96)
+    # --- uploads (reference: embedding_gen.py:68-70) ---
+    upload_dir: str = "./uploads"
+    emb_dir: str = "sample_dataset"     # EMB_DIR bulk-ingestion directory
+    max_files_per_request: int = 5
+    max_file_size_bytes: int = 10 * 1024 * 1024
+    max_concurrent_files: int = 5
+    max_files_per_patient: int = 5      # MAX_FILES_PER_PATIENT (main.py:108)
+    # --- semantic cache (reference defines but never uses: .env.example:19-24) ---
+    cache_enabled: bool = True
+    cache_max_items: int = 1000         # REDIS_MAX_ITEMS
+    cache_sim_threshold: float = 0.88   # CACHE_SIM_THRESHOLD
+    cache_ttl_seconds: float = 480.0    # REDIS_SHORT_TTL_SECONDS
+    # --- mesh / parallelism (TPU-native; no reference counterpart) ---
+    mesh_shape: tuple = ()              # () → all local devices on one "shard" axis
+    dp_axis: str = "dp"
+    tp_axis: str = "tp"
+    shard_axis: str = "shard"
+    # --- serving ---
+    host: str = "0.0.0.0"
+    port: int = 8000
+    upload_port: int = 8001
+    # --- observability ---
+    profile_dir: str = ""               # non-empty → jax.profiler traces per request
+
+    @staticmethod
+    def from_env(**overrides) -> "EngineConfig":
+        base = dict(
+            embed_dim=_env_int("EMBED_DIM", 1024),
+            embed_model=os.getenv("EMBED_MODEL", "mxbai-embed-large-tpu"),
+            embed_batch_size=_env_int("BATCH_SIZE", 64),
+            encoder_weights_path=os.getenv("ENCODER_WEIGHTS_PATH", ""),
+            chunk_size=_env_int("CHUNK_SIZE", 512),
+            adaptive_chunking=_env_bool("ADAPTIVE_CHUNKING", True),
+            top_k=_env_int("TOP_K", 3),
+            index_prefix=os.getenv("INDEX_NAME", os.getenv("OPENSEARCH_INDEX_NAME", "rass-index") or "rass-index"),
+            index_capacity=_env_int("INDEX_CAPACITY", 16384),
+            shard_count=_env_int("SHARD_COUNT", 1),
+            replica_count=_env_int("REPLICA_COUNT", 0),
+            ner_model_path=os.getenv("NER_MODEL_PATH", "./ner_model/final"),
+            intent_model_path=os.getenv("INTENT_MODEL_PATH", "./intent_model/final"),
+            intent_threshold=_env_float("INTENT_THRESHOLD", 0.75),
+            entity_threshold=_env_float("ENTITY_THRESHOLD", 0.80),
+            bluehive_api_url=os.getenv("BLUEHIVEAI_URL", ""),
+            bluehive_bearer_token=os.getenv("BLUEHIVE_BEARER_TOKEN", ""),
+            openai_api_key=os.getenv("OPENAI_API_KEY", ""),
+            llm_backend=os.getenv("LLM_BACKEND", "echo"),
+            max_llm_concurrency=_env_int("MAX_BLUEHIVE_CONCURRENCY", 5),
+            max_embed_concurrency=_env_int("MAX_EMBED_CONCURRENCY", 5),
+            database_path=os.getenv("DATABASE_PATH", "./rass_chat.db"),
+            max_chat_history=_env_int("MAX_CHAT_HISTORY", 10),
+            upload_dir=os.getenv("UPLOAD_DIR", "./uploads"),
+            emb_dir=os.getenv("EMB_DIR", "sample_dataset"),
+            max_files_per_request=_env_int("MAX_FILES_PER_REQUEST", 5),
+            max_file_size_bytes=_env_int("MAX_FILE_SIZE_BYTES", 10 * 1024 * 1024),
+            max_concurrent_files=_env_int("MAX_CONCURRENT_FILES", 5),
+            max_files_per_patient=_env_int("MAX_FILES_PER_PATIENT", 5),
+            cache_enabled=_env_bool("SEMANTIC_CACHE", True),
+            cache_max_items=_env_int("REDIS_MAX_ITEMS", 1000),
+            cache_sim_threshold=_env_float("CACHE_SIM_THRESHOLD", 0.88),
+            cache_ttl_seconds=_env_float("REDIS_SHORT_TTL_SECONDS", 480.0),
+            port=_env_int("PORT", 8000),
+            upload_port=_env_int("UPLOAD_PORT", 8001),
+            profile_dir=os.getenv("PROFILE_DIR", ""),
+        )
+        base.update(overrides)
+        return EngineConfig(**base)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_GLOBAL_CONFIG: EngineConfig | None = None
+
+
+def get_config() -> EngineConfig:
+    global _GLOBAL_CONFIG
+    if _GLOBAL_CONFIG is None:
+        _GLOBAL_CONFIG = EngineConfig.from_env()
+    return _GLOBAL_CONFIG
+
+
+def set_config(cfg: EngineConfig) -> None:
+    global _GLOBAL_CONFIG
+    _GLOBAL_CONFIG = cfg

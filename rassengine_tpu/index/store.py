@@ -1,0 +1,283 @@
+"""HBM-resident per-tenant vector + metadata store.
+
+Replaces the reference's per-user OpenSearch index (ensure_index_exists,
+app/main.py:346-579): one ``TenantIndex`` per user holds
+
+- unit-normalized embedding vectors as a capacity-padded bf16 device array
+  (only unstructured docs carry embeddings, mirroring main.py:1250-1282 —
+  structured docs get a zero row and are excluded from semantic scans via the
+  ``has_embedding`` column),
+- int32 *filter columns*: patient hash, resource type, doc type, dictionary-
+  encoded keyword fields, and epoch-day date fields. Every OpenSearch bool
+  filter the reference builds (term/terms/range/_routing) lowers to one
+  vectorized mask over these columns (see ``FilterSpec`` / ``build_filter_mask``),
+- the full document sources host-side (the ``_source`` returned by searches).
+
+Shapes are static: capacity is padded to a multiple of the scan block and grows
+by doubling + re-upload (SURVEY §7 "streaming upserts into static-shape device
+arrays"). Upserts by doc_id overwrite in place like OpenSearch ``_id`` indexing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rassengine_tpu.core import schema
+from rassengine_tpu.core.meshes import STORE_DTYPE
+
+NEG_INF = -1.0e30
+N_KEYWORD = len(schema.KEYWORD_FIELDS)
+N_DATE = len(schema.DATE_FIELDS)
+MAX_FILTER_VALUES = 4  # max OR'd values per keyword field in one filter
+
+_KW_POS = {f: i for i, f in enumerate(schema.KEYWORD_FIELDS)}
+_DATE_POS = {f: i for i, f in enumerate(schema.DATE_FIELDS)}
+
+
+def stable_hash32(s: str) -> int:
+    """Stable positive 31-bit hash for routing/term columns (0 reserved for none)."""
+    if not s:
+        return 0
+    h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "little")
+    return (h & 0x7FFFFFFF) or 1
+
+
+@dataclass
+class FilterSpec:
+    """Host-side canonical filter, lowered to fixed-shape device arrays.
+
+    Semantics (matching the reference's bool-filter composition):
+    - clauses across different fields AND together,
+    - multiple values for one keyword field OR together,
+    - date ranges across several fields OR together (entity DATE maps to many
+      date fields, main.py:204-211; temporal/multi-intent build should-clauses).
+    """
+
+    patient_id: str | None = None
+    doc_type: int | None = None              # schema.DOC_TYPE.*
+    resource_type: str | None = None
+    keyword_terms: dict[str, list[str]] = field(default_factory=dict)
+    date_ranges: dict[str, tuple[int | None, int | None]] = field(default_factory=dict)
+    require_embedding: bool = False
+
+    def merged_with(self, other: "FilterSpec | None") -> "FilterSpec":
+        if other is None:
+            return self
+        kw = {k: list(v) for k, v in self.keyword_terms.items()}
+        for k, v in other.keyword_terms.items():
+            kw.setdefault(k, []).extend(v)
+        dr = dict(self.date_ranges)
+        dr.update(other.date_ranges)
+        return FilterSpec(
+            patient_id=self.patient_id or other.patient_id,
+            doc_type=self.doc_type if self.doc_type is not None else other.doc_type,
+            resource_type=self.resource_type or other.resource_type,
+            keyword_terms=kw,
+            date_ranges=dr,
+            require_embedding=self.require_embedding or other.require_embedding,
+        )
+
+    def to_arrays(self) -> dict[str, np.ndarray]:
+        kw = np.zeros((N_KEYWORD, MAX_FILTER_VALUES), dtype=np.int32)
+        for fname, values in self.keyword_terms.items():
+            pos = _KW_POS.get(fname)
+            if pos is None:
+                continue
+            for j, v in enumerate(values[:MAX_FILTER_VALUES]):
+                kw[pos, j] = stable_hash32(str(v).strip().lower())
+        dates = np.zeros((N_DATE, 2), dtype=np.int32)
+        dates[:, 0] = np.iinfo(np.int32).min
+        dates[:, 1] = np.iinfo(np.int32).max
+        has_range = np.zeros((N_DATE,), dtype=bool)
+        for fname, (lo, hi) in self.date_ranges.items():
+            pos = _DATE_POS.get(fname)
+            if pos is None:
+                continue
+            has_range[pos] = True
+            if lo is not None:
+                dates[pos, 0] = lo
+            if hi is not None:
+                dates[pos, 1] = hi
+        return {
+            "patient": np.int32(stable_hash32(self.patient_id or "")),
+            "doc_type": np.int32(-1 if self.doc_type is None else self.doc_type),
+            "resource": np.int32(
+                schema.RESOURCE_TYPE_IDS.get(self.resource_type, 0) if self.resource_type else 0
+            ),
+            "keyword": kw,
+            "date_lo_hi": dates,
+            "date_has_range": has_range,
+            "require_embedding": np.bool_(self.require_embedding),
+        }
+
+
+@partial(jax.jit, donate_argnums=())
+def build_filter_mask(cols: dict, spec: dict) -> jax.Array:
+    """Additive f32 mask [cap]: 0.0 where the row passes all clauses, -inf otherwise."""
+    ok = cols["valid"]
+    ok &= (spec["patient"] == 0) | (cols["patient_hash"] == spec["patient"])
+    ok &= (spec["doc_type"] < 0) | (cols["doc_type"] == spec["doc_type"])
+    ok &= (spec["resource"] == 0) | (cols["resource_type"] == spec["resource"])
+    # keyword terms: [cap, n_kw] vs [n_kw, V]
+    vals = spec["keyword"]                                    # [n_kw, V]
+    has_constraint = jnp.any(vals > 0, axis=1)                # [n_kw]
+    match = cols["keyword"][:, :, None] == vals[None, :, :]   # [cap, n_kw, V]
+    match &= (vals > 0)[None, :, :]
+    field_ok = ~has_constraint[None, :] | jnp.any(match, axis=2)
+    ok &= jnp.all(field_ok, axis=1)
+    # date ranges: OR across fields that carry a range
+    lo = spec["date_lo_hi"][:, 0][None, :]
+    hi = spec["date_lo_hi"][:, 1][None, :]
+    d = cols["dates"]                                         # [cap, n_date]
+    in_range = (d >= lo) & (d <= hi) & (d != schema.NO_DATE)
+    any_range = jnp.any(spec["date_has_range"])
+    date_ok = ~any_range | jnp.any(in_range & spec["date_has_range"][None, :], axis=1)
+    ok &= date_ok
+    ok &= ~spec["require_embedding"] | cols["has_embedding"]
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+
+
+class TenantIndex:
+    """One user's index: vectors + filter columns on device, sources on host."""
+
+    def __init__(self, name: str, dim: int, capacity: int = 16384, block_rows: int = 2048):
+        self.name = name
+        self.dim = dim
+        self.block_rows = block_rows
+        self.capacity = max(block_rows, _round_up(capacity, block_rows))
+        self.count = 0
+        # host-canonical arrays (device copies derived on flush)
+        self._vecs = np.zeros((self.capacity, dim), dtype=np.float32)
+        self._patient_hash = np.zeros((self.capacity,), dtype=np.int32)
+        self._resource_type = np.zeros((self.capacity,), dtype=np.int32)
+        self._doc_type = np.zeros((self.capacity,), dtype=np.int32)
+        self._has_embedding = np.zeros((self.capacity,), dtype=bool)
+        self._keyword = np.zeros((self.capacity, N_KEYWORD), dtype=np.int32)
+        self._dates = np.full((self.capacity, N_DATE), schema.NO_DATE, dtype=np.int32)
+        self.docs: list[dict | None] = [None] * self.capacity
+        self._id_to_row: dict[str, int] = {}
+        self._device: dict | None = None
+        self._dirty = True
+
+    # --- ingestion -----------------------------------------------------------
+
+    def upsert(self, doc: dict, embedding: np.ndarray | None = None) -> int:
+        """Index one document (OpenSearch bulk-item equivalent, main.py:1224-1282).
+
+        ``doc`` is the full source dict (structured FHIR fields and/or
+        ``unstructuredText``). Embeddings are L2-normalized on write, matching
+        main.py:1250-1251.
+        """
+        doc_id = str(doc.get("doc_id") or f"doc-{self.count}")
+        row = self._id_to_row.get(doc_id)
+        if row is None:
+            if self.count >= self.capacity:
+                self._grow()
+            row = self.count
+            self.count += 1
+            self._id_to_row[doc_id] = row
+        self.docs[row] = doc
+        if embedding is not None:
+            v = np.asarray(embedding, dtype=np.float32).reshape(-1)
+            norm = float(np.linalg.norm(v))
+            self._vecs[row] = v / norm if norm > 0 else v
+            self._has_embedding[row] = norm > 0
+        else:
+            self._vecs[row] = 0.0
+            self._has_embedding[row] = False
+        self._patient_hash[row] = stable_hash32(str(doc.get("patientId") or ""))
+        self._resource_type[row] = schema.RESOURCE_TYPE_IDS.get(
+            str(doc.get("resourceType") or ""), 0
+        )
+        self._doc_type[row] = (
+            schema.DOC_TYPE.UNSTRUCTURED
+            if doc.get("doc_type") == "unstructured"
+            else schema.DOC_TYPE.STRUCTURED
+        )
+        for f, pos in _KW_POS.items():
+            val = doc.get(f)
+            self._keyword[row, pos] = stable_hash32(str(val).strip().lower()) if val else 0
+        for f, pos in _DATE_POS.items():
+            self._dates[row, pos] = schema.date_to_epoch_days(doc.get(f))
+        self._dirty = True
+        return row
+
+    def upsert_batch(self, docs: list[dict], embeddings: np.ndarray | None = None) -> int:
+        n = 0
+        for i, doc in enumerate(docs):
+            emb = None
+            if embeddings is not None and doc.get("doc_type") == "unstructured":
+                emb = embeddings[i]
+            self.upsert(doc, emb)
+            n += 1
+        return n
+
+    def _grow(self) -> None:
+        new_cap = self.capacity * 2
+        self._vecs = _pad_rows(self._vecs, new_cap)
+        self._patient_hash = _pad_rows(self._patient_hash, new_cap)
+        self._resource_type = _pad_rows(self._resource_type, new_cap)
+        self._doc_type = _pad_rows(self._doc_type, new_cap)
+        self._has_embedding = _pad_rows(self._has_embedding, new_cap)
+        self._keyword = _pad_rows(self._keyword, new_cap)
+        self._dates = _pad_rows(self._dates, new_cap, fill=schema.NO_DATE)
+        self.docs.extend([None] * (new_cap - self.capacity))
+        self.capacity = new_cap
+        self._device = None
+        self._dirty = True
+
+    # --- device view ---------------------------------------------------------
+
+    def device_columns(self) -> dict:
+        """Upload (or refresh) the device-resident arrays."""
+        if self._device is not None and not self._dirty:
+            return self._device
+        valid = np.zeros((self.capacity,), dtype=bool)
+        valid[: self.count] = True
+        self._device = {
+            "vecs": jnp.asarray(self._vecs, dtype=STORE_DTYPE),
+            "valid": jnp.asarray(valid),
+            "patient_hash": jnp.asarray(self._patient_hash),
+            "resource_type": jnp.asarray(self._resource_type),
+            "doc_type": jnp.asarray(self._doc_type),
+            "has_embedding": jnp.asarray(self._has_embedding),
+            "keyword": jnp.asarray(self._keyword),
+            "dates": jnp.asarray(self._dates),
+        }
+        self._dirty = False
+        return self._device
+
+    def filter_mask(self, spec: FilterSpec | None) -> jax.Array:
+        cols = self.device_columns()
+        spec_arrays = (spec or FilterSpec()).to_arrays()
+        spec_dev = {k: jnp.asarray(v) for k, v in spec_arrays.items()}
+        return build_filter_mask(
+            {k: cols[k] for k in (
+                "valid", "patient_hash", "resource_type", "doc_type",
+                "has_embedding", "keyword", "dates",
+            )},
+            spec_dev,
+        )
+
+    def has_any_data(self) -> bool:
+        """Reference OpenSearchIndexer.has_any_data (main.py:1470)."""
+        return self.count > 0
+
+    def sources(self, rows: np.ndarray) -> list[dict | None]:
+        return [self.docs[int(r)] if 0 <= int(r) < self.capacity else None for r in rows]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_rows(a: np.ndarray, new_cap: int, fill=0) -> np.ndarray:
+    out = np.full((new_cap,) + a.shape[1:], fill, dtype=a.dtype)
+    out[: a.shape[0]] = a
+    return out
