@@ -1,0 +1,220 @@
+"""RassEngine — the in-process TPU engine facade.
+
+One object owns what the reference spreads across external services:
+
+- per-user multitenant indexes (reference ``get_index_name(user_id)``
+  per-user OpenSearch index, app/main.py:346) → ``Tenant`` registry,
+- the on-TPU embedder (replaces the Ollama HTTP client),
+- NLU (intent classifier + NER + patient resolution),
+- the 12 retrieval strategies with intent dispatch (the core of ``ask()``'s
+  retrieval half, main.py:2804-2892),
+- ingestion: parsed docs → embed → vector + lexical + filter-column stores
+  (replaces ``store_fhir_docs_in_opensearch``, main.py:1211-1282).
+
+The LLM generation, chat persistence, and HTTP surface live in serve/.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.schema import EMBEDDING_INTENTS, QueryIntent
+from rassengine_tpu.core.tracing import stage
+from rassengine_tpu.fusion.strategies import Retriever
+from rassengine_tpu.index.store import FilterSpec, TenantIndex
+from rassengine_tpu.lexical.bm25 import LexicalIndex
+from rassengine_tpu.models.embedder import Embedder
+from rassengine_tpu.nlu.intent import IntentClassifier
+from rassengine_tpu.nlu.ner import NerPipeline, entities_to_filter
+from rassengine_tpu.nlu.patient import resolve_patient_ids_from_name
+
+log = logging.getLogger("rassengine.engine")
+
+
+@dataclass
+class Tenant:
+    name: str
+    index: TenantIndex
+    lexical: LexicalIndex
+    retriever: Retriever
+
+
+@dataclass
+class RetrievalResult:
+    intent: QueryIntent
+    hits: list[tuple[dict, float]] = field(default_factory=list)
+    aggregations: dict | None = None
+    entities: list[dict] = field(default_factory=list)
+    patient_name: str | None = None
+    patient_ids: list[str] = field(default_factory=list)
+
+
+class RassEngine:
+    def __init__(self, config: EngineConfig | None = None, embedder: Embedder | None = None,
+                 bert_cfg=None, use_pallas: bool | None = None):
+        self.config = config or EngineConfig.from_env()
+        self.embedder = embedder or Embedder(self.config, bert_cfg=bert_cfg)
+        self.intent_classifier = IntentClassifier(self.config)
+        self.ner = NerPipeline(self.config)
+        self._tenants: dict[str, Tenant] = {}
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+        self.use_pallas = use_pallas
+
+    # --- tenancy --------------------------------------------------------------
+
+    def index_name(self, user_id: str) -> str:
+        """Reference get_index_name (main.py:346)."""
+        return f"{self.config.index_prefix}-{user_id}"
+
+    def tenant(self, user_id: str) -> Tenant:
+        name = self.index_name(user_id)
+        t = self._tenants.get(name)
+        if t is None:
+            index = TenantIndex(name, self.config.embed_dim,
+                                capacity=self.config.index_capacity,
+                                block_rows=self.config.index_block_rows)
+            lexical = LexicalIndex()
+            t = Tenant(name, index, lexical,
+                       Retriever(index, lexical, self.config, self.use_pallas))
+            self._tenants[name] = t
+        return t
+
+    # --- ingestion ------------------------------------------------------------
+
+    def ingest_docs(self, user_id: str, structured: list[dict],
+                    unstructured: list[dict]) -> int:
+        """Embed + index parsed docs (reference store_fhir_docs_in_opensearch)."""
+        t = self.tenant(user_id)
+        with stage("ingest"):
+            texts = [d.get("unstructuredText", "") for d in unstructured]
+            embs = self.embedder.embed_texts_in_batches(texts) if texts else None
+            n = 0
+            for d in structured:
+                row = t.index.upsert(d, None)
+                t.lexical.index_doc(row, d)
+                n += 1
+            for i, d in enumerate(unstructured):
+                row = t.index.upsert(d, embs[i] if embs is not None else None)
+                t.lexical.index_doc(row, d)
+                n += 1
+        log.info("indexed %d docs into %s (total %d)", n, t.name, t.index.count)
+        return n
+
+    def ingest_file(self, user_id: str, path: str, chunk_size: int | None = None) -> int:
+        """Parse + ingest one .json/.md/.txt file (reference ingest paths)."""
+        import json
+
+        from rassengine_tpu.ingest.fhir import parse_fhir_bundle_with_path
+        from rassengine_tpu.ingest.textfile import parse_markdown_file, parse_text_file
+
+        cs = chunk_size or self.config.chunk_size
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".json":
+            with open(path, encoding="utf-8") as f:
+                bundle = json.load(f)
+            s, u = parse_fhir_bundle_with_path(bundle, path, cs)
+        elif ext == ".md":
+            s, u = [], parse_markdown_file(path, cs)
+        elif ext == ".txt":
+            s, u = [], parse_text_file(path, cs)
+        else:
+            raise ValueError(f"unsupported extension: {ext}")
+        return self.ingest_docs(user_id, s, u)
+
+    def ingest_directory(self, user_id: str, root: str) -> int:
+        """Reference ingest_fhir_directory (main.py:1285-1321)."""
+        n = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for fname in sorted(files):
+                if os.path.splitext(fname)[1].lower() in (".json", ".md", ".txt"):
+                    try:
+                        n += self.ingest_file(user_id, os.path.join(dirpath, fname))
+                    except Exception as e:  # skip unparseable, keep ingesting
+                        log.warning("skipping %s: %s", fname, e)
+        return n
+
+    # --- retrieval ------------------------------------------------------------
+
+    def retrieve(self, user_id: str, query: str, top_k: int | None = None,
+                 intent: QueryIntent | None = None,
+                 patient_id: str | None = None) -> RetrievalResult:
+        """NLU → intent dispatch → strategy (reference ask() retrieval half)."""
+        t = self.tenant(user_id)
+        k = top_k or self.config.top_k
+
+        with stage("ner"):
+            entities = self.ner.extract(query)
+        with stage("intent"):
+            if intent is None:
+                intent, _conf = self.intent_classifier.classify(query)
+        spec, text_match = entities_to_filter(entities)
+
+        pname, pids = (None, [])
+        if patient_id is None:
+            with stage("patient_resolution"):
+                pname, pids = resolve_patient_ids_from_name(query, t.retriever, self.ner)
+            if len(pids) == 1:
+                patient_id = pids[0]
+
+        result = RetrievalResult(intent=intent, entities=entities,
+                                 patient_name=pname, patient_ids=pids)
+
+        if intent == QueryIntent.AGGREGATE:
+            with stage("retrieve"):
+                result.aggregations = t.retriever.aggregate_search(
+                    query, filter_clause=spec, patient_id=patient_id)
+            return result
+
+        r = t.retriever
+        strategies = {
+            QueryIntent.SEMANTIC: r.semantic_search,
+            QueryIntent.KEYWORD: r.exact_match_search,
+            QueryIntent.HYBRID: r.hybrid_search,
+            QueryIntent.STRUCTURED: r.structured_search,
+            QueryIntent.HYBRID_STRUCTURED: r.hybrid_structured_search,
+            QueryIntent.COMPARISON: r.comparison_search,
+            QueryIntent.TEMPORAL: r.temporal_search,
+            QueryIntent.EXPLANATORY: r.explanatory_search,
+            QueryIntent.MULTI_INTENT: r.multi_intent_search,
+            QueryIntent.ENTITY_SPECIFIC: r.entity_specific_search,
+            QueryIntent.DOCUMENT_FETCH: r.document_fetch_search,
+        }
+        method = strategies[intent]
+        over_k = 4 * k if text_match else k
+        with stage("retrieve"):
+            if intent in EMBEDDING_INTENTS:
+                with stage("embed_query"):
+                    q_emb = self.embedder.embed_query(query)
+                hits = method(query, q_emb, k=over_k, filter_clause=spec,
+                              patient_id=patient_id)
+            else:
+                hits = method(query, k=over_k, filter_clause=spec,
+                              patient_id=patient_id)
+        if text_match:
+            hits = _apply_text_match(hits, text_match)[:k] or hits[:k]
+        result.hits = hits[:k]
+        return result
+
+
+def _apply_text_match(hits, text_match: dict[str, list[str]]):
+    """Host post-filter for entity terms mapped to analyzed text fields."""
+    out = []
+    for src, score in hits:
+        ok = True
+        for fname, terms in text_match.items():
+            hay = str(src.get(fname) or "").lower()
+            alt = str(src.get("unstructuredText") or "").lower()
+            if not any(term.lower() in hay or term.lower() in alt for term in terms):
+                ok = False
+                break
+        if ok:
+            out.append((src, score))
+    return out

@@ -1,0 +1,342 @@
+"""The 12 intent-specific retrieval strategies with hybrid score fusion.
+
+API-parity port of the reference ``OpenSearchIndexer``'s search surface
+(app/main.py:1395-2150): same method names, same ``(query[, query_emb], k,
+filter_clause, patient_id) → [(source, score)]`` contract, same per-strategy
+semantics — but instead of composing OpenSearch DSL, each strategy combines
+
+- **semantic** scores: device top-M over the HBM index (Pallas fused
+  distance+top-k kernel, falling back to the XLA scan), and
+- **lexical** scores: host BM25 over the strategy's field group (lexical/),
+- **filters**: the FilterSpec mask (patient routing, doc_type, dates).
+
+Fusion happens on the candidate union (semantic top-M ∪ lexical top-M): both
+component scores are known for every candidate (lexical scores are dense; the
+semantic score of a lexical-only candidate is a host dot product against the
+canonical f32 vectors), so the weighted sum matches OpenSearch's should-clause
+additive scoring without transferring dense score vectors off device.
+
+Behavioral fixes over the reference (SURVEY §2 "known defects"):
+- ``structured_search`` works (upstream raises NameError, main.py:1649),
+- ``multi_intent_search`` applies a real recency bonus (upstream's dict
+  comprehension collapses its date clauses, main.py:2004-2007),
+- ``entity_specific_search`` falls back to OR matching when strict AND matches
+  nothing (upstream returns [] for nearly every NL query).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from rassengine_tpu.core import schema
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.tracing import stage
+from rassengine_tpu.index.exact import exact_topk, exact_topk_direct, l2_normalize
+from rassengine_tpu.index.store import FilterSpec, TenantIndex
+from rassengine_tpu.lexical.bm25 import LexicalIndex
+from rassengine_tpu.ops.fused_topk import fused_topk
+
+log = logging.getLogger("rassengine.retriever")
+
+Hit = tuple[dict, float]
+
+
+def _today_epoch_days() -> int:
+    return (_dt.date.today() - _dt.date(1970, 1, 1)).days
+
+
+class Retriever:
+    def __init__(self, index: TenantIndex, lexical: LexicalIndex,
+                 config: EngineConfig | None = None, use_pallas: bool = True):
+        self.index = index
+        self.lexical = lexical
+        self.config = config or EngineConfig()
+        self.use_pallas = use_pallas
+
+    # --- shared building blocks ----------------------------------------------
+
+    def _spec(self, filter_clause: FilterSpec | None, patient_id: str | None,
+              **kw) -> FilterSpec:
+        spec = FilterSpec(**kw)
+        if filter_clause is not None:
+            spec = spec.merged_with(filter_clause)
+        if patient_id:
+            spec = FilterSpec(patient_id=patient_id).merged_with(spec)
+        return spec
+
+    def _sem_top_m(self, query_emb: np.ndarray, spec: FilterSpec, m: int):
+        """Device top-M semantic candidates → (rows [m], scores [m]) on host."""
+        idx = self.index
+        spec = FilterSpec(require_embedding=True).merged_with(spec)
+        cols = idx.device_columns()
+        mask = idx.filter_mask(spec)
+        q = jnp.asarray(np.atleast_2d(query_emb))
+        m = min(m, idx.capacity)
+        with stage("semantic_scan"):
+            if self.use_pallas and idx.capacity >= idx.block_rows:
+                try:
+                    s, r = fused_topk(cols["vecs"], l2_normalize(q), mask, m,
+                                      min(idx.block_rows, idx.capacity))
+                except Exception:  # CPU tests / interpret: fall back to XLA
+                    log.debug("pallas fused_topk unavailable; using XLA path")
+                    self.use_pallas = False
+                    s, r = self._xla_topk(cols, q, mask, m)
+            else:
+                s, r = self._xla_topk(cols, q, mask, m)
+        s, r = np.asarray(s[0]), np.asarray(r[0])
+        good = (r >= 0) & (s > -1e29)
+        return r[good], s[good]
+
+    def _xla_topk(self, cols, q, mask, m):
+        if self.index.capacity <= 65536:
+            return exact_topk_direct(cols["vecs"], q, mask, m)
+        return exact_topk(cols["vecs"], q, mask, m, self.index.block_rows)
+
+    def _sem_scores_for(self, query_emb: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """Exact cosine for specific rows from the host-canonical f32 vectors."""
+        if rows.size == 0:
+            return np.zeros(0, np.float32)
+        q = np.asarray(query_emb, np.float32).reshape(-1)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        v = self.index._vecs[rows]
+        return (v @ q).astype(np.float32)
+
+    def _lex_top_m(self, query: str, spec: FilterSpec, m: int, group: str = "text",
+                   **kw):
+        host_mask = self.index.host_mask(spec)
+        with stage("lexical_scan"):
+            return self.lexical.top_m(query, self.index.capacity, m, group,
+                                      host_mask=host_mask, **kw)
+
+    def _fuse(self, parts: list[tuple[np.ndarray, np.ndarray, float]], k: int,
+              sem_rows_mask: np.ndarray | None = None) -> list[Hit]:
+        """parts: [(rows, scores, weight)] → weighted-sum fusion over the union."""
+        acc: dict[int, float] = {}
+        for rows, scores, w in parts:
+            for r, s in zip(rows.tolist(), scores.tolist()):
+                acc[r] = acc.get(r, 0.0) + w * s
+        ranked = sorted(acc.items(), key=lambda kv: -kv[1])[:k]
+        out = []
+        for r, s in ranked:
+            src = self.index.docs[r]
+            if src is not None:
+                out.append((src, float(s)))
+        return out
+
+    def has_any_data(self) -> bool:
+        return self.index.has_any_data()
+
+    # --- the 12 strategies ----------------------------------------------------
+
+    def exact_match_search(self, query: str, k: int = 3,
+                           filter_clause=None, patient_id=None) -> list[Hit]:
+        """Phrase multi_match over text fields (reference main.py:1480-1525)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        rows, scores = self._lex_top_m(query, spec, max(k, 16), "text", phrase=True)
+        return self._fuse([(rows, scores, 1.0)], k)
+
+    def semantic_search(self, query: str, query_emb: np.ndarray, k: int = 3,
+                        filter_clause=None, patient_id=None) -> list[Hit]:
+        """Pure k-NN over unit vectors (reference main.py:1527-1560)."""
+        if query_emb is None or np.size(query_emb) == 0:
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        rows, scores = self._sem_top_m(query_emb, spec, k)
+        return self._fuse([(rows, scores, 1.0)], k)
+
+    def hybrid_search(self, query: str, query_emb: np.ndarray, k: int = 3,
+                      filter_clause=None, patient_id=None) -> list[Hit]:
+        """BM25 text(1.5) + keyword(1.0) + knn(2.0) (reference main.py:1562-1615)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        m = max(4 * k, 50)
+        lex_t_rows, lex_t_scores = self._lex_top_m(query, spec, m, "text")
+        lex_k_rows, lex_k_scores = self._lex_top_m(query, spec, m, "keyword")
+        parts = [(lex_t_rows, lex_t_scores, 1.5), (lex_k_rows, lex_k_scores, 1.0)]
+        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
+            sem_rows, sem_scores = self._sem_top_m(query_emb, spec, m)
+            # semantic scores for lexical-only candidates so fusion is complete
+            lex_only = np.setdiff1d(
+                np.concatenate([lex_t_rows, lex_k_rows]), sem_rows
+            ).astype(np.int64)
+            lex_only = lex_only[self.index._has_embedding[lex_only]]
+            parts.append((sem_rows, sem_scores, 2.0))
+            parts.append((lex_only, self._sem_scores_for(query_emb, lex_only), 2.0))
+        return self._fuse(parts, k)
+
+    def structured_search(self, query: str, k: int = 3,
+                          filter_clause=None, patient_id=None) -> list[Hit]:
+        """Term/phrase matching over structured fields only (fixed vs reference
+        main.py:1617-1708, which raises NameError on its commented field list)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id,
+                          doc_type=schema.DOC_TYPE.STRUCTURED)
+        rows, scores = self._lex_top_m(query, spec, max(k, 16), "structured")
+        return self._fuse([(rows, scores, 1.0)], k)
+
+    def hybrid_structured_search(self, query: str, query_emb: np.ndarray, k: int = 3,
+                                 filter_clause=None, patient_id=None) -> list[Hit]:
+        """phrase_prefix over structured fields + knn, doc_type=structured filter
+        (reference main.py:1710-1775)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id,
+                          doc_type=schema.DOC_TYPE.STRUCTURED)
+        rows, scores = self._lex_top_m(query, spec, max(4 * k, 50), "structured",
+                                       prefix_last=True)
+        parts = [(rows, scores, 1.0)]
+        if query_emb is not None and np.size(query_emb):
+            # reference applies the structured filter to its knn clause too;
+            # structured docs only carry embeddings when embed_structured is on
+            sem_rows, sem_scores = self._sem_top_m(query_emb, spec, max(k, 16))
+            parts.append((sem_rows, sem_scores, 1.0))
+        return self._fuse(parts, k)
+
+    def aggregate_search(self, query: str, filter_clause=None,
+                         patient_id=None) -> dict:
+        """Terms aggregations by condition/resource/patient (main.py:1777-1808)."""
+        spec = self._spec(filter_clause, patient_id)
+        mask = self.index.host_mask(spec)
+        by_condition: dict[str, int] = {}
+        by_resource: dict[str, int] = {}
+        by_patient: dict[str, int] = {}
+        for r in np.nonzero(mask)[0]:
+            doc = self.index.docs[int(r)]
+            if not doc:
+                continue
+            c = doc.get("conditionCodeText")
+            if c:
+                by_condition[c] = by_condition.get(c, 0) + 1
+            rt = doc.get("resourceType")
+            if rt:
+                by_resource[rt] = by_resource.get(rt, 0) + 1
+            p = doc.get("patientId")
+            if p:
+                by_patient[p] = by_patient.get(p, 0) + 1
+
+        def buckets(d: dict, size: int = 5) -> dict:
+            top = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+            return {"buckets": [{"key": key, "doc_count": n} for key, n in top]}
+
+        return {
+            "by_condition": buckets(by_condition),
+            "by_resource": buckets(by_resource),
+            "by_patient": buckets(by_patient),
+        }
+
+    def comparison_search(self, query: str, k: int = 3,
+                          filter_clause=None, patient_id=None) -> list[Hit]:
+        """best_fields over comparison fields (reference main.py:1810-1864)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        rows, scores = self._lex_top_m(query, spec, max(k, 16), "compare")
+        return self._fuse([(rows, scores, 1.0)], k)
+
+    def temporal_search(self, query: str, k: int = 3,
+                        filter_clause=None, patient_id=None) -> list[Hit]:
+        """Text match AND any-date-in-last-year, sorted by onset desc
+        (reference main.py:1866-1918)."""
+        if not query.strip():
+            return []
+        today = _today_epoch_days()
+        ranges = {f: (today - 365, today) for f in schema.DATE_FIELDS}
+        spec = self._spec(filter_clause, patient_id).merged_with(
+            FilterSpec(date_ranges=ranges)
+        )
+        t_rows, t_scores = self._lex_top_m(query, spec, max(4 * k, 50), "text")
+        k_rows, k_scores = self._lex_top_m(query, spec, max(4 * k, 50), "keyword")
+        hits = self._fuse([(t_rows, t_scores, 1.0), (k_rows, k_scores, 1.0)],
+                          max(4 * k, 50))
+
+        def onset(h: Hit):
+            d = schema.date_to_epoch_days(h[0].get("conditionOnsetDateTime"))
+            return d if d != schema.NO_DATE else -(2**31)
+
+        hits.sort(key=onset, reverse=True)
+        return hits[:k]
+
+    def explanatory_search(self, query: str, k: int = 3,
+                           filter_clause=None, patient_id=None) -> list[Hit]:
+        """Note-field boosted match (reference main.py:1920-1967)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        rows, scores = self._lex_top_m(query, spec, max(k, 16), "note")
+        return self._fuse([(rows, scores, 1.0)], k)
+
+    def multi_intent_search(self, query: str, query_emb: np.ndarray, k: int = 3,
+                            filter_clause=None, patient_id=None) -> list[Hit]:
+        """text(1.0) + keyword(0.5) + knn(1.5) + recency bonus(0.5)
+        (reference main.py:1969-2027, with its collapsed date clauses fixed)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        m = max(4 * k, 50)
+        t_rows, t_scores = self._lex_top_m(query, spec, m, "text")
+        k_rows, k_scores = self._lex_top_m(query, spec, m, "keyword")
+        parts = [(t_rows, t_scores, 1.0), (k_rows, k_scores, 0.5)]
+        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
+            sem_rows, sem_scores = self._sem_top_m(query_emb, spec, m)
+            lex_only = np.setdiff1d(np.concatenate([t_rows, k_rows]), sem_rows
+                                    ).astype(np.int64)
+            lex_only = lex_only[self.index._has_embedding[lex_only]]
+            parts.append((sem_rows, sem_scores, 1.5))
+            parts.append((lex_only, self._sem_scores_for(query_emb, lex_only), 1.5))
+        hits = self._fuse(parts, max(2 * k, 20))
+        # recency bonus: +0.5 if any date field within the last year
+        today = _today_epoch_days()
+        rescored = []
+        for src, s in hits:
+            recent = any(
+                (d := schema.date_to_epoch_days(src.get(f))) != schema.NO_DATE
+                and today - 365 <= d <= today
+                for f in schema.DATE_FIELDS
+            )
+            rescored.append((src, s + (0.5 if recent else 0.0)))
+        rescored.sort(key=lambda h: -h[1])
+        return rescored[:k]
+
+    def entity_specific_search(self, query: str, k: int = 3,
+                               filter_clause=None, patient_id=None) -> list[Hit]:
+        """Phrase+AND over entity fields, OR fallback (reference main.py:2029-2074)."""
+        if not query.strip():
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        rows, scores = self._lex_top_m(query, spec, max(k, 16), "entity",
+                                       phrase=True, require_all=True)
+        if rows.size == 0:
+            rows, scores = self._lex_top_m(query, spec, max(k, 16), "entity")
+        return self._fuse([(rows, scores, 1.0)], k)
+
+    def document_fetch_search(self, query: str, k: int = 3,
+                              filter_clause=None, patient_id=None) -> list[Hit]:
+        """patientId-filtered fetch collapsed to distinct source files
+        (reference main.py:2120-2150)."""
+        if not patient_id:
+            return []
+        spec = self._spec(filter_clause, patient_id)
+        mask = self.index.host_mask(spec)
+        seen_paths: set = set()
+        out: list[Hit] = []
+        for r in np.nonzero(mask)[0]:
+            doc = self.index.docs[int(r)]
+            if not doc:
+                continue
+            path = doc.get("file_path")
+            key = path or doc.get("doc_id")
+            if key in seen_paths:
+                continue
+            seen_paths.add(key)
+            out.append((doc, 1.0))
+            if len(out) >= k:
+                break
+        return out

@@ -265,6 +265,33 @@ class TenantIndex:
             spec_dev,
         )
 
+    def host_mask(self, spec: FilterSpec | None) -> np.ndarray:
+        """Numpy mirror of build_filter_mask (bool [cap]) for host-side scoring."""
+        s = (spec or FilterSpec()).to_arrays()
+        ok = np.zeros(self.capacity, bool)
+        ok[: self.count] = True
+        if s["patient"] != 0:
+            ok &= self._patient_hash == s["patient"]
+        if s["doc_type"] >= 0:
+            ok &= self._doc_type == s["doc_type"]
+        if s["resource"] != 0:
+            ok &= self._resource_type == s["resource"]
+        vals = s["keyword"]
+        for pos in np.nonzero(np.any(vals > 0, axis=1))[0]:
+            vv = vals[pos][vals[pos] > 0]
+            ok &= np.isin(self._keyword[:, pos], vv)
+        if np.any(s["date_has_range"]):
+            any_ok = np.zeros(self.capacity, bool)
+            for pos in np.nonzero(s["date_has_range"])[0]:
+                d = self._dates[:, pos]
+                any_ok |= (d != schema.NO_DATE) & (d >= s["date_lo_hi"][pos, 0]) & (
+                    d <= s["date_lo_hi"][pos, 1]
+                )
+            ok &= any_ok
+        if s["require_embedding"]:
+            ok &= self._has_embedding
+        return ok
+
     def has_any_data(self) -> bool:
         """Reference OpenSearchIndexer.has_any_data (main.py:1470)."""
         return self.count > 0

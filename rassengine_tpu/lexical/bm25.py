@@ -1,0 +1,232 @@
+"""BM25 lexical index — the in-process replacement for OpenSearch/Lucene BM25.
+
+The reference issues ``multi_match`` queries over different boosted field
+subsets per retrieval strategy (app/main.py:1403-1468, 1819-1826, 2038-2045,
+1929-1937). Here every document is analyzed once at index time into per-term
+postings that carry a *weighted term frequency per field group* — one float per
+(term, doc, group), where the weight is the group's field boost. Query scoring
+is then Lucene-style BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)))
+against the chosen group's weighted tfs, reproducing each strategy's
+multi_match boost profile from a single posting space (BM25F-style: weighted
+tf summed across fields, then saturated).
+
+Groups (field → boost), mirroring the reference's per-strategy field lists:
+- ``text``:      the 26 boosted text fields + unstructuredText (main.py:1403)
+- ``keyword``:   the 24 keyword fields (main.py:1431)
+- ``compare``:   comparison_search fields (main.py:1819-1826)
+- ``entity``:    entity_specific_search fields (main.py:2038-2045)
+- ``note``:      explanatory_search note fields (main.py:1929-1937)
+- ``structured``: structured_search fields (main.py:1626-1647 — commented out
+  upstream and thus a NameError; implemented for real here)
+
+Postings live host-side in growable arrays; scoring touches only the query
+terms' postings (vectorized numpy) and emits a dense score vector or top-M
+candidates for fusion with on-device ANN scores (fusion/strategies.py).
+Word bigrams are indexed alongside unigrams to support phrase semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from rassengine_tpu.core import schema
+
+K1 = 1.2
+B = 0.75
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+FIELD_GROUPS: dict[str, dict[str, float]] = {
+    "text": dict(schema.TEXT_FIELD_BOOSTS),
+    "keyword": dict(schema.KEYWORD_FIELD_BOOSTS),
+    "compare": {
+        "conditionCodeText": 2.0, "observationValue": 1.0, "observationUnit": 1.0,
+        "medRequestMedicationDisplay": 1.0, "procedureCodeText": 1.0,
+        "allergyCodeText": 1.0,
+    },
+    "entity": {
+        "patientName": 4.0, "patientId": 4.0, "patientGender": 3.0,
+        "patientTelecom": 3.0, "practitionerName": 3.0, "organizationName": 3.0,
+    },
+    "note": {
+        "conditionNote": 3.0, "observationNote": 3.0, "encounterNote": 3.0,
+        "medRequestNote": 3.0, "procedureNote": 3.0, "allergyNote": 3.0,
+        "unstructuredText": 2.0,
+    },
+    "structured": {
+        "patientName": 3.0, "patientGender": 3.0, "patientDOB": 1.0,
+        "patientTelecom": 3.0, "conditionCodeText": 2.0,
+        "conditionClinicalStatus": 1.0, "conditionSeverity": 1.0,
+        "observationCodeText": 1.0, "observationValue": 1.0, "observationUnit": 1.0,
+        "encounterStatus": 1.0, "encounterClass": 1.0,
+        "medRequestMedicationDisplay": 1.0, "medRequestStatus": 1.0,
+        "procedureCodeText": 1.0, "procedureStatus": 1.0,
+        "allergyCodeText": 1.0, "allergyClinicalStatus": 1.0,
+        "practitionerName": 3.0, "organizationName": 3.0,
+    },
+}
+GROUP_NAMES = tuple(FIELD_GROUPS)
+_G = {g: i for i, g in enumerate(GROUP_NAMES)}
+N_GROUPS = len(GROUP_NAMES)
+
+_ALL_FIELDS = sorted({f for grp in FIELD_GROUPS.values() for f in grp})
+# field → [boost per group] vector
+_FIELD_GROUP_BOOSTS = {
+    f: np.array([FIELD_GROUPS[g].get(f, 0.0) for g in GROUP_NAMES], np.float32)
+    for f in _ALL_FIELDS
+}
+
+
+def analyze(text: str, bigrams: bool = False) -> list[str]:
+    toks = _TOKEN_RE.findall((text or "").lower())
+    toks = [t for t in toks if t not in STOPWORDS]
+    if bigrams and len(toks) >= 2:
+        toks = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    return toks
+
+
+class _Posting:
+    __slots__ = ("rows", "wtf")
+
+    def __init__(self):
+        self.rows: list[int] = []
+        self.wtf: list[np.ndarray] = []  # per entry: [N_GROUPS] weighted tf
+
+
+class LexicalIndex:
+    def __init__(self):
+        self._postings: dict[str, _Posting] = {}
+        self._row_terms: dict[int, list[str]] = {}
+        # per-row weighted length per group, grown on demand
+        self._doc_len = np.zeros((0, N_GROUPS), np.float32)
+        self._n_docs = 0
+
+    def _ensure_len(self, row: int) -> None:
+        if row >= self._doc_len.shape[0]:
+            new = np.zeros((max(row + 1, 2 * self._doc_len.shape[0], 1024), N_GROUPS),
+                           np.float32)
+            new[: self._doc_len.shape[0]] = self._doc_len
+            self._doc_len = new
+
+    # --- indexing -------------------------------------------------------------
+
+    def index_doc(self, row: int, doc: dict) -> None:
+        self._ensure_len(row)
+        if self._row_terms.get(row):
+            self._remove_row(row)
+        if not np.any(self._doc_len[row]):
+            self._n_docs += 1
+        bag: dict[str, np.ndarray] = {}
+        length = np.zeros(N_GROUPS, np.float32)
+        for field, gboosts in _FIELD_GROUP_BOOSTS.items():
+            val = doc.get(field)
+            if not val:
+                continue
+            terms = analyze(str(val), bigrams=True)
+            for t in terms:
+                cur = bag.get(t)
+                bag[t] = gboosts if cur is None else cur + gboosts
+            n_uni = sum(1 for t in terms if "_" not in t)
+            length += n_uni * gboosts
+        for t, wtf in bag.items():
+            p = self._postings.get(t)
+            if p is None:
+                p = self._postings[t] = _Posting()
+            p.rows.append(row)
+            p.wtf.append(wtf)
+        self._doc_len[row] = length
+        self._row_terms[row] = list(bag)
+
+    def _remove_row(self, row: int) -> None:
+        for t in self._row_terms.pop(row, ()):
+            p = self._postings.get(t)
+            if p is None:
+                continue
+            try:
+                i = p.rows.index(row)
+            except ValueError:
+                continue
+            p.rows.pop(i)
+            p.wtf.pop(i)
+            if not p.rows:
+                del self._postings[t]
+        if np.any(self._doc_len[row]):
+            self._n_docs -= 1
+        self._doc_len[row] = 0.0
+
+    # --- scoring --------------------------------------------------------------
+
+    def _group_stats(self, g: int) -> tuple[float, float]:
+        n = max(1, self._n_docs)
+        avgdl = float(self._doc_len[:, g].sum()) / n
+        return n, max(avgdl, 1e-6)
+
+    def expand_prefix(self, prefix: str, limit: int = 10) -> list[str]:
+        """Vocabulary terms starting with ``prefix`` (phrase_prefix support)."""
+        prefix = prefix.lower()
+        out = []
+        for t in self._postings:
+            if t.startswith(prefix) and "_" not in t:
+                out.append(t)
+                if len(out) >= limit:
+                    break
+        return out
+
+    def score(self, query: str, cap: int, group: str = "text", *,
+              phrase: bool = False, require_all: bool = False,
+              prefix_last: bool = False) -> np.ndarray:
+        """Dense BM25 scores [cap] for one query against one field group."""
+        g = _G[group]
+        scores = np.zeros(cap, np.float32)
+        base_terms = [t for t in analyze(query) if "_" not in t]
+        if not base_terms:
+            return scores
+        terms: list[str] = list(dict.fromkeys(base_terms))
+        if prefix_last and terms:
+            terms = terms[:-1] + self.expand_prefix(terms[-1])
+        if phrase:
+            terms += [f"{a}_{b}" for a, b in zip(base_terms, base_terms[1:])]
+        n, avgdl = self._group_stats(g)
+        matched = np.zeros(cap, np.int32) if (phrase or require_all) else None
+        for t in dict.fromkeys(terms):
+            p = self._postings.get(t)
+            if p is None:
+                continue
+            rows = np.asarray(p.rows, np.int64)
+            wtf = np.stack(p.wtf)[:, g]
+            live = wtf > 0
+            rows, wtf = rows[live], wtf[live]
+            if rows.size == 0:
+                continue
+            in_cap = rows < cap
+            rows, wtf = rows[in_cap], wtf[in_cap]
+            df = rows.size
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            dl = self._doc_len[rows, g]
+            denom = wtf + K1 * (1.0 - B + B * dl / avgdl)
+            contrib = idf * (wtf * (K1 + 1.0)) / np.maximum(denom, 1e-9)
+            np.add.at(scores, rows, contrib.astype(np.float32))
+            if matched is not None and "_" not in t:
+                np.add.at(matched, rows, 1)
+        if matched is not None:
+            scores = np.where(matched >= len(set(base_terms)), scores, 0.0)
+        return scores
+
+    def top_m(self, query: str, cap: int, m: int, group: str = "text",
+              host_mask: np.ndarray | None = None, **kw) -> tuple[np.ndarray, np.ndarray]:
+        scores = self.score(query, cap, group, **kw)
+        if host_mask is not None:
+            scores = np.where(host_mask, scores, 0.0)
+        m = min(m, cap)
+        rows = np.argpartition(-scores, m - 1)[:m] if m < cap else np.arange(cap)
+        order = np.argsort(-scores[rows], kind="stable")
+        rows = rows[order]
+        good = scores[rows] > 0
+        return rows[good], scores[rows][good]

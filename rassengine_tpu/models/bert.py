@@ -1,0 +1,171 @@
+"""Flax BERT-family encoder — the on-TPU replacement for every HF/torch model
+the reference calls out of process:
+
+- the mxbai-embed-large bi-encoder behind Ollama /embeddings
+  (reference app/main.py:225-274) → ``BertEncoder`` + pooling head,
+- the intent sequence classifier (main.py:162-189, train_intent.py)
+  → ``BertForSequenceClassification``,
+- the BioBERT NER token classifier (main.py:128-160, train_ner.py)
+  → ``BertForTokenClassification``.
+
+Written for the MXU: bf16 activations with f32 LayerNorm/softmax accumulation,
+static shapes, and einsum contractions whose named dims XLA shards cleanly when
+params carry ``heads``/``mlp`` tensor-parallel PartitionSpecs (see
+parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 1024          # mxbai-embed-large / BERT-large class
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    max_position: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    dtype: str = "bfloat16"
+    pooling: str = "cls"             # "cls" (mxbai) | "mean"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @staticmethod
+    def tiny(vocab_size: int = 1024) -> "BertConfig":
+        """Small config for tests and CI."""
+        return BertConfig(
+            vocab_size=vocab_size, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position=128,
+        )
+
+    @staticmethod
+    def large() -> "BertConfig":
+        return BertConfig()
+
+    @staticmethod
+    def base() -> "BertConfig":
+        return BertConfig(hidden_size=768, num_layers=12, num_heads=12,
+                          intermediate_size=3072)
+
+
+class _SelfAttention(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (cfg.num_heads, cfg.head_dim), dtype=dt, name=name
+        )
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
+        neg = jnp.finfo(jnp.float32).min
+        scores = scores + jnp.where(attention_mask[:, None, None, :], 0.0, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(dt)
+        out = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1), dtype=dt,
+                              name="out")(ctx)
+        return out
+
+
+class _Layer(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        attn = _SelfAttention(cfg, name="attention")(x, attention_mask)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="attention_norm")(x + attn).astype(dt)
+        h = nn.Dense(cfg.intermediate_size, dtype=dt, name="mlp_in")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=dt, name="mlp_out")(h)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="mlp_norm")(x + h).astype(dt)
+        return x
+
+
+class BertEncoder(nn.Module):
+    """Backbone: (input_ids, attention_mask[, token_type_ids]) → hidden states."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids=None):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b, l = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=dt,
+                       name="token_embed")(input_ids)
+        pos = nn.Embed(cfg.max_position, cfg.hidden_size, dtype=dt,
+                       name="position_embed")(jnp.arange(l)[None, :])
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=dt,
+                       name="type_embed")(token_type_ids)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="embed_norm")(tok + pos + typ).astype(dt)
+        mask = attention_mask.astype(bool)
+        for i in range(cfg.num_layers):
+            x = _Layer(cfg, name=f"layer_{i}")(x, mask)
+        return x  # [B, L, H]
+
+    def pool(self, hidden, attention_mask):
+        """Sentence embedding: CLS (mxbai) or masked mean, then L2-normalize."""
+        if self.cfg.pooling == "cls":
+            emb = hidden[:, 0, :]
+        else:
+            m = attention_mask[:, :, None].astype(jnp.float32)
+            emb = (hidden.astype(jnp.float32) * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+        emb = emb.astype(jnp.float32)
+        norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb / jnp.maximum(norm, 1e-12)
+
+
+class BertForSequenceClassification(nn.Module):
+    """Intent classifier head (reference: 12-label bert fine-tune, train_intent.py)."""
+
+    cfg: BertConfig
+    num_labels: int = 12
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        hidden = BertEncoder(self.cfg, name="encoder")(input_ids, attention_mask)
+        cls = hidden[:, 0, :].astype(jnp.float32)
+        cls = nn.tanh(nn.Dense(self.cfg.hidden_size, dtype=jnp.float32,
+                               name="pooler")(cls))
+        return nn.Dense(self.num_labels, dtype=jnp.float32, name="classifier")(cls)
+
+
+class BertForTokenClassification(nn.Module):
+    """NER head: BIO tags per token (reference: BioBERT token classifier, train_ner.py)."""
+
+    cfg: BertConfig
+    num_labels: int = 39  # 19 entity types × B/I + O
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        hidden = BertEncoder(self.cfg, name="encoder")(input_ids, attention_mask)
+        return nn.Dense(self.num_labels, dtype=jnp.float32,
+                        name="classifier")(hidden.astype(jnp.float32))

@@ -1,0 +1,113 @@
+"""On-TPU text embedding — the in-process replacement for the Ollama client.
+
+API parity with reference app/main.py:225-274:
+- ``embed_texts_in_batches(texts) -> np.ndarray[float32, (N, dim)]``
+- ``embed_query(q) -> np.ndarray[(1, dim)]``
+- empty/whitespace text → zero vector (main.py:225-228),
+- batches of ``EngineConfig.embed_batch_size``,
+
+but instead of one HTTP POST per text under an asyncio semaphore, the whole
+batch is a single pjit-able bf16 forward pass; multi-chip data parallelism
+shards the batch axis over the mesh (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.tracing import stage
+from rassengine_tpu.models.bert import BertConfig, BertEncoder
+from rassengine_tpu.models.tokenizer import load_tokenizer
+
+log = logging.getLogger("rassengine.embedder")
+
+
+class Embedder:
+    def __init__(self, config: EngineConfig | None = None,
+                 bert_cfg: BertConfig | None = None,
+                 params=None, mesh=None, seed: int = 0):
+        self.config = config or EngineConfig()
+        if bert_cfg is None:
+            if self.config.encoder_weights_path:
+                bert_cfg = BertConfig.large()
+            else:
+                # weightless mode: tiny deterministic encoder (tests/benches)
+                bert_cfg = BertConfig.tiny()
+        # the embedding dim is the hidden size unless a projection is added;
+        # weightless tiny mode projects up to config.embed_dim with a fixed
+        # random matrix so the index dimension matches production.
+        self.bert_cfg = bert_cfg
+        self.model = BertEncoder(bert_cfg)
+        self.tokenizer = load_tokenizer(
+            self.config.encoder_weights_path, bert_cfg.vocab_size,
+            self.config.embed_max_seq_len,
+        )
+        self.mesh = mesh
+        if params is None:
+            params = self._init_params(seed)
+            if self.config.encoder_weights_path:
+                from rassengine_tpu.models.weights import load_encoder_params
+
+                loaded = load_encoder_params(self.config.encoder_weights_path, bert_cfg)
+                if loaded is not None:
+                    params = loaded
+        self.params = params
+        self.dim = self.config.embed_dim
+        if bert_cfg.hidden_size != self.dim:
+            key = jax.random.PRNGKey(7)
+            proj = jax.random.normal(key, (bert_cfg.hidden_size, self.dim)) / np.sqrt(
+                bert_cfg.hidden_size
+            )
+            self._proj = proj.astype(jnp.float32)
+        else:
+            self._proj = None
+        self._forward = jax.jit(self._embed_fn)
+
+    def _init_params(self, seed: int):
+        dummy = jnp.zeros((1, 8), jnp.int32)
+        return self.model.init(jax.random.PRNGKey(seed), dummy, jnp.ones_like(dummy))
+
+    def _embed_fn(self, params, ids, mask, proj):
+        hidden = self.model.apply(params, ids, mask)
+        emb = self.model.pool(hidden, mask)  # [B, H] already L2-normalized
+        if proj is not None:
+            emb = emb @ proj
+            norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            emb = emb / jnp.maximum(norm, 1e-12)
+        return emb
+
+    # --- public API (reference name parity) -----------------------------------
+
+    def embed_texts_in_batches(self, texts: list[str], batch_size: int | None = None) -> np.ndarray:
+        """Reference embed_texts_in_batches (main.py:240-263), on device."""
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        bs = batch_size or self.config.embed_batch_size
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        nonempty = [(i, t) for i, t in enumerate(texts) if t and t.strip()]
+        with stage("embed"):
+            for start in range(0, len(nonempty), bs):
+                chunk = nonempty[start : start + bs]
+                ids, mask = self.tokenizer.encode_batch(
+                    [t for _, t in chunk], self.config.embed_max_seq_len
+                )
+                pad = bs - len(chunk)
+                if pad:
+                    ids = np.pad(ids, ((0, pad), (0, 0)))
+                    mask = np.pad(mask, ((0, pad), (0, 0)))
+                emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                                    self._proj)
+                emb = np.asarray(emb[: len(chunk)], dtype=np.float32)
+                for (i, _), e in zip(chunk, emb):
+                    out[i] = e
+        return out
+
+    def embed_query(self, query: str) -> np.ndarray:
+        """Reference embed_query (main.py:266-274): → float32 [1, dim]."""
+        return self.embed_texts_in_batches([query], batch_size=8)

@@ -1,0 +1,122 @@
+"""Query-intent classification over the 12-intent taxonomy.
+
+Reference ``classify_intent`` (app/main.py:2613-2634) zero-shots a
+bart-large-mnli over 12 hypothesis pairs per query. Here classification is a
+single on-TPU forward of a fine-tuned Flax BERT head (trained by
+train/intent_train.py on the same synthetic distribution the reference's
+train_intent.py uses), with a deterministic rule classifier as fallback when no
+trained weights exist. The reference's unused ``INTENT_THRESHOLD`` (main.py:2415)
+is honored for real: model predictions below it fall back to the rules.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+
+import numpy as np
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.schema import ALL_INTENTS, QueryIntent
+
+log = logging.getLogger("rassengine.intent")
+
+# ordered (intent, pattern) rules — first match wins
+_RULES: list[tuple[QueryIntent, re.Pattern]] = [
+    (QueryIntent.DOCUMENT_FETCH,
+     re.compile(r"\b(fetch|retrieve|download|show me|pull up|get)\b.*\b(document|record|file|report|chart)s?\b", re.I)),
+    (QueryIntent.AGGREGATE,
+     re.compile(r"\b(how many|count|number of|total|average|most common|least common|statistics|distribution|breakdown)\b", re.I)),
+    (QueryIntent.COMPARISON,
+     re.compile(r"\b(compare|versus|vs\.?|difference between|differences|better than|worse than|higher than|lower than|against)\b", re.I)),
+    (QueryIntent.TEMPORAL,
+     re.compile(r"\b(when|recent(ly)?|latest|last (year|month|week|visit)|history of|over time|timeline|since \d|before \d|after \d|past (year|month|week))\b", re.I)),
+    (QueryIntent.EXPLANATORY,
+     re.compile(r"\b(why|explain|meaning of|what does .{1,40} mean|how does|interpret|elaborate)\b", re.I)),
+    (QueryIntent.MULTI_INTENT,
+     re.compile(r"\?.+\?|\balso\b.+\b(and|plus)\b|\b(and also|as well as)\b", re.I)),
+    (QueryIntent.KEYWORD,
+     re.compile(r'"[^"]+"|\b[A-Z]\d{2}(\.\d+)?\b|\b\d{4,5}-?\d?\b')),
+    (QueryIntent.STRUCTURED,
+     re.compile(r"\b(status|gender|date of birth|dob|marital|dosage|priority|criticality|blood type)\b", re.I)),
+    (QueryIntent.ENTITY_SPECIFIC,
+     re.compile(r"\b(dr\.?|doctor|practitioner|organization|hospital|clinic)\s+[A-Z]", re.I)),
+    (QueryIntent.HYBRID_STRUCTURED,
+     re.compile(r"\b(with|whose|having)\b.*\b(condition|medication|allergy|procedure|observation)\b", re.I)),
+]
+
+
+class RuleIntentClassifier:
+    def classify(self, query: str) -> tuple[QueryIntent, float]:
+        q = query or ""
+        for intent, pat in _RULES:
+            if pat.search(q):
+                return intent, 0.9
+        # default: short keyword-ish queries → HYBRID, questions → SEMANTIC
+        if len(q.split()) <= 3:
+            return QueryIntent.HYBRID, 0.5
+        return QueryIntent.SEMANTIC, 0.5
+
+
+class ModelIntentClassifier:
+    """Fine-tuned Flax BERT head (see train/intent_train.py)."""
+
+    def __init__(self, path: str):
+        import os
+
+        if not os.path.exists(os.path.join(path, "params.msgpack")):
+            raise FileNotFoundError(path)  # before any jax work (compile cost)
+        import jax
+
+        from rassengine_tpu.models.bert import BertConfig, BertForSequenceClassification
+        from rassengine_tpu.models.tokenizer import load_tokenizer
+        from rassengine_tpu.models.weights import load_params
+        from rassengine_tpu.train.serialization import load_model_meta
+
+        meta = load_model_meta(path)
+        cfg = BertConfig(**meta["bert_config"]) if meta else BertConfig.tiny()
+        self.model = BertForSequenceClassification(cfg, num_labels=len(ALL_INTENTS))
+        self.tokenizer = load_tokenizer(path, cfg.vocab_size, 128)
+        dummy = np.zeros((1, 8), np.int32)
+        template = self.model.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
+        params = load_params(path, template)
+        if params is None:
+            raise FileNotFoundError(path)
+        self.params = params
+        self._fwd = jax.jit(self.model.apply)
+
+    def classify(self, query: str) -> tuple[QueryIntent, float]:
+        import jax.nn
+
+        ids, mask = self.tokenizer.encode_batch([query], 128)
+        logits = self._fwd(self.params, ids, mask)
+        probs = np.asarray(jax.nn.softmax(logits[0]))
+        i = int(np.argmax(probs))
+        return QueryIntent(ALL_INTENTS[i]), float(probs[i])
+
+
+class IntentClassifier:
+    """Model when trained weights exist, rules otherwise; threshold fallback."""
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        self.rules = RuleIntentClassifier()
+        self.model: ModelIntentClassifier | None = None
+        try:
+            self.model = ModelIntentClassifier(self.config.intent_model_path)
+            log.info("intent model loaded from %s", self.config.intent_model_path)
+        except Exception:
+            log.info("no trained intent model; using rule classifier")
+
+    def classify(self, query: str) -> tuple[QueryIntent, float]:
+        if self.model is not None:
+            intent, conf = self.model.classify(query)
+            if conf >= self.config.intent_threshold:
+                return intent, conf
+        return self.rules.classify(query)
+
+
+def classify_intent(query: str, classifier: IntentClassifier | None = None) -> str:
+    """Reference-parity helper (main.py:2613): query → intent label string."""
+    clf = classifier or IntentClassifier()
+    return clf.classify(query)[0].value

@@ -1,0 +1,311 @@
+"""Medical NER over the 19-entity taxonomy + entity→filter lowering.
+
+Reference NER stack (app/main.py:2418-2610): a BioBERT token classifier with
+BIO decoding at 0.80 confidence (``_bio_ner``) and an LLM-based JSON extractor
+(``_bluehive_ner``). Here:
+
+- ``ModelNER``: fine-tuned Flax token classifier (train/ner_train.py), BIO
+  decode with the same 0.80 threshold,
+- ``RuleNER``: deterministic pattern + gazetteer extractor that needs no
+  weights and covers the code-shaped entities (ICD10/CPT/LOINC), dates,
+  contacts, demographics, and a medical gazetteer,
+- ``entities_to_filter``: the ENTITY_FIELD_MAP lowering the reference defines
+  but never correctly wires (its active path passes a raw entity *list* as an
+  OpenSearch filter clause, main.py:2770 — a latent type bug). Keyword-field
+  entities become FilterSpec terms, DATE entities become date ranges over the
+  mapped date fields, and text-field entities become must-match text terms.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+import re
+
+import numpy as np
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.schema import (
+    DATE_FIELDS,
+    ENTITY_FIELD_MAP,
+    ENTITY_LABELS,
+    KEYWORD_FIELDS,
+    date_to_epoch_days,
+)
+from rassengine_tpu.index.store import FilterSpec
+
+log = logging.getLogger("rassengine.ner")
+
+Entity = dict  # {"text": str, "label": str, "confidence": float}
+
+# BIO label scheme: O + B-X/I-X per entity type (reference train_ner.py:35-77)
+BIO_LABELS: tuple[str, ...] = ("O",) + tuple(
+    f"{p}-{lbl}" for lbl in ENTITY_LABELS for p in ("B", "I")
+)
+NUM_BIO_LABELS = len(BIO_LABELS)  # 39
+
+_GAZETTEER: dict[str, tuple[str, ...]] = {
+    "CONDITION": (
+        "hypertension", "diabetes", "asthma", "copd", "pneumonia", "influenza",
+        "depression", "anxiety", "obesity", "anemia", "arthritis", "osteoporosis",
+        "hyperlipidemia", "stroke", "cancer", "covid", "bronchitis", "sinusitis",
+        "prediabetes", "dementia", "alzheimer", "epilepsy", "migraine", "sepsis",
+        "heart failure", "coronary heart disease", "atrial fibrillation",
+        "chronic kidney disease", "diabetes mellitus", "otitis media",
+    ),
+    "MEDICATION": (
+        "metformin", "lisinopril", "insulin", "aspirin", "ibuprofen",
+        "amoxicillin", "atorvastatin", "albuterol", "hydrochlorothiazide",
+        "amlodipine", "omeprazole", "levothyroxine", "prednisone", "warfarin",
+        "clopidogrel", "simvastatin", "losartan", "gabapentin", "sertraline",
+        "acetaminophen", "penicillin", "metoprolol", "furosemide",
+    ),
+    "PROCEDURE": (
+        "appendectomy", "colonoscopy", "biopsy", "bypass", "angioplasty",
+        "dialysis", "chemotherapy", "radiation therapy", "vaccination",
+        "intubation", "catheterization", "transplant", "suture", "amputation",
+        "endoscopy", "mammography", "echocardiogram",
+    ),
+    "LABTEST": (
+        "hemoglobin", "a1c", "hba1c", "glucose", "cholesterol", "triglycerides",
+        "creatinine", "potassium", "sodium", "tsh", "wbc", "platelet",
+        "blood pressure", "heart rate", "bmi", "ldl", "hdl", "urinalysis",
+    ),
+    "ALLERGY": (
+        "penicillin allergy", "peanut", "latex", "shellfish", "pollen",
+        "sulfa", "bee venom", "egg", "dust mite",
+    ),
+    "SEVERITY": ("mild", "moderate", "severe", "critical"),
+    "ANATOMY": (
+        "heart", "lung", "liver", "kidney", "brain", "chest", "abdomen",
+        "arm", "leg", "knee", "shoulder", "spine", "thyroid", "pancreas",
+    ),
+}
+
+_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("ICD10_CODE", re.compile(r"\b[A-TV-Z]\d{2}(?:\.\d{1,4})?\b")),
+    ("LOINC_CODE", re.compile(r"\b\d{3,5}-\d\b")),
+    ("CPT_CODE", re.compile(r"\b\d{5}\b")),
+    ("EMAIL", re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b")),
+    ("PHONE", re.compile(r"\b(?:\+?1[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]?\d{4}\b")),
+    ("DATE", re.compile(
+        r"\b(\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}|"
+        r"(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* \d{1,2},? \d{4}|"
+        r"last (?:year|month|week)|past (?:year|month|week)|\d{4})\b", re.I)),
+    ("GENDER", re.compile(r"\b(male|female|man|woman|men|women)\b", re.I)),
+    ("OBS_VALUE", re.compile(r"\b\d+(?:\.\d+)?\s?(?:mg/dl|mmhg|bpm|kg|lbs|%|mmol/l)\b", re.I)),
+]
+
+# "Dr. Smith" / "doctor Jane Doe"
+_DOCTOR_RE = re.compile(r"\b(?:[Dd]r\.?|[Dd]octor)\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)")
+# capitalized full names mid-sentence, e.g. "for Jane Doe's records"
+_PERSON_RE = re.compile(r"\b([A-Z][a-z]+\s+[A-Z][a-z]+)\b")
+_SENTENCE_STARTERS = frozenset(
+    "What When Where Which Whose How Why Did Does Is Are Was Were Show Fetch "
+    "Get List Give Find Tell Compare Explain Please Retrieve".split()
+)
+
+
+class RuleNER:
+    def extract(self, query: str) -> list[Entity]:
+        q = query or ""
+        ents: list[Entity] = []
+        spans: list[tuple[int, int]] = []
+
+        def add(text, label, conf, start=None, end=None):
+            if start is not None:
+                for s, e in spans:
+                    if start < e and s < (end or start):
+                        return
+                spans.append((start, end or start + len(text)))
+            ents.append({"text": text, "label": label, "confidence": conf})
+
+        for m in _DOCTOR_RE.finditer(q):
+            add(m.group(1), "DOCTOR", 0.95, m.start(1), m.end(1))
+        for label, pat in _PATTERNS:
+            for m in pat.finditer(q):
+                add(m.group(0), label, 0.9, m.start(), m.end())
+        lower = q.lower()
+        for label, words in _GAZETTEER.items():
+            for w in words:
+                i = lower.find(w)
+                if i >= 0 and _word_bounded(lower, i, len(w)):
+                    add(q[i : i + len(w)], label, 0.85, i, i + len(w))
+        for m in _PERSON_RE.finditer(q):
+            first = m.group(1).split()[0]
+            if first in _SENTENCE_STARTERS:
+                continue
+            add(m.group(1), "PERSON", 0.8, m.start(1), m.end(1))
+        return ents
+
+
+def _word_bounded(text: str, i: int, n: int) -> bool:
+    before_ok = i == 0 or not text[i - 1].isalnum()
+    after_ok = i + n >= len(text) or not text[i + n].isalnum()
+    return before_ok and after_ok
+
+
+class ModelNER:
+    """Fine-tuned Flax token classifier with BIO decoding (threshold 0.80)."""
+
+    def __init__(self, path: str, threshold: float = 0.80):
+        import os
+
+        if not os.path.exists(os.path.join(path, "params.msgpack")):
+            raise FileNotFoundError(path)  # before any jax work (compile cost)
+        import jax
+
+        from rassengine_tpu.models.bert import BertConfig, BertForTokenClassification
+        from rassengine_tpu.models.tokenizer import load_tokenizer
+        from rassengine_tpu.models.weights import load_params
+        from rassengine_tpu.train.serialization import load_model_meta
+
+        meta = load_model_meta(path)
+        cfg = BertConfig(**meta["bert_config"]) if meta else BertConfig.tiny()
+        self.model = BertForTokenClassification(cfg, num_labels=NUM_BIO_LABELS)
+        self.tokenizer = load_tokenizer(path, cfg.vocab_size, 128)
+        dummy = np.zeros((1, 8), np.int32)
+        template = self.model.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
+        params = load_params(path, template)
+        if params is None:
+            raise FileNotFoundError(path)
+        self.params = params
+        self.threshold = threshold
+        self._fwd = jax.jit(self.model.apply)
+
+    def extract(self, query: str) -> list[Entity]:
+        import jax.nn
+
+        words = query.split()
+        if not words:
+            return []
+        # word-level tokenization: one "token" per word via the hash tokenizer
+        ids, mask = self.tokenizer.encode_batch([query], 128)
+        logits = self._fwd(self.params, ids, mask)
+        probs = np.asarray(jax.nn.softmax(logits[0]))  # [L, num_labels]
+        n = int(mask[0].sum())
+        ents: list[Entity] = []
+        cur_words: list[str] = []
+        cur_label = None
+        cur_conf = 1.0
+
+        def flush():
+            nonlocal cur_words, cur_label, cur_conf
+            if cur_words and cur_label:
+                ents.append({"text": " ".join(cur_words), "label": cur_label,
+                             "confidence": float(cur_conf)})
+            cur_words, cur_label, cur_conf = [], None, 1.0
+
+        # positions 1..n-2 map to words (CLS at 0, SEP at n-1) for HashTokenizer
+        for wi, pos in enumerate(range(1, min(n - 1, len(words) + 1))):
+            li = int(np.argmax(probs[pos]))
+            conf = float(probs[pos, li])
+            label = BIO_LABELS[li]
+            if label == "O" or conf < self.threshold:
+                flush()
+                continue
+            prefix, etype = label.split("-", 1)
+            if prefix == "B" or etype != cur_label:
+                flush()
+                cur_label = etype
+                cur_conf = conf
+                cur_words = [words[wi]]
+            else:
+                cur_words.append(words[wi])
+                cur_conf = min(cur_conf, conf)
+        flush()
+        return ents
+
+
+class NerPipeline:
+    """Model-first, rule-fallback extraction (reference ner_preprocess shape)."""
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        self.rules = RuleNER()
+        self.model: ModelNER | None = None
+        try:
+            self.model = ModelNER(self.config.ner_model_path,
+                                  self.config.entity_threshold)
+            log.info("NER model loaded from %s", self.config.ner_model_path)
+        except Exception:
+            log.info("no trained NER model; using rule NER")
+
+    def extract(self, query: str) -> list[Entity]:
+        ents = self.model.extract(query) if self.model is not None else []
+        rule_ents = self.rules.extract(query)
+        seen = {e["text"].lower() for e in ents}
+        ents.extend(e for e in rule_ents if e["text"].lower() not in seen)
+        return ents
+
+
+def ner_preprocess(query: str, pipeline: NerPipeline | None = None) -> list[Entity]:
+    """Reference-parity helper (main.py:2531-2543): query → entity list."""
+    return (pipeline or NerPipeline()).extract(query)
+
+
+def _parse_date_range(text: str) -> tuple[int | None, int | None] | None:
+    t = text.strip().lower()
+    today = _dt.date.today()
+    epoch = _dt.date(1970, 1, 1)
+    days = lambda d: (d - epoch).days  # noqa: E731
+    m = re.fullmatch(r"(last|past) (year|month|week)", t)
+    if m:
+        delta = {"year": 365, "month": 30, "week": 7}[m.group(2)]
+        return days(today) - delta, days(today)
+    if re.fullmatch(r"\d{4}", t):
+        y = int(t)
+        if 1900 <= y <= 2100:
+            return days(_dt.date(y, 1, 1)), days(_dt.date(y, 12, 31))
+        return None
+    d = date_to_epoch_days(t)
+    if d != date_to_epoch_days(None):
+        return d, d
+    m = re.fullmatch(r"(\d{1,2})/(\d{1,2})/(\d{2,4})", t)
+    if m:
+        mm, dd, yy = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        yy = yy + 2000 if yy < 100 else yy
+        try:
+            d0 = days(_dt.date(yy, mm, dd))
+            return d0, d0
+        except ValueError:
+            return None
+    return None
+
+
+_GENDER_NORMALIZE = {"man": "male", "men": "male", "woman": "female", "women": "female"}
+
+_KEYWORD_FIELD_SET = set(KEYWORD_FIELDS)
+
+
+def entities_to_filter(entities: list[Entity]) -> tuple[FilterSpec, dict[str, list[str]]]:
+    """Lower entities to (FilterSpec, text_must_match) via ENTITY_FIELD_MAP.
+
+    Returns the device-filterable spec plus a {text_field: [terms]} map for
+    fields whose values are analyzed text (applied as lexical must-terms by the
+    orchestrator).
+    """
+    keyword_terms: dict[str, list[str]] = {}
+    date_ranges: dict[str, tuple[int | None, int | None]] = {}
+    text_match: dict[str, list[str]] = {}
+    for e in entities:
+        label, text = e.get("label"), str(e.get("text") or "").strip()
+        if not text or label not in ENTITY_FIELD_MAP:
+            continue
+        target = ENTITY_FIELD_MAP[label]
+        if label == "DATE":
+            rng = _parse_date_range(text)
+            if rng:
+                for f in target:
+                    if f in DATE_FIELDS:
+                        date_ranges[f] = rng
+            continue
+        if label == "GENDER":
+            text = _GENDER_NORMALIZE.get(text.lower(), text.lower())
+        fields = target if isinstance(target, list) else [target]
+        for f in fields:
+            if f in _KEYWORD_FIELD_SET:
+                keyword_terms.setdefault(f, []).append(text)
+            else:
+                text_match.setdefault(f, []).append(text)
+    return FilterSpec(keyword_terms=keyword_terms, date_ranges=date_ranges), text_match

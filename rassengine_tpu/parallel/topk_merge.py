@@ -1,0 +1,102 @@
+"""Multi-chip sharded index scan: per-chip top-k + all-gather merge over ICI.
+
+The distributed equivalent of OpenSearch's shard fan-out/merge (reference
+SHARD_COUNT main.py:89, _routing main.py:1230): index rows are partitioned
+across the ``shard`` mesh axis, every chip scans its partition with the same
+fused matmul+top-k used single-chip, and the per-chip k-lists are merged with
+one ``all_gather`` (k·B floats per chip — the merge traffic is tiny, so ICI
+cost is negligible vs the scan itself).
+
+Patient routing becomes shard metadata: a patient-routed query can address the
+single shard owning that patient's rows (host-side routing table), matching
+OpenSearch's ``_routing`` fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rassengine_tpu.index.store import NEG_INF
+
+
+def _local_scan(vecs, mask, queries, k: int):
+    """One chip's exact scan over its row partition (bf16 matmul, f32 accum)."""
+    q = queries.astype(jnp.float32)
+    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = (q / jnp.maximum(norm, 1e-12)).astype(jnp.bfloat16)
+    scores = jnp.dot(q, vecs.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+    scores = scores + mask[None, :]
+    return jax.lax.top_k(scores, k)
+
+
+def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int):
+    """Row-sharded exact top-k with all-gather merge.
+
+    vecs [cap, d] sharded on rows over ``shard``; mask [cap] likewise;
+    queries [B, d] replicated → (scores [B, k], global row ids [B, k]),
+    replicated on every chip.
+    """
+    n_shards = mesh.shape["shard"]
+    cap = vecs.shape[0]
+    assert cap % n_shards == 0, (cap, n_shards)
+    local_rows = cap // n_shards
+
+    def fn(v, m, q):
+        s, i = _local_scan(v, m, q, k)
+        i = i + jax.lax.axis_index("shard") * local_rows
+        # [B, n_shards*k] on every chip after one ICI all-gather
+        all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(i, "shard", axis=1, tiled=True)
+        top_s, pos = jax.lax.top_k(all_s, k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by the all_gather+top_k,
+                          # which the varying-manual-axes checker can't infer
+    )(vecs, mask, queries)
+
+
+def shard_index_to_mesh(mesh: Mesh, cols: dict) -> dict:
+    """Place a TenantIndex's device columns row-sharded on the mesh."""
+    row = NamedSharding(mesh, P("shard"))
+    out = {}
+    for name, arr in cols.items():
+        out[name] = jax.device_put(arr, row)
+    return out
+
+
+class ShardRouter:
+    """patientId → shard routing metadata (reference _routing, main.py:1230).
+
+    Rows are assigned round-robin by patient hash at ingest; a routed query
+    only needs its patient's shard scanned. Host-side bookkeeping only — the
+    scan itself stays a mesh-wide SPMD program with non-owner shards masked.
+    """
+
+    def __init__(self, n_shards: int):
+        self.n_shards = n_shards
+
+    def shard_of(self, patient_id: str | None) -> int | None:
+        if not patient_id:
+            return None
+        from rassengine_tpu.index.store import stable_hash32
+
+        return stable_hash32(patient_id) % self.n_shards
+
+    def routed_mask(self, mask, patient_id: str | None, cap: int):
+        """Mask out all shards except the patient's owner shard."""
+        if patient_id is None:
+            return mask
+        shard = self.shard_of(patient_id)
+        rows_per_shard = cap // self.n_shards
+        row_ids = jnp.arange(cap) // rows_per_shard
+        return jnp.where(row_ids == shard, mask, NEG_INF)

@@ -1,0 +1,223 @@
+"""HTTP applications: the RASS query service and the upload/ingestion service.
+
+Reference surface parity:
+- ``POST /ask`` (app/main.py:2996-3018): {query, user_id, chat_id, top_k} →
+  {query, answer}; 400 on missing fields, 403 on foreign chat.
+- ``WS /ws/ask`` (main.py:3054-3353): same request JSON, token stream out.
+- ``POST /upload_data`` (embedding_gen.py:1256-1408): multipart user_id +
+  files[], ≤5 files/request, ≤10 MB each, user-id validation + auth, FHIR
+  bundles validated for an ``entry`` key, stored under UPLOAD_DIR/{user}/,
+  parsed + embedded + indexed; → {message}.
+Plus ``GET /health`` and ``GET /metrics`` (new; reference has no
+observability endpoints).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+import re
+import shutil
+import tempfile
+import uuid
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.tracing import METRICS
+from rassengine_tpu.engine import RassEngine
+from rassengine_tpu.ingest.fhir import parse_fhir_bundle_with_path
+from rassengine_tpu.ingest.textfile import parse_markdown_file, parse_text_file
+from rassengine_tpu.serve.ask import AskService, AuthorizationError, ValidationError
+from rassengine_tpu.serve.http import App, Request, Response, WebSocket
+
+log = logging.getLogger("rassengine.app")
+
+_USER_ID_RE = re.compile(r"^[A-Za-z0-9_-]{1,64}$")
+_SAFE_NAME_RE = re.compile(r"[^A-Za-z0-9._-]+")
+
+
+def secure_filename(name: str) -> str:
+    name = os.path.basename(name or "")
+    name = _SAFE_NAME_RE.sub("_", name).strip("._") or "upload"
+    return name[:128]
+
+
+def build_app(engine: RassEngine, service: AskService | None = None) -> App:
+    """The query service (reference app/main.py, port 8000)."""
+    app = App("rass-query")
+    service = service or AskService(engine)
+    app.state = {"engine": engine, "service": service}  # type: ignore[attr-defined]
+
+    @app.route("GET", "/health")
+    async def health(req: Request) -> Response:
+        return Response.json_response({"status": "ok"})
+
+    @app.route("GET", "/metrics")
+    async def metrics(req: Request) -> Response:
+        return Response.json_response(METRICS.snapshot())
+
+    @app.route("POST", "/ask")
+    async def ask_route(req: Request) -> Response:
+        try:
+            payload = req.json() or {}
+        except json.JSONDecodeError:
+            return Response.error(400, "invalid JSON body")
+        query = (payload.get("query") or "").strip()
+        user_id = payload.get("user_id") or ""
+        chat_id = payload.get("chat_id") or ""
+        top_k = payload.get("top_k")
+        if not query or not user_id or not chat_id:
+            return Response.error(400, "query, user_id and chat_id are required")
+        try:
+            answer = await service.ask(query, user_id, chat_id, top_k)
+        except AuthorizationError as e:
+            return Response.error(403, str(e))
+        except ValidationError as e:
+            return Response.error(400, str(e))
+        return Response.json_response({"query": query, "answer": answer})
+
+    @app.websocket("/ws/ask")
+    async def ws_ask(ws: WebSocket, req: Request) -> None:
+        # reference: one JSON request per connection, tokens streamed back,
+        # "[DONE]" sentinel, connection stays open for the next query
+        while True:
+            raw = await ws.recv_text()
+            if raw is None:
+                return
+            try:
+                payload = json.loads(raw)
+                query = (payload.get("query") or "").strip()
+                user_id = payload.get("user_id") or ""
+                chat_id = payload.get("chat_id") or ""
+                top_k = payload.get("top_k")
+                if not query or not user_id or not chat_id:
+                    await ws.send_text("[ERROR] query, user_id and chat_id are required")
+                    continue
+                async for chunk in service.ask_stream(query, user_id, chat_id, top_k):
+                    await ws.send_text(chunk)
+            except AuthorizationError as e:
+                await ws.send_text(f"[ERROR] {e}")
+            except (json.JSONDecodeError, ValidationError) as e:
+                await ws.send_text(f"[ERROR] {e}")
+            except Exception as e:
+                log.exception("ws error")
+                await ws.send_text(f"[ERROR] {e}")
+            await ws.send_text("[DONE]")
+
+    return app
+
+
+def build_upload_app(engine: RassEngine, service: AskService | None = None) -> App:
+    """The upload/ingestion service (reference app/embedding_gen.py, port 8001)."""
+    app = App("rass-upload")
+    cfg = engine.config
+    service = service or AskService(engine)
+    db = service.db
+    sem = asyncio.Semaphore(cfg.max_concurrent_files)
+
+    @app.route("GET", "/health")
+    async def health(req: Request) -> Response:
+        return Response.json_response({"status": "ok"})
+
+    @app.route("POST", "/upload_data")
+    async def upload_data(req: Request) -> Response:
+        try:
+            parts = req.multipart()
+        except ValueError as e:
+            return Response.error(400, str(e))
+        user_id = None
+        files: list[tuple[str, bytes]] = []
+        for headers, body in parts:
+            disp = headers.get("content-disposition", "")
+            name_m = re.search(r'name="([^"]+)"', disp)
+            file_m = re.search(r'filename="([^"]*)"', disp)
+            if file_m:
+                files.append((file_m.group(1), body))
+            elif name_m and name_m.group(1) == "user_id":
+                user_id = body.decode("utf-8", "replace").strip()
+
+        # validation chain (reference embedding_gen.py:1233-1294)
+        if not user_id or not _USER_ID_RE.match(user_id):
+            return Response.error(400, "invalid user_id")
+        if not await db.a_user_exists(user_id):
+            return Response.error(403, "user not authorized")
+        if not files:
+            return Response.error(400, "no files provided")
+        if len(files) > cfg.max_files_per_request:
+            return Response.error(
+                400, f"too many files (max {cfg.max_files_per_request})")
+        for fname, body in files:
+            if len(body) > cfg.max_file_size_bytes:
+                return Response.error(400, f"file too large: {fname}")
+            ext = os.path.splitext(fname)[1].lower()
+            if ext not in (".json", ".md", ".txt"):
+                return Response.error(400, f"unsupported file type: {fname}")
+
+        user_dir = os.path.join(cfg.upload_dir, user_id)
+        os.makedirs(user_dir, exist_ok=True)
+        all_structured: list[dict] = []
+        all_unstructured: list[dict] = []
+        errors: list[str] = []
+
+        async def process_file(fname: str, body: bytes) -> None:
+            async with sem:
+                safe = secure_filename(fname)
+                ext = os.path.splitext(safe)[1].lower()
+                fd, tmp = tempfile.mkstemp(suffix=ext)
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(body)
+                    final = os.path.join(user_dir, f"{uuid.uuid4().hex[:8]}-{safe}")
+                    if ext == ".json":
+                        bundle = json.loads(body.decode("utf-8", "replace"))
+                        if not isinstance(bundle, dict) or "entry" not in bundle:
+                            errors.append(f"{fname}: not a FHIR bundle (no entry)")
+                            return
+                        shutil.move(tmp, final)
+                        s, u = parse_fhir_bundle_with_path(bundle, final, cfg.chunk_size)
+                        all_structured.extend(s)
+                        all_unstructured.extend(u)
+                    else:
+                        shutil.move(tmp, final)
+                        parser = parse_markdown_file if ext == ".md" else parse_text_file
+                        all_unstructured.extend(parser(final, cfg.chunk_size))
+                except json.JSONDecodeError:
+                    errors.append(f"{fname}: invalid JSON")
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+
+        await asyncio.gather(*(process_file(f, b) for f, b in files))
+        n = 0
+        if all_structured or all_unstructured:
+            n = await asyncio.to_thread(
+                engine.ingest_docs, user_id, all_structured, all_unstructured
+            )
+        msg = f"indexed {n} documents from {len(files)} file(s)"
+        if errors:
+            msg += f"; errors: {'; '.join(errors)}"
+        return Response.json_response({"message": msg})
+
+    return app
+
+
+async def main() -> None:
+    """Run both services (reference docker-compose topology, single process)."""
+    logging.basicConfig(level=logging.INFO)
+    cfg = EngineConfig.from_env()
+    engine = RassEngine(cfg)
+    service = AskService(engine)
+    app = build_app(engine, service)
+    upload = build_upload_app(engine, service)
+    if cfg.emb_dir and os.path.isdir(cfg.emb_dir):
+        n = engine.ingest_directory("default", cfg.emb_dir)
+        log.info("bulk-ingested %d docs from %s", n, cfg.emb_dir)
+    await asyncio.gather(
+        app.serve(cfg.host, cfg.port),
+        upload.serve(cfg.host, cfg.upload_port),
+    )
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

@@ -1,0 +1,199 @@
+"""The ask() orchestrator — query → answer pipeline.
+
+Reference pipeline (app/main.py:2750-2964, inline-duplicated for the WS path at
+main.py:3054-3353; implemented once here with a streaming flag):
+
+auth check → NER → intent → patient-ID resolution → chat history → embed →
+intent-dispatched retrieval → context build (dedup by doc_id, structured docs
+rendered as k=v pipes) → citation-enforcing prompt → LLM generate → persist.
+
+Differences by design:
+- every heavy step is an in-process TPU call instead of an HTTP hop,
+- the semantic cache (reference's unused Redis block) short-circuits repeat
+  queries,
+- per-stage latencies land on the request trace (core/tracing.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import AsyncIterator
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.schema import QueryIntent
+from rassengine_tpu.core.tracing import METRICS, new_trace, stage
+from rassengine_tpu.engine import RassEngine
+from rassengine_tpu.serve.cache import SemanticCache
+from rassengine_tpu.serve.db import ChatStore
+from rassengine_tpu.serve.llm import LlmClient, make_llm
+
+log = logging.getLogger("rassengine.ask")
+
+SYSTEM_PROMPT = (
+    "You are a medical assistant answering strictly from the provided EHR "
+    "context. Cite every factual claim with its document id in the form "
+    "[Doc: <doc_id>]. If the context does not contain the answer, say you "
+    "do not have that information. Do not invent patient data."
+)
+
+
+class AuthorizationError(Exception):
+    pass
+
+
+class ValidationError(Exception):
+    pass
+
+
+def render_structured(doc: dict) -> str:
+    """Structured doc → 'k=v | k=v' line (reference main.py:2907-2917)."""
+    parts = []
+    for k, v in doc.items():
+        if v is None or k in ("doc_id", "doc_type", "file_path", "file_type"):
+            continue
+        parts.append(f"{k}={v}")
+    return " | ".join(parts)
+
+
+def build_context(hits: list[tuple[dict, float]]) -> str:
+    """Dedup by doc_id, render each doc with its citation tag (main.py:2894-2921)."""
+    seen: set[str] = set()
+    blocks = []
+    for doc, _score in hits:
+        doc_id = str(doc.get("doc_id"))
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        if doc.get("doc_type") == "structured":
+            body = render_structured(doc)
+        else:
+            body = str(doc.get("unstructuredText") or "")
+        blocks.append(f"[Doc: {doc_id}] {body}")
+    return "\n".join(blocks)
+
+
+class AskService:
+    def __init__(self, engine: RassEngine, db: ChatStore | None = None,
+                 llm: LlmClient | None = None, config: EngineConfig | None = None):
+        self.engine = engine
+        self.config = config or engine.config
+        self.db = db or ChatStore(self.config.database_path)
+        self.llm = llm or make_llm(self.config)
+        self.cache = (
+            SemanticCache(self.config.cache_max_items, self.config.cache_sim_threshold,
+                          self.config.cache_ttl_seconds)
+            if self.config.cache_enabled else None
+        )
+
+    async def _authorize(self, user_id: str, chat_id: str) -> None:
+        owner = await self.db.a_chat_owner(chat_id)
+        if owner is None:
+            # unknown chat → create it for this user (reference 403s instead,
+            # main.py:2764-2767, because chats are provisioned out of band;
+            # auto-creating keeps the standalone framework usable end-to-end)
+            self.db.create_user(user_id)
+            self.db.create_chat(user_id, chat_id)
+            return
+        if owner != user_id:
+            raise AuthorizationError("chat does not belong to user")
+
+    async def ask(self, query: str, user_id: str, chat_id: str,
+                  top_k: int | None = None) -> str:
+        chunks = [c async for c in self.ask_stream(query, user_id, chat_id, top_k)]
+        return "".join(chunks)
+
+    async def ask_stream(self, query: str, user_id: str, chat_id: str,
+                         top_k: int | None = None) -> AsyncIterator[str]:
+        if not query or not query.strip():
+            raise ValidationError("query must be non-empty")
+        if not user_id or not chat_id:
+            raise ValidationError("user_id and chat_id are required")
+        trace = new_trace()
+        METRICS.incr("ask_requests")
+        await self._authorize(user_id, chat_id)
+
+        result = self.engine.retrieve(user_id, query, top_k=top_k)
+        history = await self.db.a_history(chat_id, self.config.max_chat_history)
+
+        # --- early-return branches (reference main.py:2804-2876) -------------
+        if result.intent == QueryIntent.AGGREGATE:
+            answer = json.dumps(result.aggregations or {}, indent=2)
+            await self._persist(chat_id, query, answer)
+            yield answer
+            return
+
+        if result.intent == QueryIntent.DOCUMENT_FETCH:
+            answer = self._fetch_documents(result)
+            await self._persist(chat_id, query, answer)
+            yield answer
+            return
+
+        # --- cache lookup -----------------------------------------------------
+        q_emb = self.engine.embedder.embed_query(query)
+        scope = f"{user_id}:{result.patient_ids[0] if result.patient_ids else '*'}"
+        if self.cache is not None:
+            cached = self.cache.get(scope, q_emb)
+            if cached is not None:
+                METRICS.incr("cache_hits")
+                await self._persist(chat_id, query, cached)
+                yield cached
+                return
+
+        # --- prompt assembly (reference main.py:2894-2940) --------------------
+        context = build_context(result.hits)
+        hist_text = "\n".join(f"{m['role']}: {m['content']}" for m in history)
+        prompt_parts = []
+        if hist_text:
+            prompt_parts.append(f"Chat history:\n{hist_text}")
+        if context:
+            prompt_parts.append(f"EHR context:\n{context}")
+        else:
+            prompt_parts.append("EHR context: (no matching records found)")
+        prompt_parts.append(f"User question: {query}")
+        prompt = "\n\n".join(prompt_parts)
+
+        pieces: list[str] = []
+        with stage("generate"):
+            async for chunk in self.llm.generate_stream(prompt, SYSTEM_PROMPT):
+                pieces.append(chunk)
+                yield chunk
+        answer = "".join(pieces) or "I could not generate an answer."
+
+        if self.cache is not None and answer and not answer.startswith("[ERROR]"):
+            self.cache.put(scope, q_emb, answer)
+        await self._persist(chat_id, query, answer)
+        log.info("ask done %s", trace.summary())
+
+    def _fetch_documents(self, result) -> str:
+        """DOCUMENT_FETCH: return raw files, capped (reference main.py:2804-2856)."""
+        if not result.patient_ids and not result.hits:
+            return "No patient specified or no documents found."
+        files: list[str] = []
+        seen: set[str] = set()
+        for doc, _ in result.hits:
+            path = doc.get("file_path")
+            if not path or path in seen:
+                continue
+            seen.add(path)
+            if len(files) >= self.config.max_files_per_patient:
+                break
+            try:
+                with open(path, encoding="utf-8") as f:
+                    content = f.read(100_000)
+                files.append(f"=== {os.path.basename(path)} ===\n{content}")
+            except OSError:
+                continue
+        if not files:
+            # no raw files on disk; fall back to indexed doc bodies
+            for doc, _ in result.hits[: self.config.max_files_per_patient]:
+                body = doc.get("unstructuredText") or render_structured(doc)
+                files.append(f"=== {doc.get('doc_id')} ===\n{body}")
+        return "\n\n".join(files) if files else "No documents found."
+
+    async def _persist(self, chat_id: str, query: str, answer: str) -> None:
+        with stage("persist"):
+            await self.db.a_add_messages(
+                chat_id, [("user", query), ("assistant", answer)]
+            )

@@ -1,0 +1,282 @@
+"""Minimal asyncio HTTP/1.1 + WebSocket server.
+
+The reference serves via FastAPI/uvicorn; neither ships in this image, so the
+framework carries its own small server: request parsing, routing, JSON and
+multipart/form-data bodies, streaming responses, and RFC6455 WebSocket
+handshake + text frames (enough for the /ws/ask token stream). Single-process
+asyncio, mirroring the reference's deployment model.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import hashlib
+import json
+import logging
+import re
+import struct
+from dataclasses import dataclass, field
+from typing import AsyncIterator, Awaitable, Callable
+from urllib.parse import parse_qs, unquote, urlsplit
+
+log = logging.getLogger("rassengine.http")
+
+_WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+MAX_BODY = 64 * 1024 * 1024
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    query: dict[str, list[str]]
+    headers: dict[str, str]
+    body: bytes = b""
+
+    def json(self):
+        return json.loads(self.body.decode("utf-8") or "null")
+
+    def multipart(self) -> list[tuple[dict, bytes]]:
+        """Parse multipart/form-data → [(part_headers, part_body)]."""
+        ctype = self.headers.get("content-type", "")
+        m = re.search(r'boundary="?([^";]+)"?', ctype)
+        if not m:
+            raise ValueError("no multipart boundary")
+        boundary = b"--" + m.group(1).encode()
+        parts = []
+        for raw in self.body.split(boundary)[1:]:
+            raw = raw.strip(b"\r\n")
+            if raw in (b"", b"--"):
+                continue
+            if raw.endswith(b"--"):
+                raw = raw[:-2]
+            head, _, body = raw.partition(b"\r\n\r\n")
+            headers: dict[str, str] = {}
+            for line in head.decode("utf-8", "replace").split("\r\n"):
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            parts.append((headers, body.rstrip(b"\r\n")))
+        return parts
+
+
+@dataclass
+class Response:
+    status: int = 200
+    body: bytes | str = b""
+    content_type: str = "application/json"
+    headers: dict[str, str] = field(default_factory=dict)
+
+    @staticmethod
+    def json_response(obj, status: int = 200) -> "Response":
+        return Response(status, json.dumps(obj).encode(), "application/json")
+
+    @staticmethod
+    def error(status: int, detail: str) -> "Response":
+        return Response.json_response({"detail": detail}, status)
+
+
+class StreamingResponse:
+    def __init__(self, gen: AsyncIterator[str], content_type: str = "text/plain"):
+        self.gen = gen
+        self.content_type = content_type
+
+
+class WebSocket:
+    """Server-side WebSocket (text frames only)."""
+
+    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self.reader = reader
+        self.writer = writer
+        self.closed = False
+
+    async def send_text(self, text: str) -> None:
+        data = text.encode("utf-8")
+        header = bytes([0x81])  # FIN + text opcode
+        n = len(data)
+        if n < 126:
+            header += bytes([n])
+        elif n < 65536:
+            header += bytes([126]) + struct.pack(">H", n)
+        else:
+            header += bytes([127]) + struct.pack(">Q", n)
+        self.writer.write(header + data)
+        await self.writer.drain()
+
+    async def recv_text(self) -> str | None:
+        """→ text payload, or None on close."""
+        buf = b""
+        while True:
+            head = await self.reader.readexactly(2)
+            fin = head[0] & 0x80
+            opcode = head[0] & 0x0F
+            masked = head[1] & 0x80
+            n = head[1] & 0x7F
+            if n == 126:
+                n = struct.unpack(">H", await self.reader.readexactly(2))[0]
+            elif n == 127:
+                n = struct.unpack(">Q", await self.reader.readexactly(8))[0]
+            mask = await self.reader.readexactly(4) if masked else b"\0\0\0\0"
+            payload = await self.reader.readexactly(n)
+            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            if opcode == 0x8:  # close
+                await self.close()
+                return None
+            if opcode == 0x9:  # ping → pong
+                self.writer.write(bytes([0x8A, len(payload)]) + payload)
+                await self.writer.drain()
+                continue
+            buf += payload
+            if fin:
+                return buf.decode("utf-8")
+
+    async def close(self, code: int = 1000) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        try:
+            self.writer.write(bytes([0x88, 0x02]) + struct.pack(">H", code))
+            await self.writer.drain()
+        except (ConnectionError, RuntimeError):
+            pass
+
+
+Handler = Callable[[Request], Awaitable[Response | StreamingResponse]]
+WsHandler = Callable[[WebSocket, Request], Awaitable[None]]
+
+
+class App:
+    def __init__(self, name: str = "rassengine"):
+        self.name = name
+        self.routes: dict[tuple[str, str], Handler] = {}
+        self.ws_routes: dict[str, WsHandler] = {}
+        self.on_startup: list[Callable[[], Awaitable[None]]] = []
+
+    def route(self, method: str, path: str):
+        def deco(fn: Handler):
+            self.routes[(method.upper(), path)] = fn
+            return fn
+        return deco
+
+    def websocket(self, path: str):
+        def deco(fn: WsHandler):
+            self.ws_routes[path] = fn
+            return fn
+        return deco
+
+    async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    return
+                try:
+                    method, target, _version = line.decode("latin-1").split()
+                except ValueError:
+                    return
+                headers: dict[str, str] = {}
+                while True:
+                    h = await reader.readline()
+                    if h in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = h.decode("latin-1").partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                parsed = urlsplit(target)
+                path = unquote(parsed.path)
+                query = parse_qs(parsed.query)
+                clen = int(headers.get("content-length", "0") or 0)
+                if clen > MAX_BODY:
+                    await self._write(writer, Response.error(413, "body too large"))
+                    return
+                body = await reader.readexactly(clen) if clen else b""
+                req = Request(method.upper(), path, query, headers, body)
+
+                if headers.get("upgrade", "").lower() == "websocket":
+                    await self._handle_ws(reader, writer, req)
+                    return
+
+                handler = self.routes.get((req.method, path))
+                if handler is None:
+                    await self._write(writer, Response.error(404, "not found"))
+                else:
+                    try:
+                        resp = await handler(req)
+                    except Exception as e:
+                        log.exception("handler error on %s %s", method, path)
+                        resp = Response.error(500, str(e))
+                    if isinstance(resp, StreamingResponse):
+                        await self._write_streaming(writer, resp)
+                        return  # streaming closes the connection
+                    await self._write(writer, resp)
+                if headers.get("connection", "").lower() == "close":
+                    return
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        finally:
+            try:
+                writer.close()
+            except RuntimeError:
+                pass
+
+    async def _handle_ws(self, reader, writer, req: Request):
+        key = req.headers.get("sec-websocket-key", "")
+        handler = self.ws_routes.get(req.path)
+        if not key or handler is None:
+            await self._write(writer, Response.error(400, "bad websocket request"))
+            return
+        accept = base64.b64encode(
+            hashlib.sha1((key + _WS_MAGIC).encode()).digest()
+        ).decode()
+        writer.write(
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            + f"Sec-WebSocket-Accept: {accept}\r\n\r\n".encode()
+        )
+        await writer.drain()
+        ws = WebSocket(reader, writer)
+        try:
+            await handler(ws, req)
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        finally:
+            await ws.close()
+
+    async def _write(self, writer, resp: Response):
+        body = resp.body.encode() if isinstance(resp.body, str) else resp.body
+        head = (
+            f"HTTP/1.1 {resp.status} X\r\nContent-Type: {resp.content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+        )
+        for k, v in resp.headers.items():
+            head += f"{k}: {v}\r\n"
+        writer.write(head.encode() + b"\r\n" + body)
+        await writer.drain()
+
+    async def _write_streaming(self, writer, resp: StreamingResponse):
+        writer.write(
+            f"HTTP/1.1 200 OK\r\nContent-Type: {resp.content_type}\r\n"
+            "Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n".encode()
+        )
+        await writer.drain()
+        async for chunk in resp.gen:
+            data = chunk.encode() if isinstance(chunk, str) else chunk
+            if not data:
+                continue
+            writer.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            await writer.drain()
+        writer.write(b"0\r\n\r\n")
+        await writer.drain()
+
+    async def serve(self, host: str, port: int):
+        for fn in self.on_startup:
+            await fn()
+        server = await asyncio.start_server(self._handle, host, port)
+        log.info("%s listening on %s:%d", self.name, host, port)
+        async with server:
+            await server.serve_forever()
+
+    async def start(self, host: str, port: int) -> asyncio.AbstractServer:
+        """Start without blocking (tests)."""
+        for fn in self.on_startup:
+            await fn()
+        return await asyncio.start_server(self._handle, host, port)

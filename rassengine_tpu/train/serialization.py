@@ -1,0 +1,24 @@
+"""Model checkpoint metadata helpers shared by train/ (writers) and nlu/ (readers)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+
+def save_model_meta(path: str, bert_config, extra: dict | None = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    meta = {"bert_config": dataclasses.asdict(bert_config)}
+    if extra:
+        meta.update(extra)
+    with open(os.path.join(path, "model_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_model_meta(path: str) -> dict | None:
+    p = os.path.join(path, "model_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

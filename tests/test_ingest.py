@@ -1,0 +1,166 @@
+"""Chunker / FHIR / text parsing unit tests (reference behavior parity)."""
+
+import json
+
+from rassengine_tpu.ingest.chunker import chunk_text
+from rassengine_tpu.ingest.fhir import extract_code_text, parse_fhir_bundle
+from rassengine_tpu.ingest.textfile import (
+    infer_patient_id_from_filename,
+    parse_markdown_file,
+    parse_text_file,
+)
+
+
+class TestChunker:
+    def test_short_text_single_chunk(self):
+        assert chunk_text("one two three", 512) == ["one two three"]
+
+    def test_exact_split_no_overlap(self):
+        words = [f"w{i}" for i in range(1000)]
+        chunks = chunk_text(" ".join(words), 512)
+        assert len(chunks) == 2
+        assert chunks[0].split() == words[:512]
+        assert chunks[1].split() == words[512:]
+
+    def test_empty(self):
+        assert chunk_text("", 512) == []
+        assert chunk_text("   ", 512) == []
+
+    def test_overlap(self):
+        words = [f"w{i}" for i in range(100)]
+        chunks = chunk_text(" ".join(words), 40, overlap=10)
+        assert chunks[1].split()[0] == "w30"
+
+    def test_adaptive_merges_tiny_tail(self):
+        words = [f"w{i}" for i in range(530)]
+        chunks = chunk_text(" ".join(words), 512, adaptive=True)
+        assert len(chunks) == 1 + 0  # 18-word tail merged
+        assert len(chunks[0].split()) == 530
+
+
+class TestFhirParser:
+    def make_bundle(self):
+        return {
+            "entry": [
+                {"resource": {"resourceType": "Patient", "id": "p1",
+                              "name": [{"given": ["Ana", "Maria"], "family": "Silva"}],
+                              "gender": "female", "birthDate": "1975-03-14",
+                              "address": [{"line": ["1 Main St"], "city": "Springfield"}],
+                              "telecom": [{"value": "555-0101"}],
+                              "maritalStatus": {"text": "Married"},
+                              "communication": [{"language": {"text": "English"}}]}},
+                {"resource": {"resourceType": "Condition", "id": "c1",
+                              "subject": {"reference": "Patient/p1"},
+                              "code": {"text": "Essential hypertension"},
+                              "clinicalStatus": {"coding": [{"code": "active"}]},
+                              "onsetDateTime": "2020-02-02",
+                              "severity": {"text": "moderate"},
+                              "note": [{"text": "BP consistently above 150/95."}],
+                              "text": {"div": "<div>Hypertension note <b>severe</b></div>"}}},
+                {"resource": {"resourceType": "Observation", "id": "o1",
+                              "subject": {"reference": "Patient/p1"},
+                              "code": {"text": "Systolic BP"},
+                              "valueQuantity": {"value": 152, "unit": "mmHg"},
+                              "referenceRange": [{"low": {"value": 90}, "high": {"value": 120}}]}},
+                {"resource": {"resourceType": "Encounter", "id": "e1",
+                              "subject": {"reference": "Patient/p1"}, "status": "finished",
+                              "class": {"code": "AMB"},
+                              "period": {"start": "2021-01-01", "end": "2021-01-02"}}},
+                {"resource": {"resourceType": "MedicationRequest", "id": "m1",
+                              "subject": {"reference": "Patient/p1"},
+                              "medicationCodeableConcept": {"text": "Lisinopril 10mg"},
+                              "authoredOn": "2021-01-02", "status": "active",
+                              "dosageInstruction": [{"text": "once daily"}]}},
+                {"resource": {"resourceType": "Procedure", "id": "pr1",
+                              "subject": {"reference": "Patient/p1"},
+                              "code": {"text": "Blood pressure panel"},
+                              "performedDateTime": "2021-01-01"}},
+                {"resource": {"resourceType": "AllergyIntolerance", "id": "a1",
+                              "patient": {"reference": "Patient/p1"},
+                              "code": {"text": "Penicillin"}, "criticality": "high"}},
+                {"resource": {"resourceType": "Practitioner", "id": "dr1",
+                              "name": [{"given": ["Gregory"], "family": "House"}],
+                              "gender": "male"}},
+                {"resource": {"resourceType": "Organization", "id": "org1",
+                              "name": "Springfield General"}},
+            ]
+        }
+
+    def test_nine_resource_types(self):
+        s, u = parse_fhir_bundle(self.make_bundle())
+        assert len(s) == 9
+        types = {d["resourceType"] for d in s}
+        assert len(types) == 9
+        assert all(d["doc_type"] == "structured" for d in s)
+        assert all(d["doc_id"].endswith("-structured") for d in s)
+
+    def test_field_extraction(self):
+        s, _ = parse_fhir_bundle(self.make_bundle())
+        by_type = {d["resourceType"]: d for d in s}
+        assert by_type["Patient"]["patientName"] == "Ana Maria Silva"
+        assert by_type["Patient"]["patientLanguage"] == "English"
+        assert by_type["Condition"]["conditionCodeText"] == "Essential hypertension"
+        assert by_type["Condition"]["conditionClinicalStatus"] == "active"
+        assert by_type["Observation"]["observationValue"] == "152"
+        assert by_type["Observation"]["observationUnit"] == "mmHg"
+        assert by_type["Observation"]["observationReferenceRange"] == "90 - 120"
+        assert by_type["Encounter"]["encounterClass"] == "AMB"
+        assert by_type["MedicationRequest"]["medRequestMedicationDisplay"] == "Lisinopril 10mg"
+        assert by_type["Procedure"]["procedureCodeText"] == "Blood pressure panel"
+        assert by_type["AllergyIntolerance"]["allergyCodeText"] == "Penicillin"
+        assert by_type["Practitioner"]["practitionerName"] == "Gregory House"
+        assert by_type["Organization"]["organizationName"] == "Springfield General"
+
+    def test_patient_id_resolution(self):
+        s, u = parse_fhir_bundle(self.make_bundle())
+        for d in s:
+            if d["resourceType"] in ("Practitioner", "Organization"):
+                continue
+            assert d["patientId"] == "p1", d["doc_id"]
+
+    def test_narrative_chunks_strip_html(self):
+        _, u = parse_fhir_bundle(self.make_bundle())
+        cond = [d for d in u if d["doc_id"].startswith("Condition-c1")]
+        assert cond
+        assert "<b>" not in cond[0]["unstructuredText"]
+        assert "Hypertension note" in cond[0]["unstructuredText"]
+        assert cond[0]["doc_id"] == "Condition-c1-unstructured-0"
+
+    def test_unknown_resource_skipped(self):
+        s, u = parse_fhir_bundle({"entry": [{"resource": {"resourceType": "CarePlan"}}, {}]})
+        assert s == [] and u == []
+
+    def test_extract_code_text_fallbacks(self):
+        assert extract_code_text({"text": "A"}) == "A"
+        assert extract_code_text({"coding": [{"display": "B"}]}) == "B"
+        assert extract_code_text({"coding": [{"code": "C"}]}) == "C"
+        assert extract_code_text({}) is None
+
+
+class TestTextFiles:
+    def test_patient_id_from_filename(self):
+        assert infer_patient_id_from_filename("/x/patient_42_notes.txt") == "42"
+        assert infer_patient_id_from_filename("notes.txt") is None
+
+    def test_parse_text_file(self, tmp_path):
+        p = tmp_path / "patient_7_visit.txt"
+        p.write_text("fever and chills " * 300)
+        docs = parse_text_file(str(p), chunk_size=512)
+        assert len(docs) == 2
+        assert docs[0]["doc_id"] == "text-patient_7_visit-0"
+        assert docs[0]["patientId"] == "7"
+        assert docs[0]["doc_type"] == "unstructured"
+
+    def test_latin1_fallback(self, tmp_path):
+        p = tmp_path / "legacy.txt"
+        p.write_bytes("caf\xe9 au lait spots".encode("latin-1"))
+        docs = parse_text_file(str(p))
+        assert "caf" in docs[0]["unstructuredText"]
+
+    def test_markdown_strips_formatting(self, tmp_path):
+        p = tmp_path / "patient_3_summary.md"
+        p.write_text("# Summary\n\n**Diabetes** managed with _metformin_.\n")
+        docs = parse_markdown_file(str(p))
+        assert docs[0]["file_type"] == "markdown"
+        assert "**" not in docs[0]["unstructuredText"]
+        assert "Diabetes" in docs[0]["unstructuredText"]

@@ -1,0 +1,95 @@
+"""BM25 lexical index tests."""
+
+import numpy as np
+
+from rassengine_tpu.lexical.bm25 import LexicalIndex, analyze
+
+
+def make_docs():
+    return [
+        {"unstructuredText": "patient reports severe chest pain radiating to left arm"},
+        {"unstructuredText": "routine follow up visit no complaints"},
+        {"conditionCodeText": "chest pain", "conditionNote": "worse on exertion"},
+        {"patientName": "John Chest", "patientGender": "male"},
+        {"unstructuredText": "chest x-ray normal heart size"},
+    ]
+
+
+def build():
+    lx = LexicalIndex()
+    for i, d in enumerate(make_docs()):
+        lx.index_doc(i, d)
+    return lx
+
+
+class TestAnalyze:
+    def test_lowercase_tokenize_stopwords(self):
+        assert analyze("The Patient IS in pain!") == ["patient", "pain"]
+
+    def test_bigrams(self):
+        out = analyze("chest pain", bigrams=True)
+        assert "chest_pain" in out
+
+
+class TestScoring:
+    def test_matching_docs_score_positive(self):
+        lx = build()
+        s = lx.score("chest pain", 8)
+        assert s[0] > 0 and s[2] > 0
+        assert s[1] == 0.0
+
+    def test_field_boost_matters(self):
+        lx = LexicalIndex()
+        lx.index_doc(0, {"patientName": "fibromyalgia"})     # boost 3.0 in text group
+        lx.index_doc(1, {"encounterType": "fibromyalgia"})   # boost 1.0
+        s = lx.score("fibromyalgia", 2)
+        assert s[0] > s[1] > 0
+
+    def test_group_restricts_fields(self):
+        lx = build()
+        s_note = lx.score("exertion", 8, group="note")
+        assert s_note[2] > 0
+        s_entity = lx.score("exertion", 8, group="entity")
+        assert np.all(s_entity == 0)
+
+    def test_phrase_requires_all_terms(self):
+        lx = build()
+        s = lx.score("severe chest pain", 8, phrase=True)
+        assert s[0] > 0
+        assert s[2] == 0.0  # has "chest pain" but not "severe"
+
+    def test_phrase_bigram_beats_scattered(self):
+        lx = LexicalIndex()
+        lx.index_doc(0, {"unstructuredText": "chest pain reported"})
+        lx.index_doc(1, {"unstructuredText": "pain in the chest region chest area"})
+        s = lx.score("chest pain", 2, phrase=True)
+        assert s[0] > s[1] > 0  # adjacency bonus
+
+    def test_prefix_expansion(self):
+        lx = build()
+        s = lx.score("radiat", 8, prefix_last=True)
+        assert s[0] > 0
+
+    def test_upsert_replaces_postings(self):
+        lx = build()
+        lx.index_doc(0, {"unstructuredText": "completely different topic now"})
+        s = lx.score("chest pain", 8)
+        assert s[0] == 0.0
+        s2 = lx.score("different topic", 8)
+        assert s2[0] > 0
+
+    def test_top_m_with_mask(self):
+        lx = build()
+        mask = np.zeros(8, bool)
+        mask[2] = True
+        rows, scores = lx.top_m("chest pain", 8, 5, host_mask=mask)
+        assert rows.tolist() == [2]
+
+    def test_idf_rare_term_wins(self):
+        lx = LexicalIndex()
+        for i in range(10):
+            lx.index_doc(i, {"unstructuredText": "common words everywhere"})
+        lx.index_doc(10, {"unstructuredText": "common words plus zebra"})
+        s = lx.score("zebra", 11)
+        s_common = lx.score("common", 11)
+        assert s[10] > s_common[0]

@@ -1,0 +1,106 @@
+"""NLU tests: intent rules, rule NER, entity→filter lowering."""
+
+import datetime
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.schema import NO_DATE, QueryIntent
+from rassengine_tpu.nlu.intent import IntentClassifier, RuleIntentClassifier
+from rassengine_tpu.nlu.ner import RuleNER, entities_to_filter
+
+
+class TestIntentRules:
+    CASES = [
+        ("How many patients have diabetes?", QueryIntent.AGGREGATE),
+        ("Compare blood pressure between visits", QueryIntent.COMPARISON),
+        ("When was her last visit?", QueryIntent.TEMPORAL),
+        ("Why does metformin cause nausea, explain", QueryIntent.EXPLANATORY),
+        ("Fetch the medical records for patient 7", QueryIntent.DOCUMENT_FETCH),
+        ("What is his marital status", QueryIntent.STRUCTURED),
+        ("Did Dr. House see anyone today?", QueryIntent.ENTITY_SPECIFIC),
+        ("Patients with a condition of asthma", QueryIntent.HYBRID_STRUCTURED),
+        ('"essential hypertension"', QueryIntent.KEYWORD),
+        ("What meds is she on? Any allergies on file?", QueryIntent.MULTI_INTENT),
+    ]
+
+    def test_rule_cases(self):
+        clf = RuleIntentClassifier()
+        for q, want in self.CASES:
+            got, conf = clf.classify(q)
+            assert got == want, (q, got)
+
+    def test_default_semantic(self):
+        clf = RuleIntentClassifier()
+        got, _ = clf.classify("tell me about this patient's overall health trends")
+        assert got in (QueryIntent.SEMANTIC, QueryIntent.HYBRID)
+
+    def test_classifier_without_model_uses_rules(self, tmp_path):
+        cfg = EngineConfig(intent_model_path=str(tmp_path / "none"),
+                           ner_model_path=str(tmp_path / "none"))
+        clf = IntentClassifier(cfg)
+        assert clf.model is None
+        assert clf.classify("how many encounters total?")[0] == QueryIntent.AGGREGATE
+
+
+class TestRuleNER:
+    def ents(self, q):
+        return {(e["label"], e["text"]) for e in RuleNER().extract(q)}
+
+    def test_codes(self):
+        e = self.ents("Does she have E11.9 or procedure 99213 with lab 4548-4?")
+        assert ("ICD10_CODE", "E11.9") in e
+        assert ("CPT_CODE", "99213") in e
+        assert ("LOINC_CODE", "4548-4") in e
+
+    def test_person_and_doctor(self):
+        e = self.ents("Did Dr. House treat Jane Doe for asthma?")
+        assert ("DOCTOR", "House") in e
+        assert ("PERSON", "Jane Doe") in e
+        assert ("CONDITION", "asthma") in e
+
+    def test_sentence_starter_not_person(self):
+        e = self.ents("Show Records for the clinic")
+        assert not any(lbl == "PERSON" for lbl, _ in e)
+
+    def test_demographics_and_values(self):
+        e = self.ents("female patient, BP 140 mmHg, phone 555-123-4567, a@b.com")
+        labels = {lbl for lbl, _ in e}
+        assert {"GENDER", "OBS_VALUE", "PHONE", "EMAIL"} <= labels
+
+    def test_dates(self):
+        e = self.ents("diagnosed on 2020-03-01 and again last year")
+        texts = {t for lbl, t in e if lbl == "DATE"}
+        assert "2020-03-01" in texts and "last year" in texts
+
+    def test_medication_and_severity(self):
+        e = self.ents("severe reaction to penicillin")
+        assert ("SEVERITY", "severe") in e
+
+
+class TestEntityFilter:
+    def test_gender_to_keyword_terms(self):
+        spec, text = entities_to_filter([{"text": "female", "label": "GENDER"}])
+        assert spec.keyword_terms == {"patientGender": ["female"]}
+
+    def test_gender_normalization(self):
+        spec, _ = entities_to_filter([{"text": "Woman", "label": "GENDER"}])
+        assert spec.keyword_terms == {"patientGender": ["female"]}
+
+    def test_date_to_ranges(self):
+        spec, _ = entities_to_filter([{"text": "2020-05-10", "label": "DATE"}])
+        d = (datetime.date(2020, 5, 10) - datetime.date(1970, 1, 1)).days
+        assert spec.date_ranges["conditionOnsetDateTime"] == (d, d)
+        assert spec.date_ranges["encounterStart"] == (d, d)
+
+    def test_year_becomes_range(self):
+        spec, _ = entities_to_filter([{"text": "2019", "label": "DATE"}])
+        lo, hi = spec.date_ranges["conditionOnsetDateTime"]
+        assert hi - lo == 364
+
+    def test_condition_is_text_match(self):
+        spec, text = entities_to_filter([{"text": "diabetes", "label": "CONDITION"}])
+        assert spec.keyword_terms == {}
+        assert text == {"conditionCodeText": ["diabetes"]}
+
+    def test_severity_keyword(self):
+        spec, _ = entities_to_filter([{"text": "severe", "label": "SEVERITY"}])
+        assert spec.keyword_terms == {"conditionSeverity": ["severe"]}

@@ -1,0 +1,275 @@
+"""Serve-layer tests: ask pipeline, persistence, HTTP server, upload service.
+
+Runs on the tiny encoder with the echo LLM backend — no network, no weights
+(SURVEY §4: API tests with a fake generation backend).
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.engine import RassEngine
+from rassengine_tpu.models.bert import BertConfig
+from rassengine_tpu.serve.app import build_app, build_upload_app, secure_filename
+from rassengine_tpu.serve.ask import AskService, AuthorizationError, build_context
+from rassengine_tpu.serve.cache import SemanticCache
+from rassengine_tpu.serve.db import ChatStore
+from rassengine_tpu.serve.http import Request
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = EngineConfig(
+        embed_dim=32, embed_batch_size=4, index_capacity=512, index_block_rows=512,
+        database_path=":memory:", llm_backend="echo",
+        intent_model_path="/nonexistent", ner_model_path="/nonexistent",
+    )
+    eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+    bundle = {"entry": [
+        {"resource": {"resourceType": "Patient", "id": "p1",
+                      "name": [{"given": ["Jane"], "family": "Doe"}],
+                      "gender": "female"}},
+        {"resource": {"resourceType": "Condition", "id": "c1",
+                      "subject": {"reference": "Patient/p1"},
+                      "code": {"text": "Essential hypertension"},
+                      "note": [{"text": "BP elevated at repeated visits."}]}},
+    ]}
+    from rassengine_tpu.ingest.fhir import parse_fhir_bundle
+
+    s, u = parse_fhir_bundle(bundle)
+    eng.ingest_docs("u1", s, u)
+    return eng
+
+
+@pytest.fixture()
+def service(engine):
+    return AskService(engine, db=ChatStore(":memory:"))
+
+
+class TestAskService:
+    def test_ask_returns_answer_and_persists(self, service):
+        ans = run(service.ask("hypertension blood pressure", "u1", "chat1"))
+        assert isinstance(ans, str) and ans
+        hist = service.db.history("chat1")
+        assert [m["role"] for m in hist] == ["user", "assistant"]
+        assert hist[1]["content"] == ans
+
+    def test_context_cited(self, service):
+        ans = run(service.ask("tell me about the hypertension note", "u1", "c2"))
+        assert "[Doc:" in ans  # echo backend surfaces the cited context
+
+    def test_foreign_chat_403(self, service):
+        run(service.ask("q1", "u1", "shared-chat"))
+        with pytest.raises(AuthorizationError):
+            run(service.ask("q2", "other-user", "shared-chat"))
+
+    def test_empty_query_rejected(self, service):
+        from rassengine_tpu.serve.ask import ValidationError
+
+        with pytest.raises(ValidationError):
+            run(service.ask("  ", "u1", "c3"))
+
+    def test_history_limit(self, service):
+        for i in range(12):
+            service.db.add_messages("c4", [("user", f"q{i}"), ("assistant", f"a{i}")])
+        hist = service.db.history("c4", limit=10)
+        assert len(hist) == 10
+        assert hist[-1]["content"] == "a11"
+
+    def test_aggregate_returns_json(self, service):
+        ans = run(service.ask("how many patients have hypertension?", "u1", "c5"))
+        aggs = json.loads(ans)
+        assert "by_condition" in aggs and "by_patient" in aggs
+
+    def test_build_context_dedups(self):
+        doc = {"doc_id": "d1", "doc_type": "unstructured", "unstructuredText": "x"}
+        ctx = build_context([(doc, 1.0), (doc, 0.9)])
+        assert ctx.count("[Doc: d1]") == 1
+
+
+class TestSemanticCache:
+    def test_hit_above_threshold(self):
+        c = SemanticCache(sim_threshold=0.9)
+        v = np.ones(8, np.float32)
+        c.put("s", v, "answer")
+        assert c.get("s", v * 2.0) == "answer"  # same direction
+        assert c.get("other-scope", v) is None
+
+    def test_miss_below_threshold(self):
+        c = SemanticCache(sim_threshold=0.99)
+        v = np.zeros(8, np.float32); v[0] = 1
+        w = np.zeros(8, np.float32); w[1] = 1
+        c.put("s", v, "a")
+        assert c.get("s", w) is None
+
+    def test_ttl_expiry(self):
+        c = SemanticCache(ttl_seconds=-1.0)
+        v = np.ones(4, np.float32)
+        c.put("s", v, "a")
+        assert c.get("s", v) is None
+
+
+def _multipart_request(user_id: str, files: list[tuple[str, bytes]]) -> Request:
+    boundary = "testboundary"
+    body = b""
+    body += f'--{boundary}\r\nContent-Disposition: form-data; name="user_id"\r\n\r\n{user_id}\r\n'.encode()
+    for fname, data in files:
+        body += (
+            f'--{boundary}\r\nContent-Disposition: form-data; name="files"; '
+            f'filename="{fname}"\r\nContent-Type: application/octet-stream\r\n\r\n'
+        ).encode() + data + b"\r\n"
+    body += f"--{boundary}--\r\n".encode()
+    return Request("POST", "/upload_data", {},
+                   {"content-type": f"multipart/form-data; boundary={boundary}"},
+                   body)
+
+
+class TestUploadApp:
+    def make(self, engine, tmp_path):
+        cfg = engine.config.replace(upload_dir=str(tmp_path))
+        engine.config = cfg
+        svc = AskService(engine, db=ChatStore(":memory:"))
+        app = build_upload_app(engine, svc)
+        handler = app.routes[("POST", "/upload_data")]
+        return app, svc, handler
+
+    def test_upload_fhir_and_text(self, engine, tmp_path):
+        app, svc, handler = self.make(engine, tmp_path)
+        svc.db.create_user("up1")
+        bundle = {"entry": [{"resource": {"resourceType": "Condition", "id": "cc",
+                                          "subject": {"reference": "Patient/p9"},
+                                          "code": {"text": "Asthma"},
+                                          "note": [{"text": "wheezing at night"}]}}]}
+        req = _multipart_request("up1", [
+            ("patient_9_bundle.json", json.dumps(bundle).encode()),
+            ("patient_9_notes.txt", b"inhaler prescribed as needed"),
+        ])
+        resp = run(handler(req))
+        assert resp.status == 200, resp.body
+        msg = json.loads(resp.body)["message"]
+        assert "indexed" in msg
+        t = engine.tenant("up1")
+        assert t.index.count >= 3  # structured + unstructured + text chunk
+
+    def test_upload_rejects_unknown_user(self, engine, tmp_path):
+        app, svc, handler = self.make(engine, tmp_path)
+        req = _multipart_request("ghost", [("a.txt", b"hi")])
+        assert run(handler(req)).status == 403
+
+    def test_upload_rejects_bad_user_id(self, engine, tmp_path):
+        app, svc, handler = self.make(engine, tmp_path)
+        req = _multipart_request("../evil", [("a.txt", b"hi")])
+        assert run(handler(req)).status == 400
+
+    def test_upload_rejects_too_many_files(self, engine, tmp_path):
+        app, svc, handler = self.make(engine, tmp_path)
+        svc.db.create_user("up2")
+        req = _multipart_request("up2", [(f"f{i}.txt", b"x") for i in range(6)])
+        assert run(handler(req)).status == 400
+
+    def test_upload_rejects_oversize(self, engine, tmp_path):
+        app, svc, handler = self.make(engine, tmp_path)
+        svc.db.create_user("up3")
+        engine.config = engine.config.replace(max_file_size_bytes=10)
+        app2, svc2, handler2 = self.make(engine, tmp_path)
+        svc2.db.create_user("up3")
+        req = _multipart_request("up3", [("big.txt", b"y" * 100)])
+        assert run(handler2(req)).status == 400
+        engine.config = engine.config.replace(max_file_size_bytes=10 * 1024 * 1024)
+
+    def test_upload_rejects_non_bundle_json(self, engine, tmp_path):
+        app, svc, handler = self.make(engine, tmp_path)
+        svc.db.create_user("up4")
+        req = _multipart_request("up4", [("x.json", b'{"no": "entry"}')])
+        resp = run(handler(req))
+        assert resp.status == 200
+        assert "not a FHIR bundle" in json.loads(resp.body)["message"]
+
+    def test_secure_filename(self):
+        assert secure_filename("../../etc/passwd") == "passwd"
+        assert "/" not in secure_filename("a/b\\c.txt")
+
+
+class TestHttpServer:
+    def test_end_to_end_sockets(self, engine):
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+
+            async def http(method, path, body=b"", headers=""):
+                r, w = await asyncio.open_connection("127.0.0.1", port)
+                req = (f"{method} {path} HTTP/1.1\r\nHost: x\r\n"
+                       f"Content-Length: {len(body)}\r\n{headers}Connection: close\r\n\r\n")
+                w.write(req.encode() + body)
+                await w.drain()
+                data = await r.read()
+                w.close()
+                head, _, payload = data.partition(b"\r\n\r\n")
+                status = int(head.split()[1])
+                return status, payload
+
+            status, body = await http("GET", "/health")
+            assert status == 200 and json.loads(body)["status"] == "ok"
+
+            status, body = await http(
+                "POST", "/ask",
+                json.dumps({"query": "hypertension", "user_id": "u1",
+                            "chat_id": "hc1"}).encode())
+            assert status == 200
+            out = json.loads(body)
+            assert out["query"] == "hypertension" and out["answer"]
+
+            status, _ = await http("POST", "/ask", b"{}")
+            assert status == 400
+            status, _ = await http("GET", "/nope")
+            assert status == 404
+
+            # websocket handshake + one streamed answer
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            w.write(
+                b"GET /ws/ask HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                b"Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                b"Sec-WebSocket-Version: 13\r\n\r\n")
+            await w.drain()
+            head = await r.readuntil(b"\r\n\r\n")
+            assert b"101" in head.split(b"\r\n")[0]
+
+            # send masked text frame (clients must mask)
+            payload = json.dumps({"query": "hypertension note", "user_id": "u1",
+                                  "chat_id": "wc1"}).encode()
+            mask = b"\x01\x02\x03\x04"
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            ln = len(payload)
+            assert ln < 126
+            w.write(bytes([0x81, 0x80 | ln]) + mask + masked)
+            await w.drain()
+
+            chunks = []
+            while True:
+                h = await r.readexactly(2)
+                n = h[1] & 0x7F
+                if n == 126:
+                    import struct as _s
+                    n = _s.unpack(">H", await r.readexactly(2))[0]
+                data = await r.readexactly(n)
+                if h[0] & 0x0F == 0x8:
+                    break
+                chunks.append(data.decode())
+                if chunks[-1] == "[DONE]":
+                    break
+            assert chunks and chunks[-1] == "[DONE]"
+            assert any(c for c in chunks[:-1])
+            w.close()
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
