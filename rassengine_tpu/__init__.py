@@ -16,3 +16,10 @@ OpenSearch HNSW/BM25) as a single in-process JAX/XLA/Pallas engine:
 """
 
 __version__ = "0.1.0"
+
+# persistent XLA compilation cache: first compile of the big kernels is
+# 20-40 s; every process after this hits the disk cache instead
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rass_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -32,6 +32,7 @@ import re
 import numpy as np
 
 from rassengine_tpu.core import schema
+from rassengine_tpu.lexical.native import get_native_bm25
 
 K1 = 1.2
 B = 0.75
@@ -93,11 +94,12 @@ def analyze(text: str, bigrams: bool = False) -> list[str]:
 
 
 class _Posting:
-    __slots__ = ("rows", "wtf")
+    __slots__ = ("rows", "wtf", "fin")
 
     def __init__(self):
         self.rows: list[int] = []
         self.wtf: list[np.ndarray] = []  # per entry: [N_GROUPS] weighted tf
+        self.fin: tuple[np.ndarray, np.ndarray] | None = None  # finalized cache
 
 
 class LexicalIndex:
@@ -141,6 +143,7 @@ class LexicalIndex:
                 p = self._postings[t] = _Posting()
             p.rows.append(row)
             p.wtf.append(wtf)
+            p.fin = None
         self._doc_len[row] = length
         self._row_terms[row] = list(bag)
 
@@ -155,6 +158,7 @@ class LexicalIndex:
                 continue
             p.rows.pop(i)
             p.wtf.pop(i)
+            p.fin = None
             if not p.rows:
                 del self._postings[t]
         if np.any(self._doc_len[row]):
@@ -194,27 +198,61 @@ class LexicalIndex:
         if phrase:
             terms += [f"{a}_{b}" for a, b in zip(base_terms, base_terms[1:])]
         n, avgdl = self._group_stats(g)
-        matched = np.zeros(cap, np.int32) if (phrase or require_all) else None
+        need_matched = phrase or require_all
+        # gather the query terms' finalized postings for this group
+        sel: list[tuple[np.ndarray, np.ndarray, float, bool]] = []
         for t in dict.fromkeys(terms):
             p = self._postings.get(t)
             if p is None:
                 continue
-            rows = np.asarray(p.rows, np.int64)
-            wtf = np.stack(p.wtf)[:, g]
-            live = wtf > 0
-            rows, wtf = rows[live], wtf[live]
+            if p.fin is None:
+                p.fin = (np.asarray(p.rows, np.int32),
+                         np.stack(p.wtf).astype(np.float32))
+            rows_all, wtf_all = p.fin
+            wtf_g = wtf_all[:, g]
+            live = (wtf_g > 0) & (rows_all < cap)
+            rows = rows_all[live]
             if rows.size == 0:
                 continue
-            in_cap = rows < cap
-            rows, wtf = rows[in_cap], wtf[in_cap]
-            df = rows.size
-            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
-            dl = self._doc_len[rows, g]
-            denom = wtf + K1 * (1.0 - B + B * dl / avgdl)
-            contrib = idf * (wtf * (K1 + 1.0)) / np.maximum(denom, 1e-9)
-            np.add.at(scores, rows, contrib.astype(np.float32))
-            if matched is not None and "_" not in t:
-                np.add.at(matched, rows, 1)
+            idf = float(np.log(1.0 + (n - rows.size + 0.5) / (rows.size + 0.5)))
+            sel.append((rows, np.ascontiguousarray(wtf_g[live]), idf, "_" not in t))
+        if not sel:
+            return scores
+        matched = np.zeros(cap, np.int32) if need_matched else None
+
+        native = get_native_bm25()
+        if native is not None:
+            offsets = np.zeros(len(sel) + 1, np.int64)
+            offsets[1:] = np.cumsum([r.size for r, *_ in sel])
+            rows_cat = np.concatenate([r for r, *_ in sel]).astype(np.int32)
+            wtf_cat = np.concatenate([w for _, w, *_ in sel]).astype(np.float32)
+            idfs = np.asarray([x[2] for x in sel], np.float32)
+            is_base = np.asarray([x[3] for x in sel], np.uint8)
+            import ctypes as ct
+
+            fp = ct.POINTER(ct.c_float)
+            dl_flat = self._doc_len.reshape(-1)
+            native.bm25_score_query(
+                offsets.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                rows_cat.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                wtf_cat.ctypes.data_as(fp),
+                idfs.ctypes.data_as(fp),
+                is_base.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                ct.c_int32(len(sel)), ct.c_float(K1), ct.c_float(B),
+                ct.cast(dl_flat.ctypes.data + 4 * g, fp),
+                ct.c_int64(N_GROUPS), ct.c_float(avgdl),
+                scores.ctypes.data_as(fp),
+                matched.ctypes.data_as(ct.POINTER(ct.c_int32))
+                if matched is not None else None,
+            )
+        else:
+            for rows, wtf, idf, is_base_t in sel:
+                dl = self._doc_len[rows, g]
+                denom = wtf + K1 * (1.0 - B + B * dl / avgdl)
+                contrib = idf * (wtf * (K1 + 1.0)) / np.maximum(denom, 1e-9)
+                np.add.at(scores, rows, contrib.astype(np.float32))
+                if matched is not None and is_base_t:
+                    np.add.at(matched, rows, 1)
         if matched is not None:
             scores = np.where(matched >= len(set(base_terms)), scores, 0.0)
         return scores
