@@ -76,6 +76,26 @@ class Retriever:
         mask = idx.filter_mask(spec)
         q = jnp.asarray(np.atleast_2d(query_emb))
         m = min(m, idx.capacity)
+        cfg = self.config
+        if (self.use_pallas and cfg.ann_enabled
+                and idx.capacity >= cfg.ann_threshold):
+            # large corpus: int8 fused scan (half the HBM traffic) + exact
+            # re-rank against the host-canonical f32 vectors
+            from rassengine_tpu.ops.fused_topk import fused_topk_int8
+
+            with stage("semantic_scan_int8"):
+                qcols = idx.device_columns_int8()
+                try:
+                    over = min(max(4 * m, 32), idx.capacity)
+                    _s, rows = fused_topk_int8(qcols["codes"], qcols["scales"],
+                                               q, mask, over, idx.block_rows)
+                    rows = np.asarray(rows[0])
+                    rows = rows[rows >= 0]
+                    exact = self._sem_scores_for(query_emb, rows)
+                    order = np.argsort(-exact)[:m]
+                    return rows[order], exact[order]
+                except Exception:
+                    log.debug("int8 scan unavailable; falling back")
         with stage("semantic_scan"):
             if self.use_pallas and idx.capacity >= idx.block_rows:
                 try:

@@ -163,6 +163,7 @@ class TenantIndex:
         self.docs: list[dict | None] = [None] * self.capacity
         self._id_to_row: dict[str, int] = {}
         self._device: dict | None = None
+        self._device_q: dict | None = None  # int8 codes + scales (large corpora)
         self._dirty = True
 
     # --- ingestion -----------------------------------------------------------
@@ -230,6 +231,7 @@ class TenantIndex:
         self.docs.extend([None] * (new_cap - self.capacity))
         self.capacity = new_cap
         self._device = None
+        self._device_q = None
         self._dirty = True
 
     # --- device view ---------------------------------------------------------
@@ -252,6 +254,24 @@ class TenantIndex:
         }
         self._dirty = False
         return self._device
+
+    def device_columns_int8(self) -> dict:
+        """int8 codes + per-row scales for the quantized scan (index/quant.py).
+
+        Halves HBM residency vs bf16 — the path for corpora near HBM capacity
+        (10M×1024-d). Rebuilt lazily when the index mutates.
+        """
+        if self._device_q is not None and not self._dirty:
+            return self._device_q
+        from rassengine_tpu.index.quant import quantize_int8
+
+        self.device_columns()  # refresh filter columns + clear dirty flag
+        codes, scales = quantize_int8(self._vecs)
+        self._device_q = {
+            "codes": jnp.asarray(codes),
+            "scales": jnp.asarray(scales),
+        }
+        return self._device_q
 
     def filter_mask(self, spec: FilterSpec | None) -> jax.Array:
         cols = self.device_columns()

@@ -135,9 +135,9 @@ def _fused_int8_kernel(q_ref, v_ref, sc_ref, m_ref, out_s_ref, out_i_ref,
         out_i_ref[:] = best_i[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
 def fused_topk_int8(codes, scales, queries, add_mask, k: int,
-                    block_rows: int = 2048):
+                    block_rows: int = 2048, interpret: bool = False):
     """int8 corpus scan: codes [cap, d] int8, scales [cap] f32 (per-row),
     queries [B, d] float (unit-norm) → (approx cosine scores [B,k], rows).
 
@@ -188,6 +188,7 @@ def fused_topk_int8(codes, scales, queries, add_mask, k: int,
             bytes_accessed=cap * d + b * d + cap * 8,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(qcodes, codes, sc2, m2)
     # fold the per-query scale back so scores approximate cosines; keep
     # masked rows at NEG_INF (scaling would shrink them past -1e29 checks)
@@ -195,8 +196,9 @@ def fused_topk_int8(codes, scales, queries, add_mask, k: int,
     return scaled[:b0], out_i[:b0]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
-def fused_topk(vecs, queries, add_mask, k: int, block_rows: int = 1024):
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def fused_topk(vecs, queries, add_mask, k: int, block_rows: int = 1024,
+               interpret: bool = False):
     """queries [B, d] × vecs [cap, d] (+ additive mask [cap]) → top-k (scores, rows).
 
     Queries must be pre-normalized if cosine scores are desired. B is padded to
@@ -240,5 +242,6 @@ def fused_topk(vecs, queries, add_mask, k: int, block_rows: int = 1024):
             bytes_accessed=cap * d * 2 + b * d * 2 + cap * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(q, v, m2)
     return out_s[:b0], out_i[:b0]

@@ -1,0 +1,81 @@
+"""Pallas kernel tests in interpreter mode (CPU suite; compiled-mode parity is
+exercised on the real chip by bench.py's correctness gate)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rassengine_tpu.index.quant import quantize_int8
+from rassengine_tpu.ops.fused_topk import fused_topk, fused_topk_int8
+
+
+def corpus(rng, n=512, d=128):
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
+
+
+def oracle(v, q, k):
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    return np.argsort(-(qn @ v.T), axis=1)[:, :k]
+
+
+class TestFusedTopk:
+    def test_matches_oracle(self, rng):
+        v = corpus(rng)
+        q = v[:4] + 0.01 * rng.normal(size=(4, 128)).astype(np.float32)
+        mask = jnp.zeros(512, jnp.float32)
+        s, rows = fused_topk(jnp.asarray(v, jnp.bfloat16), jnp.asarray(q), mask,
+                             5, block_rows=128, interpret=True)
+        want = oracle(v, q, 5)
+        got = np.asarray(rows)
+        hit = np.mean([len(set(g) & set(w)) / 5 for g, w in zip(got, want)])
+        assert hit >= 0.95  # bf16 ties only
+        assert np.all(np.diff(np.asarray(s), axis=1) <= 1e-6)
+
+    def test_mask_excludes_rows(self, rng):
+        v = corpus(rng)
+        q = v[7:8]
+        mask = np.zeros(512, np.float32)
+        mask[:256] = -1e30
+        _s, rows = fused_topk(jnp.asarray(v, jnp.bfloat16), jnp.asarray(q),
+                              jnp.asarray(mask), 5, block_rows=128, interpret=True)
+        assert np.all(np.asarray(rows) >= 256)
+
+    def test_k_larger_than_one_block(self, rng):
+        v = corpus(rng, n=256)
+        q = v[:2]
+        mask = jnp.zeros(256, jnp.float32)
+        s, rows = fused_topk(jnp.asarray(v, jnp.bfloat16), jnp.asarray(q), mask,
+                             17, block_rows=128, interpret=True)
+        assert rows.shape == (2, 17)
+        assert len(set(np.asarray(rows)[0].tolist())) == 17  # no duplicates
+
+
+class TestFusedTopkInt8:
+    def test_matches_oracle_after_scale(self, rng):
+        v = corpus(rng)
+        codes, scales = quantize_int8(v)
+        q = v[:4] + 0.01 * rng.normal(size=(4, 128)).astype(np.float32)
+        mask = jnp.zeros(512, jnp.float32)
+        s, rows = fused_topk_int8(jnp.asarray(codes), jnp.asarray(scales),
+                                  jnp.asarray(q), mask, 5, block_rows=128,
+                                  interpret=True)
+        want = oracle(v, q, 5)
+        got = np.asarray(rows)
+        hit = np.mean([len(set(g) & set(w)) / 5 for g, w in zip(got, want)])
+        assert hit >= 0.9  # int8 quantization tail
+        # scores approximate true cosines
+        s = np.asarray(s)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for b in range(4):
+            true = qn[b] @ v[got[b][0]]
+            assert abs(s[b, 0] - true) < 0.03
+
+    def test_masked_rows_stay_neg_inf(self, rng):
+        v = corpus(rng, n=128)
+        codes, scales = quantize_int8(v)
+        mask = np.full(128, -1e30, np.float32)  # everything filtered
+        s, rows = fused_topk_int8(jnp.asarray(codes), jnp.asarray(scales),
+                                  jnp.asarray(v[:1]), jnp.asarray(mask), 3,
+                                  block_rows=128, interpret=True)
+        assert np.all(np.asarray(s) <= -1e29)
