@@ -51,7 +51,24 @@ def build_app(engine: RassEngine, service: AskService | None = None) -> App:
 
     @app.route("GET", "/health")
     async def health(req: Request) -> Response:
-        return Response.json_response({"status": "ok"})
+        """Liveness + subsystem detail (the reference exposes no health
+        introspection; docker healthchecks gate on this)."""
+        from rassengine_tpu.lexical.native.loader import get_native_bm25
+
+        tenants = {
+            name: {"docs": t.index.count, "capacity": t.index.capacity}
+            for name, t in engine._tenants.items()
+        }
+        return Response.json_response({
+            "status": "ok",
+            "encoder": {"dim": engine.embedder.dim,
+                        "model": engine.embedder.bert_cfg.hidden_size},
+            "nlu": {"intent_model": engine.intent_classifier.model is not None,
+                    "ner_model": engine.ner.model is not None},
+            "native_bm25": get_native_bm25() is not None,
+            "pallas": engine.use_pallas,
+            "tenants": tenants,
+        })
 
     @app.route("GET", "/metrics")
     async def metrics(req: Request) -> Response:

@@ -156,9 +156,16 @@ class AskService:
 
         pieces: list[str] = []
         with stage("generate"):
-            async for chunk in self.llm.generate_stream(prompt, SYSTEM_PROMPT):
-                pieces.append(chunk)
-                yield chunk
+            try:
+                async for chunk in self.llm.generate_stream(prompt, SYSTEM_PROMPT):
+                    pieces.append(chunk)
+                    yield chunk
+            except Exception as e:  # degrade like the reference's clients do
+                METRICS.incr("llm_failures")
+                log.error("generation backend failed: %s", e)
+                msg = "I could not generate an answer (generation backend error)."
+                pieces = [msg]
+                yield msg
         answer = "".join(pieces) or "I could not generate an answer."
 
         if self.cache is not None and answer and not answer.startswith("[ERROR]"):
@@ -179,12 +186,11 @@ class AskService:
             seen.add(path)
             if len(files) >= self.config.max_files_per_patient:
                 break
-            try:
-                with open(path, encoding="utf-8") as f:
-                    content = f.read(100_000)
+            from rassengine_tpu.utils.files import retrieve_ehr_document
+
+            content = retrieve_ehr_document(path)
+            if content is not None:
                 files.append(f"=== {os.path.basename(path)} ===\n{content}")
-            except OSError:
-                continue
         if not files:
             # no raw files on disk; fall back to indexed doc bodies
             for doc, _ in result.hits[: self.config.max_files_per_patient]:
