@@ -77,6 +77,7 @@ class EngineConfig:
     bluehive_bearer_token: str = ""
     openai_api_key: str = ""
     llm_backend: str = "echo"           # "bluehive" | "openai" | "echo" (test fake)
+    use_llm_ner: bool = False           # reference's always-LLM NER path (main.py:2531)
     max_llm_concurrency: int = 5        # MAX_BLUEHIVE_CONCURRENCY (main.py:70)
     max_embed_concurrency: int = 5      # MAX_EMBED_CONCURRENCY (main.py:71)
     # --- chat persistence (reference: Prisma/Postgres, schema.prisma) ---

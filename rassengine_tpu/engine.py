@@ -145,13 +145,19 @@ class RassEngine:
 
     def retrieve(self, user_id: str, query: str, top_k: int | None = None,
                  intent: QueryIntent | None = None,
-                 patient_id: str | None = None) -> RetrievalResult:
-        """NLU → intent dispatch → strategy (reference ask() retrieval half)."""
+                 patient_id: str | None = None,
+                 entities: list[dict] | None = None) -> RetrievalResult:
+        """NLU → intent dispatch → strategy (reference ask() retrieval half).
+
+        ``entities`` lets the caller inject externally-extracted entities
+        (e.g. the opt-in LLM NER path, serve/ask.py).
+        """
         t = self.tenant(user_id)
         k = top_k or self.config.top_k
 
-        with stage("ner"):
-            entities = self.ner.extract(query)
+        if entities is None:
+            with stage("ner"):
+                entities = self.ner.extract(query)
         with stage("intent"):
             if intent is None:
                 intent, _conf = self.intent_classifier.classify(query)

@@ -244,6 +244,63 @@ def ner_preprocess(query: str, pipeline: NerPipeline | None = None) -> list[Enti
     return (pipeline or NerPipeline()).extract(query)
 
 
+# --- LLM-based NER (reference _bluehive_ner, main.py:2483-2528) ---------------
+
+LLM_NER_SYSTEM = (
+    "You are a medical NER extractor. Return ONLY a JSON array, no prose. "
+    "Each element: {\"text\": <surface string>, \"label\": <one of "
+    + ", ".join(ENTITY_LABELS)
+    + ">}. Extract every clinical entity from the user query."
+)
+
+
+def llm_ner_prompt(query: str) -> str:
+    return f"Extract entities from this query:\n{query}"
+
+
+def parse_llm_entities(raw: str | None) -> list[Entity]:
+    """Strict-JSON parse with the reference's repair ladder: markdown-fence
+    stripping, then bracket slicing (main.py:2505-2528). Tolerates a None
+    response (the reference crashes on it — SURVEY §2 known defects)."""
+    import json
+
+    if not raw:
+        return []
+    text = raw.strip()
+    if text.startswith("```"):
+        text = text.strip("`")
+        if text.lower().startswith("json"):
+            text = text[4:]
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        lo, hi = text.find("["), text.rfind("]")
+        if lo < 0 or hi <= lo:
+            return []
+        try:
+            data = json.loads(text[lo : hi + 1])
+        except json.JSONDecodeError:
+            return []
+    out: list[Entity] = []
+    if not isinstance(data, list):
+        return out
+    for item in data:
+        if not isinstance(item, dict):
+            continue
+        txt = str(item.get("text") or "").strip()
+        lbl = str(item.get("label") or "").strip().upper()
+        if txt and lbl in ENTITY_FIELD_MAP:
+            out.append({"text": txt, "label": lbl, "confidence": 0.9})
+    return out
+
+
+async def llm_ner_extract(query: str, llm) -> list[Entity]:
+    """Async LLM NER (opt-in via EngineConfig.use_llm_ner; the reference's
+    active path always uses it, main.py:2531-2543)."""
+    raw = await llm.generate(llm_ner_prompt(query), LLM_NER_SYSTEM)
+    return parse_llm_entities(raw)
+
+
 def _parse_date_range(text: str) -> tuple[int | None, int | None] | None:
     t = text.strip().lower()
     today = _dt.date.today()

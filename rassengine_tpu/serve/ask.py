@@ -114,7 +114,14 @@ class AskService:
         METRICS.incr("ask_requests")
         await self._authorize(user_id, chat_id)
 
-        result = self.engine.retrieve(user_id, query, top_k=top_k)
+        entities = None
+        if self.config.use_llm_ner:
+            from rassengine_tpu.nlu.ner import llm_ner_extract
+
+            with stage("llm_ner"):
+                entities = await llm_ner_extract(query, self.llm)
+        result = self.engine.retrieve(user_id, query, top_k=top_k,
+                                      entities=entities)
         history = await self.db.a_history(chat_id, self.config.max_chat_history)
 
         # --- early-return branches (reference main.py:2804-2876) -------------

@@ -104,3 +104,51 @@ class TestEntityFilter:
     def test_severity_keyword(self):
         spec, _ = entities_to_filter([{"text": "severe", "label": "SEVERITY"}])
         assert spec.keyword_terms == {"conditionSeverity": ["severe"]}
+
+
+class TestLlmNer:
+    def test_parse_clean_json(self):
+        from rassengine_tpu.nlu.ner import parse_llm_entities
+
+        raw = '[{"text": "diabetes", "label": "CONDITION"}]'
+        ents = parse_llm_entities(raw)
+        assert ents == [{"text": "diabetes", "label": "CONDITION", "confidence": 0.9}]
+
+    def test_parse_fenced_json(self):
+        from rassengine_tpu.nlu.ner import parse_llm_entities
+
+        raw = '```json\n[{"text": "metformin", "label": "MEDICATION"}]\n```'
+        assert parse_llm_entities(raw)[0]["label"] == "MEDICATION"
+
+    def test_parse_with_prose_bracket_slicing(self):
+        from rassengine_tpu.nlu.ner import parse_llm_entities
+
+        raw = 'Sure! Here you go: [{"text": "Jane", "label": "PERSON"}] hope it helps'
+        assert parse_llm_entities(raw)[0]["text"] == "Jane"
+
+    def test_parse_none_and_garbage(self):
+        from rassengine_tpu.nlu.ner import parse_llm_entities
+
+        assert parse_llm_entities(None) == []
+        assert parse_llm_entities("not json at all") == []
+        assert parse_llm_entities('{"text": "x"}') == []  # not a list
+
+    def test_unknown_labels_dropped(self):
+        from rassengine_tpu.nlu.ner import parse_llm_entities
+
+        raw = '[{"text": "x", "label": "NOT_A_LABEL"}, {"text": "y", "label": "GENDER"}]'
+        ents = parse_llm_entities(raw)
+        assert [e["label"] for e in ents] == ["GENDER"]
+
+    def test_async_extract_with_fake_llm(self):
+        import asyncio
+
+        from rassengine_tpu.nlu.ner import llm_ner_extract
+        from rassengine_tpu.serve.llm import LlmClient
+
+        class FakeLlm(LlmClient):
+            async def generate(self, prompt, system_msg=""):
+                return '[{"text": "severe", "label": "SEVERITY"}]'
+
+        ents = asyncio.run(llm_ner_extract("severe pain", FakeLlm()))
+        assert ents[0]["label"] == "SEVERITY"
