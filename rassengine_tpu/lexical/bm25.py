@@ -262,9 +262,13 @@ class LexicalIndex:
         scores = self.score(query, cap, group, **kw)
         if host_mask is not None:
             scores = np.where(host_mask, scores, 0.0)
-        m = min(m, cap)
-        rows = np.argpartition(-scores, m - 1)[:m] if m < cap else np.arange(cap)
-        order = np.argsort(-scores[rows], kind="stable")
-        rows = rows[order]
-        good = scores[rows] > 0
-        return rows[good], scores[rows][good]
+        # only matched docs can score > 0 — partition those, not the dense array
+        nz = np.flatnonzero(scores > 0)
+        if nz.size == 0:
+            return nz, scores[nz]
+        if nz.size > m:
+            sub = np.argpartition(-scores[nz], m - 1)[:m]
+            nz = nz[sub]
+        order = np.argsort(-scores[nz], kind="stable")
+        rows = nz[order]
+        return rows, scores[rows]

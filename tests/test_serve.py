@@ -273,3 +273,89 @@ class TestHttpServer:
             await server.wait_closed()
 
         run(scenario())
+
+
+class TestHttpRobustness:
+    def test_malformed_requests(self, engine):
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+
+            async def raw(data: bytes) -> bytes:
+                r, w = await asyncio.open_connection("127.0.0.1", port)
+                w.write(data)
+                await w.drain()
+                try:
+                    out = await asyncio.wait_for(r.read(4096), 5)
+                except asyncio.TimeoutError:
+                    out = b""
+                w.close()
+                return out
+
+            # garbage request line → connection closed without crash
+            await raw(b"NOT A REQUEST\r\n\r\n")
+            # bad JSON body → 400
+            out = await raw(b"POST /ask HTTP/1.1\r\nHost: x\r\nContent-Length: 7\r\n"
+                            b"Connection: close\r\n\r\nnotjson")
+            assert b" 400 " in out.split(b"\r\n")[0] + b" "
+            # oversized content-length → 413
+            out = await raw(b"POST /ask HTTP/1.1\r\nHost: x\r\n"
+                            b"Content-Length: 99999999999\r\nConnection: close\r\n\r\n")
+            assert b"413" in out.split(b"\r\n")[0]
+            # server still healthy afterwards
+            out = await raw(b"GET /health HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
+            assert b"200" in out.split(b"\r\n")[0]
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
+
+    def test_ws_fragmented_frames(self, engine):
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            w.write(
+                b"GET /ws/ask HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                b"Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                b"Sec-WebSocket-Version: 13\r\n\r\n")
+            await w.drain()
+            await r.readuntil(b"\r\n\r\n")
+            payload = json.dumps({"query": "hypertension", "user_id": "u1",
+                                  "chat_id": "frag1"}).encode()
+            half = len(payload) // 2
+            mask = b"\x09\x08\x07\x06"
+
+            def frame(data, fin, opcode):
+                masked = bytes(x ^ mask[i % 4] for i, x in enumerate(data))
+                return bytes([(0x80 if fin else 0) | opcode, 0x80 | len(data)]) + mask + masked
+
+            # text frame split into two fragments (opcode 0x1 then continuation 0x0)
+            w.write(frame(payload[:half], fin=False, opcode=0x1))
+            await w.drain()
+            await asyncio.sleep(0.05)
+            w.write(frame(payload[half:], fin=True, opcode=0x0))
+            await w.drain()
+            chunks = []
+            while True:
+                h = await asyncio.wait_for(r.readexactly(2), 60)
+                n = h[1] & 0x7F
+                if n == 126:
+                    import struct as _s
+                    n = _s.unpack(">H", await r.readexactly(2))[0]
+                data = await r.readexactly(n)
+                if h[0] & 0x0F == 0x8:
+                    break
+                chunks.append(data.decode())
+                if chunks[-1] == "[DONE]":
+                    break
+            assert chunks[-1] == "[DONE]" and len(chunks) >= 2
+            w.close()
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
