@@ -72,7 +72,6 @@ class Retriever:
         """Device top-M semantic candidates → (rows [m], scores [m]) on host."""
         idx = self.index
         spec = FilterSpec(require_embedding=True).merged_with(spec)
-        cols = idx.device_columns()
         mask = idx.filter_mask(spec)
         q = jnp.asarray(np.atleast_2d(query_emb))
         m = min(m, idx.capacity)
@@ -96,6 +95,7 @@ class Retriever:
                     return rows[order], exact[order]
                 except Exception:
                     log.debug("int8 scan unavailable; falling back")
+        cols = idx.device_columns()
         with stage("semantic_scan"):
             if self.use_pallas and idx.capacity >= idx.block_rows:
                 try:

@@ -236,14 +236,20 @@ class TenantIndex:
 
     # --- device view ---------------------------------------------------------
 
-    def device_columns(self) -> dict:
-        """Upload (or refresh) the device-resident arrays."""
+    def device_columns(self, include_vecs: bool = True) -> dict:
+        """Upload (or refresh) the device-resident arrays.
+
+        ``include_vecs=False`` keeps the bf16 rows off-device (the int8 scan
+        path owns the HBM vector budget at 10M-scale; exact re-rank reads the
+        host-canonical f32 rows instead).
+        """
         if self._device is not None and not self._dirty:
+            if include_vecs and "vecs" not in self._device:
+                self._device["vecs"] = jnp.asarray(self._vecs, dtype=STORE_DTYPE)
             return self._device
         valid = np.zeros((self.capacity,), dtype=bool)
         valid[: self.count] = True
         self._device = {
-            "vecs": jnp.asarray(self._vecs, dtype=STORE_DTYPE),
             "valid": jnp.asarray(valid),
             "patient_hash": jnp.asarray(self._patient_hash),
             "resource_type": jnp.asarray(self._resource_type),
@@ -252,6 +258,8 @@ class TenantIndex:
             "keyword": jnp.asarray(self._keyword),
             "dates": jnp.asarray(self._dates),
         }
+        if include_vecs:
+            self._device["vecs"] = jnp.asarray(self._vecs, dtype=STORE_DTYPE)
         self._dirty = False
         return self._device
 
@@ -265,7 +273,8 @@ class TenantIndex:
             return self._device_q
         from rassengine_tpu.index.quant import quantize_int8
 
-        self.device_columns()  # refresh filter columns + clear dirty flag
+        # refresh filter columns; keep bf16 rows off-device (int8 owns HBM)
+        self.device_columns(include_vecs=False)
         codes, scales = quantize_int8(self._vecs)
         self._device_q = {
             "codes": jnp.asarray(codes),
@@ -274,7 +283,7 @@ class TenantIndex:
         return self._device_q
 
     def filter_mask(self, spec: FilterSpec | None) -> jax.Array:
-        cols = self.device_columns()
+        cols = self.device_columns(include_vecs=False)
         spec_arrays = (spec or FilterSpec()).to_arrays()
         spec_dev = {k: jnp.asarray(v) for k, v in spec_arrays.items()}
         return build_filter_mask(

@@ -359,3 +359,22 @@ class TestHttpRobustness:
             await server.wait_closed()
 
         run(scenario())
+
+
+class TestConcurrency:
+    def test_concurrent_asks_share_engine(self, engine):
+        """Many overlapping /ask coroutines against one engine + store —
+        by-construction safety check (SURVEY §5: race detection is structural:
+        single event loop + locked stores)."""
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            queries = [f"hypertension note {i}" for i in range(12)]
+            answers = await asyncio.gather(*(
+                svc.ask(q, "u1", f"cc{i % 3}") for i, q in enumerate(queries)
+            ))
+            assert all(isinstance(a, str) and a for a in answers)
+            # all 24 messages landed across the 3 chats
+            total = sum(len(svc.db.history(f"cc{c}", limit=100)) for c in range(3))
+            assert total == 24
+
+        run(scenario())
