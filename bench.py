@@ -34,7 +34,7 @@ def main() -> None:
     import numpy as np
 
     from rassengine_tpu.index.exact import exact_topk_direct
-    from rassengine_tpu.ops.fused_topk import fused_topk
+    from rassengine_tpu.ops.fused_topk import fused_topk_pooled as fused_topk
 
     cap, d, b, k = 1_048_576, 1024, 256, 5
     block_rows = 2048
@@ -61,20 +61,26 @@ def main() -> None:
                           "error": f"recall gate failed: {overlap:.3f}"}))
         sys.exit(1)
 
-    # timed: chained batches (each depends on the previous result)
+    # timed: chained batches (each depends on the previous result); slope of
+    # two chain lengths with a real host-fetch sync (block_until_ready does
+    # not reliably block on the axon tunnel platform)
     def chain(n):
         q = queries
         s = None
         for _ in range(n):
             s, i = fused_topk(vecs, q, mask, k, block_rows)
             q = queries + 1e-12 * s[:, :1]
-        return s
+        return np.asarray(s)
 
-    jax.block_until_ready(chain(2))  # warm
+    chain(2)  # warm
     n_iter = 40
     t0 = time.perf_counter()
-    jax.block_until_ready(chain(n_iter))
-    dt = (time.perf_counter() - t0) / n_iter
+    chain(5)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chain(n_iter + 5)
+    t_large = time.perf_counter() - t0
+    dt = (t_large - t_small) / n_iter
     qps = b / dt
 
     print(json.dumps({

@@ -38,7 +38,7 @@ from rassengine_tpu.core.tracing import stage
 from rassengine_tpu.index.exact import exact_topk, exact_topk_direct, l2_normalize
 from rassengine_tpu.index.store import FilterSpec, TenantIndex
 from rassengine_tpu.lexical.bm25 import LexicalIndex
-from rassengine_tpu.ops.fused_topk import fused_topk
+from rassengine_tpu.ops.fused_topk import fused_topk_pooled
 
 log = logging.getLogger("rassengine.retriever")
 
@@ -78,16 +78,17 @@ class Retriever:
         cfg = self.config
         if (self.use_pallas and cfg.ann_enabled
                 and idx.capacity >= cfg.ann_threshold):
-            # large corpus: int8 fused scan (half the HBM traffic) + exact
-            # re-rank against the host-canonical f32 vectors
-            from rassengine_tpu.ops.fused_topk import fused_topk_int8
+            # large corpus: int8 pooled scan (half the HBM traffic,
+            # k-independent selection) + exact re-rank on host f32 rows
+            from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
 
             with stage("semantic_scan_int8"):
                 qcols = idx.device_columns_int8()
                 try:
-                    over = min(max(4 * m, 32), idx.capacity)
-                    _s, rows = fused_topk_int8(qcols["codes"], qcols["scales"],
-                                               q, mask, over, idx.block_rows)
+                    over = min(max(4 * m, 32), idx.capacity, 256)
+                    _s, rows = fused_topk_int8_pooled(
+                        qcols["codes"], qcols["scales"], q, mask, over,
+                        idx.block_rows)
                     rows = np.asarray(rows[0])
                     rows = rows[rows >= 0]
                     exact = self._sem_scores_for(query_emb, rows)
@@ -99,8 +100,9 @@ class Retriever:
         with stage("semantic_scan"):
             if self.use_pallas and idx.capacity >= idx.block_rows:
                 try:
-                    s, r = fused_topk(cols["vecs"], l2_normalize(q), mask, m,
-                                      min(idx.block_rows, idx.capacity))
+                    s, r = fused_topk_pooled(cols["vecs"], l2_normalize(q), mask,
+                                             min(m, 256),
+                                             min(idx.block_rows, idx.capacity))
                 except Exception:  # CPU tests / interpret: fall back to XLA
                     log.debug("pallas fused_topk unavailable; using XLA path")
                     self.use_pallas = False

@@ -79,3 +79,45 @@ class TestFusedTopkInt8:
                                   jnp.asarray(v[:1]), jnp.asarray(mask), 3,
                                   block_rows=128, interpret=True)
         assert np.all(np.asarray(s) <= -1e29)
+
+
+class TestPooledVariants:
+    def test_pooled_matches_oracle(self, rng):
+        from rassengine_tpu.ops.fused_topk import fused_topk_pooled
+
+        v = corpus(rng)
+        q = v[:4] + 0.01 * rng.normal(size=(4, 128)).astype(np.float32)
+        mask = jnp.zeros(512, jnp.float32)
+        s, rows = fused_topk_pooled(jnp.asarray(v, jnp.bfloat16), jnp.asarray(q),
+                                    mask, 5, block_rows=128, interpret=True)
+        want = oracle(v, q, 5)
+        got = np.asarray(rows)
+        hit = np.mean([len(set(g) & set(w)) / 5 for g, w in zip(got, want)])
+        assert hit >= 0.9  # lane-class top-2 pool; ties/collisions possible
+
+    def test_pooled_int8_candidates(self, rng):
+        from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
+
+        v = corpus(rng)
+        codes, scales = quantize_int8(v)
+        q = v[:4] + 0.01 * rng.normal(size=(4, 128)).astype(np.float32)
+        mask = jnp.zeros(512, jnp.float32)
+        s, rows = fused_topk_int8_pooled(jnp.asarray(codes), jnp.asarray(scales),
+                                         jnp.asarray(q), mask, 20,
+                                         block_rows=128, interpret=True)
+        assert rows.shape == (4, 20)
+        want = oracle(v, q, 5)
+        got = np.asarray(rows)
+        hit = np.mean([len(set(g) & set(w)) / 5 for g, w in zip(got, want)])
+        assert hit >= 0.9  # top-5 members inside the 20 candidates
+
+    def test_pooled_mask(self, rng):
+        from rassengine_tpu.ops.fused_topk import fused_topk_pooled
+
+        v = corpus(rng)
+        mask = np.zeros(512, np.float32)
+        mask[:256] = -1e30
+        _s, rows = fused_topk_pooled(jnp.asarray(v, jnp.bfloat16),
+                                     jnp.asarray(v[7:8]), jnp.asarray(mask), 5,
+                                     block_rows=128, interpret=True)
+        assert np.all(np.asarray(rows) >= 256)
