@@ -7,8 +7,9 @@ API parity with reference app/main.py:225-274:
 - batches of ``EngineConfig.embed_batch_size``,
 
 but instead of one HTTP POST per text under an asyncio semaphore, the whole
-batch is a single pjit-able bf16 forward pass; multi-chip data parallelism
-shards the batch axis over the mesh (parallel/sharding.py).
+batch is a single bf16 forward pass. Passing ``mesh`` (a 1-D ``("dp",)`` or
+2-D ``("dp","tp")`` jax Mesh) shards the batch across chips — XLA inserts the
+collectives; ingestion throughput scales with the dp size.
 """
 
 from __future__ import annotations
@@ -67,7 +68,30 @@ class Embedder:
             self._proj = proj.astype(jnp.float32)
         else:
             self._proj = None
-        self._forward = jax.jit(self._embed_fn)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from rassengine_tpu.parallel.sharding import param_shardings
+
+            axes = mesh.axis_names
+            batch_spec = P("dp") if "dp" in axes else P(axes[0])
+            rep = NamedSharding(mesh, P())
+            if "tp" in axes:
+                self.params = jax.device_put(self.params,
+                                             param_shardings(self.params, mesh))
+            else:
+                self.params = jax.device_put(self.params, rep)
+            self._batch_sharding = NamedSharding(mesh, batch_spec)
+            proj_sh = rep if self._proj is not None else None
+            self._forward = jax.jit(
+                self._embed_fn,
+                in_shardings=(None, self._batch_sharding, self._batch_sharding,
+                              proj_sh),
+                out_shardings=rep,
+            )
+        else:
+            self._batch_sharding = None
+            self._forward = jax.jit(self._embed_fn)
 
     def _init_params(self, seed: int):
         dummy = jnp.zeros((1, 8), jnp.int32)

@@ -92,3 +92,22 @@ class TestParamSpecs:
         placed = jax.device_put(params, shardings)
         hidden = model.apply(placed, ids, jnp.ones_like(ids))
         assert hidden.shape == (2, 8, cfg.hidden_size)
+
+
+class TestDataParallelEmbedder:
+    def test_dp_embedding_matches_single_device(self):
+        from jax.sharding import Mesh
+
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.models.bert import BertConfig
+        from rassengine_tpu.models.embedder import Embedder
+
+        cfg = EngineConfig(embed_dim=64, embed_batch_size=8)
+        bert = BertConfig.tiny()
+        single = Embedder(cfg, bert_cfg=bert, seed=3)
+        mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("dp",))
+        sharded = Embedder(cfg, bert_cfg=bert, mesh=mesh, seed=3)
+        texts = [f"patient note number {i} with hypertension" for i in range(8)]
+        e1 = single.embed_texts_in_batches(texts)
+        e2 = sharded.embed_texts_in_batches(texts)
+        np.testing.assert_allclose(e1, e2, atol=2e-2)
