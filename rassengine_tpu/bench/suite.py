@@ -57,7 +57,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     from rassengine_tpu.index.ivf import IvfIndex
     from rassengine_tpu.index.quant import quantize_int8
     from rassengine_tpu.lexical.bm25 import LexicalIndex
-    from rassengine_tpu.ops.fused_topk import fused_topk, fused_topk_int8
+    from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled, fused_topk_pooled
 
     f = 16 if scale == "small" else 1
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -118,7 +118,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     mask3 = jnp.zeros(n3, jnp.float32)
     q3 = jnp.asarray(unit(b3, d))
     if on_tpu:
-        ann_fn = lambda qq: fused_topk(vd3, qq, mask3, k, 2048)  # noqa: E731
+        ann_fn = lambda qq: fused_topk_pooled(vd3, qq, mask3, k, 2048)  # noqa: E731
     else:  # CPU: pallas requires interpret mode; measure the XLA path instead
         from rassengine_tpu.index.exact import exact_topk
 
@@ -142,7 +142,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     cd = jnp.asarray(codes)
     sd = jnp.asarray(scales)
     if on_tpu:
-        int8_fn = lambda qq: fused_topk_int8(cd, sd, qq, mask3, 4 * k, 2048)  # noqa: E731
+        int8_fn = lambda qq: fused_topk_int8_pooled(cd, sd, qq, mask3, 4 * k, 2048)  # noqa: E731
     else:
         from rassengine_tpu.index.quant import int8_scan_topm
 
