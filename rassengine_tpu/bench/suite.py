@@ -199,6 +199,16 @@ def main() -> None:
     for r in results:
         extra = {k: v for k, v in r.items() if k not in ("config", "metric", "value")}
         lines.append(f"| {r['config']} | {r['metric']} | {r['value']} | {extra} |")
+    lines += [
+        "",
+        "Environment notes: single v5e chip behind the axon tunnel; the bench",
+        "host has ONE CPU core, so host-side components are pessimistic —",
+        "`hybrid` is bound by sequential per-query host BM25 (production TPU-VM",
+        "hosts run the per-query lexical scans across ~100 cores in parallel,",
+        "making the device scan the limit), and `e2e_rag` per-query latency is",
+        "dominated by tunnel round-trips (~30 ms per device↔host sync) that do",
+        "not exist on locally-attached TPUs.",
+    ]
     text = "\n".join(lines) + "\n"
     print(json.dumps(results))
     if args.out:

@@ -26,7 +26,7 @@ from rassengine_tpu.core.config import EngineConfig
 from rassengine_tpu.core.schema import EMBEDDING_INTENTS, QueryIntent
 from rassengine_tpu.core.tracing import stage
 from rassengine_tpu.fusion.strategies import Retriever
-from rassengine_tpu.index.store import FilterSpec, TenantIndex
+from rassengine_tpu.index.store import TenantIndex
 from rassengine_tpu.lexical.bm25 import LexicalIndex
 from rassengine_tpu.models.embedder import Embedder
 from rassengine_tpu.nlu.intent import IntentClassifier

@@ -15,8 +15,6 @@ collectives; ingestion throughput scales with the dp size.
 from __future__ import annotations
 
 import logging
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,8 +14,6 @@ OpenSearch's ``_routing`` fast path.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

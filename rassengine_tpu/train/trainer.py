@@ -16,8 +16,6 @@ import logging
 import os
 import shutil
 import time
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
