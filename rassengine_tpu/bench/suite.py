@@ -81,9 +81,9 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     v = unit(n, d)
     q = v[:64] + 0.01 * rng.normal(size=(64, d)).astype(np.float32)
     mask = jnp.zeros(n, jnp.float32)
-    vd = jnp.asarray(v, jnp.bfloat16)
+    vd = jnp.asarray(v)
     qd = jnp.asarray(q)
-    s, rows = exact_topk_direct(vd, qd, mask, k)
+    s, rows = exact_topk_direct(vd, qd, mask, k, precise=True)
     oracle = np.argsort(-(q / np.linalg.norm(q, axis=1, keepdims=True) @ v.T),
                         axis=1)[:, :k]
     rec = np.mean([len(set(r) & set(o)) / k

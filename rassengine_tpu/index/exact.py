@@ -31,11 +31,16 @@ def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def exact_topk_direct(vecs, queries, add_mask, k: int):
-    """queries [B, d] × vecs [cap, d] → (scores [B, k], rows [B, k])."""
-    q = l2_normalize(queries.astype(jnp.float32)).astype(COMPUTE_DTYPE)
-    scores = jnp.dot(q, vecs.astype(COMPUTE_DTYPE).T, preferred_element_type=ACCUM_DTYPE)
+@partial(jax.jit, static_argnames=("k", "precise"))
+def exact_topk_direct(vecs, queries, add_mask, k: int, precise: bool = False):
+    """queries [B, d] × vecs [cap, d] → (scores [B, k], rows [B, k]).
+
+    ``precise=True`` keeps the matmul inputs in f32 (no bf16 rounding) — the
+    oracle-parity mode (BASELINE config 1 targets recall exactly 1.0).
+    """
+    dt = jnp.float32 if precise else COMPUTE_DTYPE
+    q = l2_normalize(queries.astype(jnp.float32)).astype(dt)
+    scores = jnp.dot(q, vecs.astype(dt).T, preferred_element_type=ACCUM_DTYPE)
     scores = scores + add_mask[None, :]
     top_s, top_i = jax.lax.top_k(scores, k)
     return top_s, top_i

@@ -183,23 +183,18 @@ class LexicalIndex:
                     break
         return out
 
-    def score(self, query: str, cap: int, group: str = "text", *,
-              phrase: bool = False, require_all: bool = False,
-              prefix_last: bool = False) -> np.ndarray:
-        """Dense BM25 scores [cap] for one query against one field group."""
-        g = _G[group]
-        scores = np.zeros(cap, np.float32)
+    def _select_postings(self, query: str, cap: int, g: int, *,
+                         phrase: bool, prefix_last: bool):
+        """→ (base_terms, [(rows, wtf_g, idf, is_base)]) for one query/group."""
         base_terms = [t for t in analyze(query) if "_" not in t]
         if not base_terms:
-            return scores
+            return base_terms, []
         terms: list[str] = list(dict.fromkeys(base_terms))
         if prefix_last and terms:
             terms = terms[:-1] + self.expand_prefix(terms[-1])
         if phrase:
             terms += [f"{a}_{b}" for a, b in zip(base_terms, base_terms[1:])]
-        n, avgdl = self._group_stats(g)
-        need_matched = phrase or require_all
-        # gather the query terms' finalized postings for this group
+        n = max(1, self._n_docs)
         sel: list[tuple[np.ndarray, np.ndarray, float, bool]] = []
         for t in dict.fromkeys(terms):
             p = self._postings.get(t)
@@ -216,8 +211,53 @@ class LexicalIndex:
                 continue
             idf = float(np.log(1.0 + (n - rows.size + 0.5) / (rows.size + 0.5)))
             sel.append((rows, np.ascontiguousarray(wtf_g[live]), idf, "_" not in t))
+        return base_terms, sel
+
+    def score_sparse(self, query: str, cap: int, group: str = "text", *,
+                     phrase: bool = False, require_all: bool = False,
+                     prefix_last: bool = False) -> tuple[np.ndarray, np.ndarray]:
+        """Sparse BM25 scores → (rows, scores), touching only matched docs.
+
+        The hybrid hot path: no dense [cap] arrays, cost is O(total postings
+        of the query's terms).
+        """
+        g = _G[group]
+        base_terms, sel = self._select_postings(query, cap, g, phrase=phrase,
+                                                prefix_last=prefix_last)
+        if not sel:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        _n, avgdl = self._group_stats(g)
+        rows_cat = np.concatenate([s[0] for s in sel]).astype(np.int64)
+        uniq, inv = np.unique(rows_cat, return_inverse=True)
+        acc = np.zeros(uniq.size, np.float32)
+        matched = np.zeros(uniq.size, np.int32) if (phrase or require_all) else None
+        off = 0
+        for rows, wtf, idf, is_base in sel:
+            dl = self._doc_len[rows, g]
+            denom = wtf + K1 * (1.0 - B + B * dl / avgdl)
+            contrib = idf * (wtf * (K1 + 1.0)) / np.maximum(denom, 1e-9)
+            idx = inv[off : off + rows.size]
+            np.add.at(acc, idx, contrib.astype(np.float32))
+            if matched is not None and is_base:
+                np.add.at(matched, idx, 1)
+            off += rows.size
+        if matched is not None:
+            keep = matched >= len(set(base_terms))
+            return uniq[keep], acc[keep]
+        return uniq, acc
+
+    def score(self, query: str, cap: int, group: str = "text", *,
+              phrase: bool = False, require_all: bool = False,
+              prefix_last: bool = False) -> np.ndarray:
+        """Dense BM25 scores [cap] for one query against one field group."""
+        g = _G[group]
+        scores = np.zeros(cap, np.float32)
+        base_terms, sel = self._select_postings(query, cap, g, phrase=phrase,
+                                                prefix_last=prefix_last)
         if not sel:
             return scores
+        _n, avgdl = self._group_stats(g)
+        need_matched = phrase or require_all
         matched = np.zeros(cap, np.int32) if need_matched else None
 
         native = get_native_bm25()
@@ -259,16 +299,14 @@ class LexicalIndex:
 
     def top_m(self, query: str, cap: int, m: int, group: str = "text",
               host_mask: np.ndarray | None = None, **kw) -> tuple[np.ndarray, np.ndarray]:
-        scores = self.score(query, cap, group, **kw)
-        if host_mask is not None:
-            scores = np.where(host_mask, scores, 0.0)
-        # only matched docs can score > 0 — partition those, not the dense array
-        nz = np.flatnonzero(scores > 0)
-        if nz.size == 0:
-            return nz, scores[nz]
-        if nz.size > m:
-            sub = np.argpartition(-scores[nz], m - 1)[:m]
-            nz = nz[sub]
-        order = np.argsort(-scores[nz], kind="stable")
-        rows = nz[order]
-        return rows, scores[rows]
+        rows, scores = self.score_sparse(query, cap, group, **kw)
+        if host_mask is not None and rows.size:
+            keep = host_mask[rows]
+            rows, scores = rows[keep], scores[keep]
+        pos = scores > 0
+        rows, scores = rows[pos], scores[pos]
+        if rows.size > m:
+            sub = np.argpartition(-scores, m - 1)[:m]
+            rows, scores = rows[sub], scores[sub]
+        order = np.argsort(-scores, kind="stable")
+        return rows[order], scores[order]
