@@ -210,6 +210,58 @@ class RassEngine:
         return result
 
 
+def _batchable(result_spec) -> bool:
+    spec, text_match, patient_id = result_spec
+    return (not text_match and patient_id is None
+            and not spec.keyword_terms and not spec.date_ranges
+            and spec.patient_id is None)
+
+
+def _retrieve_batch(self, user_id: str, queries: list[str],
+                    top_k: int | None = None) -> list[RetrievalResult]:
+    """Batched retrieval: one embed forward + one scan for the batch's
+    filter-free SEMANTIC/HYBRID queries — the serving shape where the corpus
+    read amortizes across the batch. Everything else (entity filters, patient
+    routing, the other ten intents) falls back to the single-query path."""
+    t = self.tenant(user_id)
+    k = top_k or self.config.top_k
+    plans = []
+    for q in queries:
+        entities = self.ner.extract(q)
+        intent, _ = self.intent_classifier.classify(q)
+        spec, text_match = entities_to_filter(entities)
+        plans.append((q, intent, entities, spec, text_match))
+
+    results: list[RetrievalResult | None] = [None] * len(queries)
+    batch_idx = [i for i, (_q, intent, _e, spec, tm) in enumerate(plans)
+                 if intent in (QueryIntent.SEMANTIC, QueryIntent.HYBRID)
+                 and _batchable((spec, tm, None))]
+    if len(batch_idx) >= 2:
+        with stage("embed_batch"):
+            embs = self.embedder.embed_texts_in_batches(
+                [plans[i][0] for i in batch_idx])
+        sem_ids = [i for i in batch_idx if plans[i][1] == QueryIntent.SEMANTIC]
+        hyb_ids = [i for i in batch_idx if plans[i][1] == QueryIntent.HYBRID]
+        for ids, method in ((sem_ids, t.retriever.semantic_search_batch),
+                            (hyb_ids, t.retriever.hybrid_search_batch)):
+            if not ids:
+                continue
+            sub_embs = embs[[batch_idx.index(i) for i in ids]]
+            hit_lists = method([plans[i][0] for i in ids], sub_embs, k=k)
+            for i, hits in zip(ids, hit_lists):
+                q, intent, entities, _s, _tm = plans[i]
+                results[i] = RetrievalResult(intent=intent, hits=hits,
+                                             entities=entities)
+    for i, (q, intent, entities, _s, _tm) in enumerate(plans):
+        if results[i] is None:
+            results[i] = self.retrieve(user_id, q, top_k=k, intent=intent,
+                                       entities=entities)
+    return results  # type: ignore[return-value]
+
+
+RassEngine.retrieve_batch = _retrieve_batch
+
+
 def _apply_text_match(hits, text_match: dict[str, list[str]]):
     """Host post-filter for entity terms mapped to analyzed text fields."""
     out = []

@@ -68,6 +68,55 @@ class Retriever:
             spec = FilterSpec(patient_id=patient_id).merged_with(spec)
         return spec
 
+    def _sem_top_m_batch(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
+        """Batched device top-M: query_embs [B, d] → (rows [B, m], scores [B, m]).
+
+        One kernel launch scans the corpus once for the whole batch — the
+        TPU-native serving shape (the corpus read amortizes across queries).
+        All queries share one FilterSpec (per-query filters fall back to the
+        single-query path).
+        """
+        idx = self.index
+        spec = FilterSpec(require_embedding=True).merged_with(spec)
+        mask = idx.filter_mask(spec)
+        q = jnp.asarray(np.atleast_2d(query_embs))
+        m = min(m, idx.capacity)
+        cfg = self.config
+        if (self.use_pallas and cfg.ann_enabled
+                and idx.capacity >= cfg.ann_threshold):
+            from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
+
+            with stage("semantic_scan_int8"):
+                qcols = idx.device_columns_int8()
+                over = min(max(2 * m, 32), idx.capacity, 256)
+                _s, rows = fused_topk_int8_pooled(qcols["codes"], qcols["scales"],
+                                                  q, mask, over, idx.block_rows)
+                rows = np.asarray(rows)
+                out_r = np.full((q.shape[0], m), -1, np.int64)
+                out_s = np.full((q.shape[0], m), NEG_INF, np.float32)
+                for b in range(q.shape[0]):
+                    rb = rows[b][rows[b] >= 0]
+                    exact = self._sem_scores_for(query_embs[b], rb)
+                    order = np.argsort(-exact)[:m]
+                    out_r[b, : order.size] = rb[order]
+                    out_s[b, : order.size] = exact[order]
+                return out_r, out_s
+        with stage("semantic_scan"):
+            if self.use_pallas and idx.capacity >= idx.block_rows:
+                try:
+                    cols = idx.device_columns()
+                    s, r = fused_topk_pooled(cols["vecs"], l2_normalize(q), mask,
+                                             min(m, 256),
+                                             min(idx.block_rows, idx.capacity))
+                except Exception:
+                    self.use_pallas = False
+                    cols = idx.device_columns()
+                    s, r = self._xla_topk(cols, q, mask, m)
+            else:
+                cols = idx.device_columns()
+                s, r = self._xla_topk(cols, q, mask, m)
+        return np.asarray(r), np.asarray(s)
+
     def _sem_top_m(self, query_emb: np.ndarray, spec: FilterSpec, m: int):
         """Device top-M semantic candidates → (rows [m], scores [m]) on host."""
         idx = self.index
@@ -153,6 +202,46 @@ class Retriever:
         return self.index.has_any_data()
 
     # --- the 12 strategies ----------------------------------------------------
+
+    def semantic_search_batch(self, queries: list[str], query_embs: np.ndarray,
+                              k: int = 3, filter_clause=None,
+                              patient_id=None) -> list[list[Hit]]:
+        """Batched semantic_search: one scan for B queries (shared filter)."""
+        spec = self._spec(filter_clause, patient_id)
+        rows, scores = self._sem_top_m_batch(query_embs, spec, k)
+        out: list[list[Hit]] = []
+        for b in range(rows.shape[0]):
+            hits = []
+            for r, s in zip(rows[b], scores[b]):
+                if r < 0 or s <= NEG_INF / 2:
+                    continue
+                src = self.index.docs[int(r)]
+                if src is not None:
+                    hits.append((src, float(s)))
+            out.append(hits)
+        return out
+
+    def hybrid_search_batch(self, queries: list[str], query_embs: np.ndarray,
+                            k: int = 3, filter_clause=None,
+                            patient_id=None) -> list[list[Hit]]:
+        """Batched hybrid_search: one semantic scan + per-query host lexical."""
+        spec = self._spec(filter_clause, patient_id)
+        m = max(4 * k, 50)
+        sem_rows, sem_scores = self._sem_top_m_batch(query_embs, spec, m)
+        out: list[list[Hit]] = []
+        for b, query in enumerate(queries):
+            lex_t = self._lex_top_m(query, spec, m, "text")
+            lex_k = self._lex_top_m(query, spec, m, "keyword")
+            good = sem_rows[b] >= 0
+            parts = [(lex_t[0], lex_t[1], 1.5), (lex_k[0], lex_k[1], 1.0),
+                     (sem_rows[b][good], sem_scores[b][good], 2.0)]
+            lex_only = np.setdiff1d(np.concatenate([lex_t[0], lex_k[0]]),
+                                    sem_rows[b]).astype(np.int64)
+            lex_only = lex_only[self.index._has_embedding[lex_only]]
+            parts.append((lex_only, self._sem_scores_for(query_embs[b], lex_only),
+                          2.0))
+            out.append(self._fuse(parts, k))
+        return out
 
     def exact_match_search(self, query: str, k: int = 3,
                            filter_clause=None, patient_id=None) -> list[Hit]:

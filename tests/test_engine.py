@@ -105,3 +105,23 @@ class TestIngestFiles:
         assert n >= 2
         t = engine.tenant("carol")
         assert t.index.count >= 2
+
+
+class TestRetrieveBatch:
+    def test_batch_matches_single(self, engine):
+        queries = ["wheezing at night exercise", "albuterol inhaler usage",
+                   "asthma condition summary"]
+        batch = engine.retrieve_batch("alice", queries, top_k=2)
+        assert len(batch) == 3
+        for q, res in zip(queries, batch):
+            single = engine.retrieve("alice", q, top_k=2, intent=res.intent)
+            assert [h["doc_id"] for h, _ in res.hits] == \
+                   [h["doc_id"] for h, _ in single.hits], q
+
+    def test_batch_mixed_intents_fall_back(self, engine):
+        queries = ["how many patients have asthma?",           # AGGREGATE
+                   "wheezing at night",                         # batchable
+                   "asthma treatment options"]                  # batchable
+        batch = engine.retrieve_batch("alice", queries, top_k=2)
+        assert batch[0].aggregations is not None
+        assert batch[1].hits or batch[2].hits
