@@ -84,12 +84,20 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     vd = jnp.asarray(v)
     qd = jnp.asarray(q)
     s, rows = exact_topk_direct(vd, qd, mask, k, precise=True)
-    oracle = np.argsort(-(q / np.linalg.norm(q, axis=1, keepdims=True) @ v.T),
-                        axis=1)[:, :k]
-    rec = np.mean([len(set(r) & set(o)) / k
-                   for r, o in zip(np.asarray(rows), oracle)])
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    oracle_scores = qn @ v.T
+    kth = -np.sort(-oracle_scores, axis=1)[:, k - 1]
+    # tie-aware recall: a returned row counts if its true score reaches the
+    # oracle's k-th score (f32 matmul on MXU vs numpy differs at ~1e-6, which
+    # flips genuine ties without being a retrieval error)
+    rows_np = np.asarray(rows)
+    hit = [
+        np.mean(oracle_scores[b, rows_np[b]] >= kth[b] - 1e-5)
+        for b in range(q.shape[0])
+    ]
+    rec = float(np.mean(hit))
     results.append({"config": "exact_10k_oracle", "metric": "recall@5",
-                    "value": round(float(rec), 4), "target": 1.0})
+                    "value": round(rec, 4), "target": 1.0})
 
     # --- config 2: 100k ANN recall + build rate ------------------------------
     n2 = 102_400 // f
