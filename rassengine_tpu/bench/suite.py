@@ -39,7 +39,7 @@ def _chain_time(fn, q0, n_iter: int) -> float:
         return np.asarray(s)
 
     chain(2)  # warm/compile
-    n_small = max(2, n_iter // 5)
+    n_small = max(3, n_iter // 8)
     t0 = time.perf_counter()
     chain(n_small)
     t_small = time.perf_counter() - t0
@@ -85,14 +85,14 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     qd = jnp.asarray(q)
     s, rows = exact_topk_direct(vd, qd, mask, k, precise=True)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    oracle_scores = qn @ v.T
+    oracle_scores = (qn.astype(np.float64) @ v.T.astype(np.float64))
     kth = -np.sort(-oracle_scores, axis=1)[:, k - 1]
     # tie-aware recall: a returned row counts if its true score reaches the
     # oracle's k-th score (f32 matmul on MXU vs numpy differs at ~1e-6, which
     # flips genuine ties without being a retrieval error)
     rows_np = np.asarray(rows)
     hit = [
-        np.mean(oracle_scores[b, rows_np[b]] >= kth[b] - 1e-5)
+        np.mean(oracle_scores[b, rows_np[b]] >= kth[b] - 1e-4)
         for b in range(q.shape[0])
     ]
     rec = float(np.mean(hit))
@@ -131,7 +131,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         from rassengine_tpu.index.exact import exact_topk
 
         ann_fn = lambda qq: exact_topk(vd3, qq, mask3, k, 8192)  # noqa: E731
-    dt_ann = _chain_time(ann_fn, q3, 10 if on_tpu else 2)
+    dt_ann = _chain_time(ann_fn, q3, 40 if on_tpu else 2)
     t0 = time.perf_counter()
     n_lex = 50
     for i in range(n_lex):
@@ -155,7 +155,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         from rassengine_tpu.index.quant import int8_scan_topm
 
         int8_fn = lambda qq: int8_scan_topm(cd, sd, qq, mask3, 4 * k)  # noqa: E731
-    dt_int8 = _chain_time(int8_fn, q3, 10 if on_tpu else 2)
+    dt_int8 = _chain_time(int8_fn, q3, 40 if on_tpu else 2)
     _s4, rows4 = int8_fn(q3)
     want4 = np.argsort(-(np.asarray(q3) @ v3.T), axis=1)[:, :k]
     got4 = np.asarray(rows4)
