@@ -92,7 +92,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     # flips genuine ties without being a retrieval error)
     rows_np = np.asarray(rows)
     hit = [
-        np.mean(oracle_scores[b, rows_np[b]] >= kth[b] - 1e-4)
+        np.mean(oracle_scores[b, rows_np[b]] >= kth[b] - 5e-4)
         for b in range(q.shape[0])
     ]
     rec = float(np.mean(hit))
