@@ -104,6 +104,9 @@ class EngineConfig:
     host: str = "0.0.0.0"
     port: int = 8000
     upload_port: int = 8001
+    # --- durability (HBM is volatile; no reference counterpart) ---
+    checkpoint_dir: str = ""            # non-empty → restore at startup + periodic save
+    checkpoint_interval_s: float = 300.0
     # --- observability ---
     profile_dir: str = ""               # non-empty → jax.profiler traces per request
 
@@ -145,6 +148,8 @@ class EngineConfig:
             cache_ttl_seconds=_env_float("REDIS_SHORT_TTL_SECONDS", 480.0),
             port=_env_int("PORT", 8000),
             upload_port=_env_int("UPLOAD_PORT", 8001),
+            checkpoint_dir=os.getenv("CHECKPOINT_DIR", ""),
+            checkpoint_interval_s=_env_float("CHECKPOINT_INTERVAL_S", 300.0),
             profile_dir=os.getenv("PROFILE_DIR", ""),
         )
         base.update(overrides)

@@ -74,6 +74,21 @@ def build_app(engine: RassEngine, service: AskService | None = None) -> App:
     async def metrics(req: Request) -> Response:
         return Response.json_response(METRICS.snapshot())
 
+    @app.route("POST", "/users")
+    async def create_user(req: Request) -> Response:
+        """User provisioning (the reference assumes out-of-band Prisma rows;
+        standalone deployments need an endpoint)."""
+        try:
+            payload = req.json() or {}
+        except json.JSONDecodeError:
+            return Response.error(400, "invalid JSON body")
+        user_id = (payload.get("user_id") or "").strip()
+        if not user_id or not _USER_ID_RE.match(user_id):
+            return Response.error(400, "invalid user_id")
+        uid = service.db.create_user(user_id, payload.get("email"),
+                                     payload.get("name"))
+        return Response.json_response({"user_id": uid}, 201)
+
     @app.route("POST", "/ask")
     async def ask_route(req: Request) -> Response:
         try:
@@ -219,6 +234,18 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None) -> A
     return app
 
 
+async def _checkpoint_loop(engine: RassEngine, cfg: EngineConfig) -> None:
+    """Periodic index persistence (HBM is volatile; index/checkpoint.py)."""
+    from rassengine_tpu.index.checkpoint import save_engine
+
+    while True:
+        await asyncio.sleep(max(30.0, cfg.checkpoint_interval_s))
+        try:
+            await asyncio.to_thread(save_engine, engine, cfg.checkpoint_dir)
+        except Exception:
+            log.exception("periodic checkpoint failed")
+
+
 async def main() -> None:
     """Run both services (reference docker-compose topology, single process)."""
     logging.basicConfig(level=logging.INFO)
@@ -227,13 +254,28 @@ async def main() -> None:
     service = AskService(engine)
     app = build_app(engine, service)
     upload = build_upload_app(engine, service)
-    if cfg.emb_dir and os.path.isdir(cfg.emb_dir):
+    tasks = []
+    if cfg.checkpoint_dir:
+        from rassengine_tpu.index.checkpoint import load_engine, save_engine
+
+        n = load_engine(engine, cfg.checkpoint_dir)
+        log.info("restored %d tenant indexes from %s", n, cfg.checkpoint_dir)
+        tasks.append(_checkpoint_loop(engine, cfg))
+    if cfg.emb_dir and os.path.isdir(cfg.emb_dir) and not engine._tenants:
         n = engine.ingest_directory("default", cfg.emb_dir)
         log.info("bulk-ingested %d docs from %s", n, cfg.emb_dir)
-    await asyncio.gather(
-        app.serve(cfg.host, cfg.port),
-        upload.serve(cfg.host, cfg.upload_port),
-    )
+    try:
+        await asyncio.gather(
+            app.serve(cfg.host, cfg.port),
+            upload.serve(cfg.host, cfg.upload_port),
+            *tasks,
+        )
+    finally:
+        if cfg.checkpoint_dir:
+            from rassengine_tpu.index.checkpoint import save_engine
+
+            save_engine(engine, cfg.checkpoint_dir)
+            log.info("final checkpoint saved to %s", cfg.checkpoint_dir)
 
 
 if __name__ == "__main__":

@@ -378,3 +378,21 @@ class TestConcurrency:
             assert total == 24
 
         run(scenario())
+
+
+class TestUserEndpoint:
+    def test_create_user_then_upload(self, engine, tmp_path):
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            handler = app.routes[("POST", "/users")]
+            resp = await handler(Request("POST", "/users", {}, {},
+                                         json.dumps({"user_id": "newbie"}).encode()))
+            assert resp.status == 201
+            assert svc.db.user_exists("newbie")
+            # invalid ids rejected
+            bad = await handler(Request("POST", "/users", {}, {},
+                                        json.dumps({"user_id": "../x"}).encode()))
+            assert bad.status == 400
+
+        run(scenario())
