@@ -175,7 +175,10 @@ class AskService:
                 yield msg
         answer = "".join(pieces) or "I could not generate an answer."
 
-        if self.cache is not None and answer and not answer.startswith("[ERROR]"):
+        if (self.cache is not None and answer and context
+                and not answer.startswith("[ERROR]")):
+            # only cache answers grounded in retrieved context — caching
+            # "no records found" poisons later queries that would match
             self.cache.put(scope, q_emb, answer)
         await self._persist(chat_id, query, answer)
         log.info("ask done %s", trace.summary())
