@@ -104,6 +104,9 @@ class EngineConfig:
     host: str = "0.0.0.0"
     port: int = 8000
     upload_port: int = 8001
+    micro_batching: bool = True         # collect concurrent asks into one scan
+    micro_batch_window_ms: float = 8.0
+    micro_batch_max: int = 32
     # --- durability (HBM is volatile; no reference counterpart) ---
     checkpoint_dir: str = ""            # non-empty → restore at startup + periodic save
     checkpoint_interval_s: float = 300.0

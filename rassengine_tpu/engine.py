@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -42,6 +43,9 @@ class Tenant:
     index: TenantIndex
     lexical: LexicalIndex
     retriever: Retriever
+    # coarse mutation lock: retrieval may run in worker threads (serve/batching)
+    # while uploads mutate the host arrays — safety by construction (SURVEY §5)
+    lock: "threading.RLock" = field(default_factory=lambda: threading.RLock())
 
 
 @dataclass
@@ -97,14 +101,15 @@ class RassEngine:
             texts = [d.get("unstructuredText", "") for d in unstructured]
             embs = self.embedder.embed_texts_in_batches(texts) if texts else None
             n = 0
-            for d in structured:
-                row = t.index.upsert(d, None)
-                t.lexical.index_doc(row, d)
-                n += 1
-            for i, d in enumerate(unstructured):
-                row = t.index.upsert(d, embs[i] if embs is not None else None)
-                t.lexical.index_doc(row, d)
-                n += 1
+            with t.lock:
+                for d in structured:
+                    row = t.index.upsert(d, None)
+                    t.lexical.index_doc(row, d)
+                    n += 1
+                for i, d in enumerate(unstructured):
+                    row = t.index.upsert(d, embs[i] if embs is not None else None)
+                    t.lexical.index_doc(row, d)
+                    n += 1
         log.info("indexed %d docs into %s (total %d)", n, t.name, t.index.count)
         return n
 
@@ -165,7 +170,7 @@ class RassEngine:
 
         pname, pids = (None, [])
         if patient_id is None:
-            with stage("patient_resolution"):
+            with stage("patient_resolution"), t.lock:
                 pname, pids = resolve_patient_ids_from_name(query, t.retriever, self.ner)
             if len(pids) == 1:
                 patient_id = pids[0]
@@ -174,7 +179,7 @@ class RassEngine:
                                  patient_name=pname, patient_ids=pids)
 
         if intent == QueryIntent.AGGREGATE:
-            with stage("retrieve"):
+            with stage("retrieve"), t.lock:
                 result.aggregations = t.retriever.aggregate_search(
                     query, filter_clause=spec, patient_id=patient_id)
             return result
@@ -199,11 +204,13 @@ class RassEngine:
             if intent in EMBEDDING_INTENTS:
                 with stage("embed_query"):
                     q_emb = self.embedder.embed_query(query)
-                hits = method(query, q_emb, k=over_k, filter_clause=spec,
-                              patient_id=patient_id)
+                with t.lock:
+                    hits = method(query, q_emb, k=over_k, filter_clause=spec,
+                                  patient_id=patient_id)
             else:
-                hits = method(query, k=over_k, filter_clause=spec,
-                              patient_id=patient_id)
+                with t.lock:
+                    hits = method(query, k=over_k, filter_clause=spec,
+                                  patient_id=patient_id)
         if text_match:
             hits = _apply_text_match(hits, text_match)[:k] or hits[:k]
         result.hits = hits[:k]
@@ -247,7 +254,8 @@ def _retrieve_batch(self, user_id: str, queries: list[str],
             if not ids:
                 continue
             sub_embs = embs[[batch_idx.index(i) for i in ids]]
-            hit_lists = method([plans[i][0] for i in ids], sub_embs, k=k)
+            with t.lock:
+                hit_lists = method([plans[i][0] for i in ids], sub_embs, k=k)
             for i, hits in zip(ids, hit_lists):
                 q, intent, entities, _s, _tm = plans[i]
                 results[i] = RetrievalResult(intent=intent, hits=hits,

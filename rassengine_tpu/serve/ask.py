@@ -86,6 +86,13 @@ class AskService:
                           self.config.cache_ttl_seconds)
             if self.config.cache_enabled else None
         )
+        if self.config.micro_batching:
+            from rassengine_tpu.serve.batching import MicroBatcher
+
+            self.batcher = MicroBatcher(engine, self.config.micro_batch_window_ms,
+                                        self.config.micro_batch_max)
+        else:
+            self.batcher = None
 
     async def _authorize(self, user_id: str, chat_id: str) -> None:
         owner = await self.db.a_chat_owner(chat_id)
@@ -120,8 +127,11 @@ class AskService:
 
             with stage("llm_ner"):
                 entities = await llm_ner_extract(query, self.llm)
-        result = self.engine.retrieve(user_id, query, top_k=top_k,
-                                      entities=entities)
+        if self.batcher is not None and entities is None:
+            result = await self.batcher.retrieve(user_id, query, top_k)
+        else:
+            result = self.engine.retrieve(user_id, query, top_k=top_k,
+                                          entities=entities)
         history = await self.db.a_history(chat_id, self.config.max_chat_history)
 
         # --- early-return branches (reference main.py:2804-2876) -------------

@@ -396,3 +396,40 @@ class TestUserEndpoint:
             assert bad.status == 400
 
         run(scenario())
+
+
+class TestMicroBatching:
+    def test_concurrent_queries_batched(self, engine):
+        async def scenario():
+            from rassengine_tpu.core.tracing import METRICS
+
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            assert svc.batcher is not None
+            before = METRICS.counters.get("microbatches", 0)
+            answers = await asyncio.gather(*(
+                svc.ask(f"hypertension note {i}", "u1", f"mb{i}") for i in range(6)
+            ))
+            assert all(a for a in answers)
+            assert METRICS.counters.get("microbatches", 0) > before
+            # per-chat persistence intact
+            for i in range(6):
+                assert len(svc.db.history(f"mb{i}")) == 2
+
+        run(scenario())
+
+    def test_batcher_propagates_errors(self, engine):
+        async def scenario():
+            from rassengine_tpu.serve.batching import MicroBatcher
+
+            class Boom:
+                config = engine.config
+                def retrieve(self, *a, **k):
+                    raise RuntimeError("boom")
+                def retrieve_batch(self, *a, **k):
+                    raise RuntimeError("boom")
+
+            mb = MicroBatcher(Boom(), window_ms=1)
+            with pytest.raises(RuntimeError):
+                await mb.retrieve("u", "q")
+
+        run(scenario())
