@@ -36,7 +36,7 @@ from rassengine_tpu.core import schema
 from rassengine_tpu.core.config import EngineConfig
 from rassengine_tpu.core.tracing import stage
 from rassengine_tpu.index.exact import exact_topk, exact_topk_direct, l2_normalize
-from rassengine_tpu.index.store import FilterSpec, TenantIndex
+from rassengine_tpu.index.store import NEG_INF, FilterSpec, TenantIndex
 from rassengine_tpu.lexical.bm25 import LexicalIndex
 from rassengine_tpu.ops.fused_topk import fused_topk_pooled
 
@@ -261,26 +261,79 @@ class Retriever:
         rows, scores = self._sem_top_m(query_emb, spec, k)
         return self._fuse([(rows, scores, 1.0)], k)
 
+    def _additive_hybrid(self, query: str, query_emb: np.ndarray, k: int,
+                         spec: FilterSpec,
+                         lex_weights: dict[str, float],
+                         sem_weight: float,
+                         extra_add: np.ndarray | None = None) -> list[Hit]:
+        """Corpus-wide additive fusion in one scan.
+
+        The scan kernels already add a per-row f32 vector to every score row
+        (the filter mask); scattering the weighted sparse BM25 contributions
+        into that vector makes the single pass compute
+        ``sem_weight·cos + Σ w_g·bm25_g`` for EVERY corpus row — exactly
+        OpenSearch's additive should-clause semantics, with no candidate-union
+        approximation (a doc mediocre in each signal but strong combined is
+        never missed). Docs without embeddings score 0 on the semantic term
+        (their stored vector is zero), matching knn-clause behavior.
+        """
+        idx = self.index
+        cap = idx.capacity
+        add = np.asarray(idx.filter_mask(spec), np.float32).copy()
+        for group, w in lex_weights.items():
+            rows, vals = self.lexical.score_sparse(query, cap, group)
+            if rows.size:
+                np.add.at(add, rows, (w * vals).astype(np.float32))
+        if extra_add is not None:
+            add += extra_add
+        q = np.asarray(query_emb, np.float32).reshape(1, -1)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        # scan computes cos + add'; dividing add by sem_weight and re-scaling
+        # the result gives sem_weight·cos + add uniformly on every scan path
+        # (the XLA path normalizes queries internally, so the weight cannot
+        # ride on the query vector)
+        add_dev = jnp.asarray(add / sem_weight)
+        qd = jnp.asarray(qn)
+        with stage("hybrid_scan"):
+            if self.use_pallas and cap >= idx.block_rows:
+                try:
+                    cols = idx.device_columns()
+                    s, r = fused_topk_pooled(cols["vecs"], qd, add_dev,
+                                             min(k, 256),
+                                             min(idx.block_rows, cap))
+                except Exception:
+                    self.use_pallas = False
+                    s, r = self._xla_topk(idx.device_columns(), qd, add_dev, k)
+            else:
+                s, r = self._xla_topk(idx.device_columns(), qd, add_dev, k)
+        s, r = np.asarray(s[0]), np.asarray(r[0])
+        out = []
+        for sc, row in zip(s, r):
+            if row < 0 or sc <= NEG_INF / 2:
+                continue
+            final = float(sc) * sem_weight
+            if final <= 0.0:
+                continue
+            src = idx.docs[int(row)]
+            if src is not None:
+                out.append((src, final))
+        return out
+
     def hybrid_search(self, query: str, query_emb: np.ndarray, k: int = 3,
                       filter_clause=None, patient_id=None) -> list[Hit]:
-        """BM25 text(1.5) + keyword(1.0) + knn(2.0) (reference main.py:1562-1615)."""
+        """BM25 text(1.5) + keyword(1.0) + knn(2.0) (reference main.py:1562-1615),
+        fused corpus-wide in one scan (see _additive_hybrid)."""
         if not query.strip():
             return []
         spec = self._spec(filter_clause, patient_id)
+        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
+            return self._additive_hybrid(query, query_emb, k, spec,
+                                         {"text": 1.5, "keyword": 1.0}, 2.0)
         m = max(4 * k, 50)
         lex_t_rows, lex_t_scores = self._lex_top_m(query, spec, m, "text")
         lex_k_rows, lex_k_scores = self._lex_top_m(query, spec, m, "keyword")
-        parts = [(lex_t_rows, lex_t_scores, 1.5), (lex_k_rows, lex_k_scores, 1.0)]
-        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
-            sem_rows, sem_scores = self._sem_top_m(query_emb, spec, m)
-            # semantic scores for lexical-only candidates so fusion is complete
-            lex_only = np.setdiff1d(
-                np.concatenate([lex_t_rows, lex_k_rows]), sem_rows
-            ).astype(np.int64)
-            lex_only = lex_only[self.index._has_embedding[lex_only]]
-            parts.append((sem_rows, sem_scores, 2.0))
-            parts.append((lex_only, self._sem_scores_for(query_emb, lex_only), 2.0))
-        return self._fuse(parts, k)
+        return self._fuse([(lex_t_rows, lex_t_scores, 1.5),
+                           (lex_k_rows, lex_k_scores, 1.0)], k)
 
     def structured_search(self, query: str, k: int = 3,
                           filter_clause=None, patient_id=None) -> list[Hit]:
@@ -387,32 +440,27 @@ class Retriever:
     def multi_intent_search(self, query: str, query_emb: np.ndarray, k: int = 3,
                             filter_clause=None, patient_id=None) -> list[Hit]:
         """text(1.0) + keyword(0.5) + knn(1.5) + recency bonus(0.5)
-        (reference main.py:1969-2027, with its collapsed date clauses fixed)."""
+        (reference main.py:1969-2027, with its collapsed date clauses fixed),
+        fused corpus-wide in one scan."""
         if not query.strip():
             return []
         spec = self._spec(filter_clause, patient_id)
+        # recency bonus as an additive per-row vector from the date columns
+        today = _today_epoch_days()
+        d = self.index._dates  # [cap, n_date] epoch days
+        recent = ((d != schema.NO_DATE) & (d >= today - 365) & (d <= today)).any(axis=1)
+        bonus = np.where(recent, np.float32(0.5), np.float32(0.0))
+        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
+            return self._additive_hybrid(query, query_emb, k, spec,
+                                         {"text": 1.0, "keyword": 0.5}, 1.5,
+                                         extra_add=bonus)
         m = max(4 * k, 50)
         t_rows, t_scores = self._lex_top_m(query, spec, m, "text")
         k_rows, k_scores = self._lex_top_m(query, spec, m, "keyword")
-        parts = [(t_rows, t_scores, 1.0), (k_rows, k_scores, 0.5)]
-        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
-            sem_rows, sem_scores = self._sem_top_m(query_emb, spec, m)
-            lex_only = np.setdiff1d(np.concatenate([t_rows, k_rows]), sem_rows
-                                    ).astype(np.int64)
-            lex_only = lex_only[self.index._has_embedding[lex_only]]
-            parts.append((sem_rows, sem_scores, 1.5))
-            parts.append((lex_only, self._sem_scores_for(query_emb, lex_only), 1.5))
-        hits = self._fuse(parts, max(2 * k, 20))
-        # recency bonus: +0.5 if any date field within the last year
-        today = _today_epoch_days()
-        rescored = []
-        for src, s in hits:
-            recent = any(
-                (d := schema.date_to_epoch_days(src.get(f))) != schema.NO_DATE
-                and today - 365 <= d <= today
-                for f in schema.DATE_FIELDS
-            )
-            rescored.append((src, s + (0.5 if recent else 0.0)))
+        hits = self._fuse([(t_rows, t_scores, 1.0), (k_rows, k_scores, 0.5)],
+                          max(2 * k, 20))
+        rescored = [(src, s + float(bonus[self.index._id_to_row.get(
+            str(src.get("doc_id")), 0)])) for src, s in hits]
         rescored.sort(key=lambda h: -h[1])
         return rescored[:k]
 
