@@ -29,6 +29,7 @@ from __future__ import annotations
 import datetime as _dt
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,25 @@ Hit = tuple[dict, float]
 
 def _today_epoch_days() -> int:
     return (_dt.date.today() - _dt.date(1970, 1, 1)).days
+
+
+@jax.jit
+def _scatter_scale(mask, rows, vals, inv_scale):
+    """mask + scatter(vals at rows), scaled — builds the hybrid additive
+    vector on device so only the sparse (rows, vals) cross the host link."""
+    return (mask + jnp.zeros_like(mask).at[rows].add(vals)) * inv_scale
+
+
+def _pad_pow2(rows: np.ndarray, vals: np.ndarray, minimum: int = 256):
+    """Pad sparse updates to power-of-two length (bounded jit cache); padding
+    scatters 0.0 at row 0 — a no-op."""
+    n = max(int(rows.size), 1)
+    size = max(minimum, 1 << (n - 1).bit_length())
+    r = np.zeros(size, np.int32)
+    v = np.zeros(size, np.float32)
+    r[: rows.size] = rows
+    v[: vals.size] = vals
+    return r, v
 
 
 class Retriever:
@@ -279,20 +299,33 @@ class Retriever:
         """
         idx = self.index
         cap = idx.capacity
-        add = np.asarray(idx.filter_mask(spec), np.float32).copy()
+        # collect the weighted sparse BM25 contributions host-side (O(postings))
+        parts_r: list[np.ndarray] = []
+        parts_v: list[np.ndarray] = []
         for group, w in lex_weights.items():
             rows, vals = self.lexical.score_sparse(query, cap, group)
             if rows.size:
-                np.add.at(add, rows, (w * vals).astype(np.float32))
+                parts_r.append(rows.astype(np.int32))
+                parts_v.append((w * vals).astype(np.float32))
         if extra_add is not None:
-            add += extra_add
+            nz = np.flatnonzero(extra_add)
+            if nz.size:
+                parts_r.append(nz.astype(np.int32))
+                parts_v.append(extra_add[nz].astype(np.float32))
+        rows_cat = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int32)
+        vals_cat = np.concatenate(parts_v) if parts_v else np.zeros(0, np.float32)
+        rows_pad, vals_pad = _pad_pow2(rows_cat, vals_cat)
         q = np.asarray(query_emb, np.float32).reshape(1, -1)
         qn = q / max(float(np.linalg.norm(q)), 1e-12)
-        # scan computes cos + add'; dividing add by sem_weight and re-scaling
-        # the result gives sem_weight·cos + add uniformly on every scan path
-        # (the XLA path normalizes queries internally, so the weight cannot
-        # ride on the query vector)
-        add_dev = jnp.asarray(add / sem_weight)
+        # the additive vector is assembled ON DEVICE: base filter mask (already
+        # device-resident) + scatter of the sparse contributions — only KBs
+        # cross the host link per query. The scan computes cos + add'; dividing
+        # add by sem_weight and re-scaling the result gives sem_weight·cos +
+        # add uniformly on every scan path (the XLA path normalizes queries
+        # internally, so the weight cannot ride on the query vector).
+        add_dev = _scatter_scale(idx.filter_mask(spec), jnp.asarray(rows_pad),
+                                 jnp.asarray(vals_pad),
+                                 jnp.float32(1.0 / sem_weight))
         qd = jnp.asarray(qn)
         with stage("hybrid_scan"):
             if self.use_pallas and cap >= idx.block_rows:
