@@ -164,6 +164,7 @@ class TenantIndex:
         self._id_to_row: dict[str, int] = {}
         self._device: dict | None = None
         self._device_q: dict | None = None  # int8 codes + scales (large corpora)
+        self._mask_cache: dict = {}
         self._dirty = True
 
     # --- ingestion -----------------------------------------------------------
@@ -283,16 +284,29 @@ class TenantIndex:
         return self._device_q
 
     def filter_mask(self, spec: FilterSpec | None) -> jax.Array:
-        cols = self.device_columns(include_vecs=False)
         spec_arrays = (spec or FilterSpec()).to_arrays()
+        # cache per (index generation, spec): the common no-filter / per-patient
+        # masks are reused on every query of a serving session
+        key = tuple(np.asarray(v).tobytes() for v in spec_arrays.values())
+        if not self._dirty:
+            cached = self._mask_cache.get(key)
+            if cached is not None:
+                return cached
+        else:
+            self._mask_cache.clear()
+        cols = self.device_columns(include_vecs=False)
         spec_dev = {k: jnp.asarray(v) for k, v in spec_arrays.items()}
-        return build_filter_mask(
+        mask = build_filter_mask(
             {k: cols[k] for k in (
                 "valid", "patient_hash", "resource_type", "doc_type",
                 "has_embedding", "keyword", "dates",
             )},
             spec_dev,
         )
+        if len(self._mask_cache) > 64:
+            self._mask_cache.clear()
+        self._mask_cache[key] = mask
+        return mask
 
     def host_mask(self, spec: FilterSpec | None) -> np.ndarray:
         """Numpy mirror of build_filter_mask (bool [cap]) for host-side scoring."""
