@@ -1,0 +1,62 @@
+"""EngineConfig env parsing + tracing/metrics unit tests."""
+
+import time
+
+from rassengine_tpu.core.config import EngineConfig
+from rassengine_tpu.core.tracing import Metrics, new_trace, stage
+
+
+class TestConfigFromEnv:
+    def test_reference_env_names(self, monkeypatch):
+        monkeypatch.setenv("EMBED_DIM", "512")
+        monkeypatch.setenv("CHUNK_SIZE", "256")
+        monkeypatch.setenv("TOP_K", "7")
+        monkeypatch.setenv("MAX_CHAT_HISTORY", "4")
+        monkeypatch.setenv("CACHE_SIM_THRESHOLD", "0.91")
+        monkeypatch.setenv("BLUEHIVEAI_URL", "http://bh.example")
+        monkeypatch.setenv("ADAPTIVE_CHUNKING", "false")
+        cfg = EngineConfig.from_env()
+        assert cfg.embed_dim == 512
+        assert cfg.chunk_size == 256
+        assert cfg.top_k == 7
+        assert cfg.max_chat_history == 4
+        assert cfg.cache_sim_threshold == 0.91
+        assert cfg.bluehive_api_url == "http://bh.example"
+        assert cfg.adaptive_chunking is False
+
+    def test_bad_values_fall_back(self, monkeypatch):
+        monkeypatch.setenv("TOP_K", "not-a-number")
+        cfg = EngineConfig.from_env()
+        assert cfg.top_k == 3
+
+    def test_overrides_win(self, monkeypatch):
+        monkeypatch.setenv("TOP_K", "9")
+        cfg = EngineConfig.from_env(top_k=2)
+        assert cfg.top_k == 2
+
+    def test_replace_immutability(self):
+        a = EngineConfig()
+        b = a.replace(top_k=11)
+        assert a.top_k == 3 and b.top_k == 11
+
+
+class TestTracing:
+    def test_stage_records_to_trace_and_metrics(self):
+        trace = new_trace("req-1")
+        with stage("unit_stage"):
+            time.sleep(0.01)
+        assert trace.stages["unit_stage"] >= 0.01
+        summary = trace.summary()
+        assert summary["request_id"] == "req-1"
+        assert summary["unit_stage_ms"] >= 10
+
+    def test_metrics_snapshot(self):
+        m = Metrics()
+        m.incr("x")
+        m.incr("x", 2)
+        m.observe("lat", 0.002)
+        m.observe("lat", 0.004)
+        snap = m.snapshot()
+        assert snap["counters"]["x"] == 3
+        assert snap["latency"]["lat"]["count"] == 2
+        assert snap["latency"]["lat"]["p50_ms"] >= 2

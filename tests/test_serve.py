@@ -433,3 +433,27 @@ class TestMicroBatching:
                 await mb.retrieve("u", "q")
 
         run(scenario())
+
+
+class TestKeepAlive:
+    def test_two_requests_one_connection(self, engine):
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            for i in range(2):
+                w.write(b"GET /health HTTP/1.1\r\nHost: x\r\nContent-Length: 0\r\n\r\n")
+                await w.drain()
+                head = await r.readuntil(b"\r\n\r\n")
+                assert b"200" in head.split(b"\r\n")[0]
+                length = int([ln.split(b":")[1] for ln in head.split(b"\r\n")
+                              if ln.lower().startswith(b"content-length")][0])
+                body = await r.readexactly(length)
+                assert json.loads(body)["status"] == "ok"
+            w.close()
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
