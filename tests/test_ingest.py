@@ -164,3 +164,49 @@ class TestTextFiles:
         assert docs[0]["file_type"] == "markdown"
         assert "**" not in docs[0]["unstructuredText"]
         assert "Diabetes" in docs[0]["unstructuredText"]
+
+
+class TestFhirEdgeCases:
+    def test_multi_patient_bundle(self):
+        bundle = {"entry": [
+            {"resource": {"resourceType": "Patient", "id": "a",
+                          "name": [{"given": ["Ann"], "family": "A"}]}},
+            {"resource": {"resourceType": "Patient", "id": "b",
+                          "name": [{"given": ["Bob"], "family": "B"}]}},
+            {"resource": {"resourceType": "Condition", "id": "c",
+                          "subject": {"reference": "Patient/b"},
+                          "code": {"text": "Flu"}}},
+        ]}
+        s, _ = parse_fhir_bundle(bundle)
+        by_id = {d["doc_id"]: d for d in s}
+        assert by_id["Patient-a-structured"]["patientId"] == "a"
+        assert by_id["Condition-c-structured"]["patientId"] == "b"
+
+    def test_missing_resource_id_gets_entry_index(self):
+        bundle = {"entry": [{"resource": {"resourceType": "Condition",
+                                          "code": {"text": "X"}}}]}
+        s, _ = parse_fhir_bundle(bundle)
+        assert s[0]["doc_id"] == "Condition-entry0-structured"
+
+    def test_urn_uuid_reference(self):
+        bundle = {"entry": [{"resource": {"resourceType": "Observation", "id": "o",
+                  "subject": {"reference": "urn:uuid:abc-123"},
+                  "code": {"text": "HR"}, "valueQuantity": {"value": 70}}}]}
+        s, _ = parse_fhir_bundle(bundle)
+        assert s[0]["patientId"] == "abc-123"
+
+    def test_malformed_entries_skipped(self):
+        bundle = {"entry": [None, {"resource": None}, {"no_resource": 1},
+                            {"resource": {"resourceType": "Patient", "id": "ok"}}]}
+        s, u = parse_fhir_bundle(bundle)
+        assert len(s) == 1 and s[0]["patientId"] == "ok"
+
+    def test_long_narrative_chunks(self):
+        text = "very long note " * 600  # 1800 words
+        bundle = {"entry": [{"resource": {"resourceType": "Condition", "id": "c",
+                  "subject": {"reference": "Patient/p"},
+                  "note": [{"text": text}]}}]}
+        _, u = parse_fhir_bundle(bundle, chunk_size=512)
+        assert len(u) == 4  # ceil(1800+words/512)
+        assert u[0]["doc_id"] == "Condition-c-unstructured-0"
+        assert u[3]["doc_id"] == "Condition-c-unstructured-3"
