@@ -48,6 +48,10 @@ class Embedder:
             self.config.embed_max_seq_len,
         )
         self.mesh = mesh
+        # embeddings from random-init weights are not semantically meaningful;
+        # similarity-based features (the semantic answer cache) must not trust
+        # them (verified live: unrelated queries cosine > 0.88 under tiny init)
+        self.trusted_semantics = bool(self.config.encoder_weights_path)
         if params is None:
             params = self._init_params(seed)
             if self.config.encoder_weights_path:

@@ -81,10 +81,12 @@ class AskService:
         self.config = config or engine.config
         self.db = db or ChatStore(self.config.database_path)
         self.llm = llm or make_llm(self.config)
+        use_cache = self.config.cache_enabled and getattr(
+            engine.embedder, "trusted_semantics", True)
         self.cache = (
             SemanticCache(self.config.cache_max_items, self.config.cache_sim_threshold,
                           self.config.cache_ttl_seconds)
-            if self.config.cache_enabled else None
+            if use_cache else None
         )
         if self.config.micro_batching:
             from rassengine_tpu.serve.batching import MicroBatcher
