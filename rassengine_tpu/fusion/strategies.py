@@ -10,11 +10,12 @@ semantics — but instead of composing OpenSearch DSL, each strategy combines
 - **lexical** scores: host BM25 over the strategy's field group (lexical/),
 - **filters**: the FilterSpec mask (patient routing, doc_type, dates).
 
-Fusion happens on the candidate union (semantic top-M ∪ lexical top-M): both
-component scores are known for every candidate (lexical scores are dense; the
-semantic score of a lexical-only candidate is a host dot product against the
-canonical f32 vectors), so the weighted sum matches OpenSearch's should-clause
-additive scoring without transferring dense score vectors off device.
+Single-query hybrid strategies fuse *additively on device* (see
+``_additive_hybrid``): the query's sparse BM25 contributions scatter into the
+scan's additive vector, so one pass scores every corpus row with OpenSearch's
+should-clause weighted sum. Batched hybrid keeps candidate-union fusion
+(semantic top-M ∪ lexical top-M, missing halves filled host-side), since
+per-query additive vectors would be [B, cap].
 
 Behavioral fixes over the reference (SURVEY §2 "known defects"):
 - ``structured_search`` works (upstream raises NameError, main.py:1649),
