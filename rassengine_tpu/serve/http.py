@@ -184,11 +184,17 @@ class App:
                 parsed = urlsplit(target)
                 path = unquote(parsed.path)
                 query = parse_qs(parsed.query)
-                clen = int(headers.get("content-length", "0") or 0)
-                if clen > MAX_BODY:
-                    await self._write(writer, Response.error(413, "body too large"))
-                    return
-                body = await reader.readexactly(clen) if clen else b""
+                if "chunked" in headers.get("transfer-encoding", "").lower():
+                    body = await self._read_chunked(reader)
+                    if body is None:
+                        await self._write(writer, Response.error(413, "body too large"))
+                        return
+                else:
+                    clen = int(headers.get("content-length", "0") or 0)
+                    if clen > MAX_BODY:
+                        await self._write(writer, Response.error(413, "body too large"))
+                        return
+                    body = await reader.readexactly(clen) if clen else b""
                 req = Request(method.upper(), path, query, headers, body)
 
                 if headers.get("upgrade", "").lower() == "websocket":
@@ -217,6 +223,25 @@ class App:
                 writer.close()
             except RuntimeError:
                 pass
+
+    async def _read_chunked(self, reader: asyncio.StreamReader) -> bytes | None:
+        """RFC 7230 chunked request body; None when over MAX_BODY."""
+        chunks = []
+        total = 0
+        while True:
+            size_line = await reader.readline()
+            try:
+                size = int(size_line.strip().split(b";")[0], 16)
+            except ValueError:
+                return b"".join(chunks)
+            if size == 0:
+                await reader.readline()  # trailing CRLF (no trailer support)
+                return b"".join(chunks)
+            total += size
+            if total > MAX_BODY:
+                return None
+            chunks.append(await reader.readexactly(size))
+            await reader.readexactly(2)  # chunk CRLF
 
     async def _handle_ws(self, reader, writer, req: Request):
         key = req.headers.get("sec-websocket-key", "")

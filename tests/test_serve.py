@@ -457,3 +457,31 @@ class TestKeepAlive:
             await server.wait_closed()
 
         run(scenario())
+
+
+class TestChunkedRequests:
+    def test_chunked_post_body(self, engine):
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            payload = json.dumps({"query": "hypertension", "user_id": "u1",
+                                  "chat_id": "chunked1"}).encode()
+            half = len(payload) // 2
+            w.write(b"POST /ask HTTP/1.1\r\nHost: x\r\n"
+                    b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n")
+            for part in (payload[:half], payload[half:]):
+                w.write(f"{len(part):x}\r\n".encode() + part + b"\r\n")
+            w.write(b"0\r\n\r\n")
+            await w.drain()
+            data = await r.read()
+            w.close()
+            assert b" 200 " in data.split(b"\r\n")[0] + b" "
+            body = data.split(b"\r\n\r\n", 1)[1]
+            assert json.loads(body)["answer"]
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
