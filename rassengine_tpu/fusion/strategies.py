@@ -70,6 +70,12 @@ def _pad_pow2(rows: np.ndarray, vals: np.ndarray, minimum: int = 256):
     return r, v
 
 
+# corpora whose bf16 rows fit comfortably in HBM use the exact fused-hybrid
+# path (bf16 scan + candidate-row gather); larger ones fall back to int8 scan
+# with candidate-union fusion
+HYBRID_BF16_BUDGET_BYTES = 6 * 1024**3
+
+
 class Retriever:
     def __init__(self, index: TenantIndex, lexical: LexicalIndex,
                  config: EngineConfig | None = None, use_pallas: bool = True):
@@ -77,6 +83,15 @@ class Retriever:
         self.lexical = lexical
         self.config = config or EngineConfig()
         self.use_pallas = use_pallas
+        self._device_lexical = None
+
+    @property
+    def device_lexical(self):
+        if self._device_lexical is None:
+            from rassengine_tpu.lexical.device_bm25 import DeviceLexical
+
+            self._device_lexical = DeviceLexical(self.lexical)
+        return self._device_lexical
 
     # --- shared building blocks ----------------------------------------------
 
@@ -245,8 +260,15 @@ class Retriever:
     def hybrid_search_batch(self, queries: list[str], query_embs: np.ndarray,
                             k: int = 3, filter_clause=None,
                             patient_id=None) -> list[list[Hit]]:
-        """Batched hybrid_search: one semantic scan + per-query host lexical."""
+        """Batched hybrid_search — device BM25 + one scan, zero per-query host
+        work (falls back to candidate-union fusion past the bf16 HBM budget)."""
         spec = self._spec(filter_clause, patient_id)
+        idx = self.index
+        if 2 * idx.capacity * idx.dim <= HYBRID_BF16_BUDGET_BYTES:
+            try:
+                return self._hybrid_batch_device(queries, query_embs, k, spec)
+            except Exception:
+                log.exception("device hybrid path failed; using candidate union")
         m = max(4 * k, 50)
         sem_rows, sem_scores = self._sem_top_m_batch(query_embs, spec, m)
         out: list[list[Hit]] = []
@@ -262,6 +284,63 @@ class Retriever:
             parts.append((lex_only, self._sem_scores_for(query_embs[b], lex_only),
                           2.0))
             out.append(self._fuse(parts, k))
+        return out
+
+    def _hybrid_batch_device(self, queries: list[str], query_embs: np.ndarray,
+                             k: int, spec: FilterSpec,
+                             lex_weights: dict[str, float] | None = None,
+                             sem_weight: float = 2.0) -> list[list[Hit]]:
+        """Fully on-device batched hybrid (reference boosts main.py:1562-1615).
+
+        Host work is O(#query terms) dict lookups (device_bm25.plan); the
+        batch then runs as ONE jitted dispatch — corpus scan + sparse BM25 +
+        exact additive fusion ``2·cos + Σ w·bm25`` over BM25-top-M ∪
+        semantic-top-m candidates (device_bm25 docstring).
+        """
+        from rassengine_tpu.lexical.device_bm25 import hybrid_topk_batch
+
+        idx = self.index
+        chunk_ids, view, wvec = self.device_lexical.plan(
+            queries, lex_weights or {"text": 1.5, "keyword": 1.0})
+        mask = idx.filter_mask(spec)
+        q = np.atleast_2d(np.asarray(query_embs, np.float32))
+        m = min(max(4 * k, 64), 128, idx.capacity)
+        cols = idx.device_columns()
+        if self.use_pallas and idx.capacity >= idx.block_rows:
+            scan_mode = "pallas"
+        elif idx.capacity <= 65536:
+            scan_mode = "xla_direct"
+        else:
+            scan_mode = "xla_scan"
+
+        def run(mode):
+            with stage("hybrid_batch"):
+                return hybrid_topk_batch(
+                    cols["vecs"], mask, jnp.asarray(q), view.rows2d,
+                    view.contrib2d, jnp.asarray(chunk_ids), wvec,
+                    sem_weight, min(k, 256), m=m,
+                    block_rows=min(idx.block_rows, idx.capacity),
+                    scan_mode=mode)
+
+        try:
+            top_s, top_r = run(scan_mode)
+        except Exception:
+            if scan_mode != "pallas":
+                raise
+            self.use_pallas = False
+            top_s, top_r = run("xla_direct" if idx.capacity <= 65536
+                               else "xla_scan")
+        top_s, top_r = np.asarray(top_s), np.asarray(top_r)
+        out: list[list[Hit]] = []
+        for b in range(top_r.shape[0]):
+            hits: list[Hit] = []
+            for s, r in zip(top_s[b], top_r[b]):
+                if r < 0 or s <= NEG_INF / 2 or s <= 0.0:
+                    continue
+                src = idx.docs[int(r)]
+                if src is not None:
+                    hits.append((src, float(s)))
+            out.append(hits)
         return out
 
     def exact_match_search(self, query: str, k: int = 3,

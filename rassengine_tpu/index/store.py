@@ -72,8 +72,15 @@ class FilterSpec:
         kw = {k: list(v) for k, v in self.keyword_terms.items()}
         for k, v in other.keyword_terms.items():
             kw.setdefault(k, []).extend(v)
+        # same-field ranges INTERSECT (both constraints must hold); ranges on
+        # different fields still OR together in build_filter_mask
         dr = dict(self.date_ranges)
-        dr.update(other.date_ranges)
+        for fname, (lo, hi) in other.date_ranges.items():
+            if fname in dr:
+                olo, ohi = dr[fname]
+                lo = olo if lo is None else (lo if olo is None else max(lo, olo))
+                hi = ohi if hi is None else (hi if ohi is None else min(hi, ohi))
+            dr[fname] = (lo, hi)
         return FilterSpec(
             patient_id=self.patient_id or other.patient_id,
             doc_type=self.doc_type if self.doc_type is not None else other.doc_type,

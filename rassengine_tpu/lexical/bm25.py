@@ -109,6 +109,16 @@ class LexicalIndex:
         # per-row weighted length per group, grown on demand
         self._doc_len = np.zeros((0, N_GROUPS), np.float32)
         self._n_docs = 0
+        # bumped on every mutation: invalidates device views (device_bm25),
+        # the per-group avgdl cache, and the sorted-vocab prefix cache
+        self.generation = 0
+        self._stats_cache: dict[int, tuple[float, float]] = {}
+        self._sorted_terms: list[str] | None = None
+
+    def _mutated(self) -> None:
+        self.generation += 1
+        self._stats_cache.clear()
+        self._sorted_terms = None
 
     def _ensure_len(self, row: int) -> None:
         if row >= self._doc_len.shape[0]:
@@ -146,6 +156,7 @@ class LexicalIndex:
             p.fin = None
         self._doc_len[row] = length
         self._row_terms[row] = list(bag)
+        self._mutated()
 
     def _remove_row(self, row: int) -> None:
         for t in self._row_terms.pop(row, ()):
@@ -164,23 +175,39 @@ class LexicalIndex:
         if np.any(self._doc_len[row]):
             self._n_docs -= 1
         self._doc_len[row] = 0.0
+        self._mutated()
 
     # --- scoring --------------------------------------------------------------
 
     def _group_stats(self, g: int) -> tuple[float, float]:
+        # cached per generation: the avgdl sum is O(capacity) and sat on the
+        # per-query hot path before (1.7 ms/query at 1M rows on one core)
+        cached = self._stats_cache.get(g)
+        if cached is not None:
+            return cached
         n = max(1, self._n_docs)
         avgdl = float(self._doc_len[:, g].sum()) / n
-        return n, max(avgdl, 1e-6)
+        out = (n, max(avgdl, 1e-6))
+        self._stats_cache[g] = out
+        return out
 
     def expand_prefix(self, prefix: str, limit: int = 10) -> list[str]:
-        """Vocabulary terms starting with ``prefix`` (phrase_prefix support)."""
+        """Vocabulary terms starting with ``prefix`` (phrase_prefix support).
+
+        Bisects a sorted-vocab snapshot (rebuilt per index generation) instead
+        of scanning the whole vocabulary per query.
+        """
+        import bisect
+
         prefix = prefix.lower()
+        if self._sorted_terms is None:
+            self._sorted_terms = sorted(t for t in self._postings if "_" not in t)
+        terms = self._sorted_terms
+        i = bisect.bisect_left(terms, prefix)
         out = []
-        for t in self._postings:
-            if t.startswith(prefix) and "_" not in t:
-                out.append(t)
-                if len(out) >= limit:
-                    break
+        while i < len(terms) and len(out) < limit and terms[i].startswith(prefix):
+            out.append(terms[i])
+            i += 1
         return out
 
     def _select_postings(self, query: str, cap: int, g: int, *,

@@ -1,0 +1,158 @@
+"""Device-resident BM25 postings + fused hybrid parity vs the host oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rassengine_tpu.fusion.strategies import Retriever
+from rassengine_tpu.index.store import FilterSpec, TenantIndex
+from rassengine_tpu.lexical.bm25 import LexicalIndex
+from rassengine_tpu.lexical.device_bm25 import (
+    NEG_INF, SENTINEL, DeviceLexical, lexical_sparse_scores)
+
+DIM = 64
+VOCAB = [f"w{i:03d}" for i in range(40)]
+
+
+@pytest.fixture
+def small_corpus(rng):
+    idx = TenantIndex("t", DIM, capacity=256, block_rows=256)
+    lex = LexicalIndex()
+    for i in range(120):
+        words = " ".join(rng.choice(VOCAB, 10))
+        doc = {"doc_id": f"d{i}", "doc_type": "unstructured",
+               "patientId": f"p{i % 7}", "unstructuredText": words}
+        if i % 3 == 0:
+            doc["conditionCodeText"] = " ".join(rng.choice(VOCAB, 2))
+        v = rng.normal(size=(DIM,)).astype(np.float32)
+        row = idx.upsert(doc, v / np.linalg.norm(v))
+        lex.index_doc(row, doc)
+    return idx, lex
+
+
+def _device_scores_dense(lex, queries, group_weights, cap):
+    dl = DeviceLexical(lex)
+    chunk_ids, view, wvec = dl.plan(queries, group_weights)
+    rows, scores = lexical_sparse_scores(
+        view.rows2d, view.contrib2d, jnp.asarray(chunk_ids), wvec)
+    rows, scores = np.asarray(rows), np.asarray(scores)
+    dense = np.zeros((len(queries), cap), np.float32)
+    for b in range(len(queries)):
+        ok = (rows[b] < SENTINEL) & (scores[b] > NEG_INF / 2)
+        dense[b, rows[b][ok]] = scores[b][ok]
+    return dense
+
+
+def test_sparse_scores_match_host_oracle(small_corpus):
+    idx, lex = small_corpus
+    queries = [" ".join(VOCAB[i : i + 3]) for i in range(0, 12, 3)]
+    gw = {"text": 1.5, "keyword": 1.0}
+    got = _device_scores_dense(lex, queries, gw, idx.capacity)
+    for b, q in enumerate(queries):
+        want = np.zeros(idx.capacity, np.float32)
+        for g, w in gw.items():
+            rows, vals = lex.score_sparse(q, idx.capacity, g)
+            want[rows] += w * vals
+        np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_scores_unknown_terms_empty(small_corpus):
+    idx, lex = small_corpus
+    got = _device_scores_dense(lex, ["zzz qqq", ""], {"text": 1.0}, idx.capacity)
+    assert not got.any()
+
+
+def test_view_invalidated_on_mutation(small_corpus):
+    idx, lex = small_corpus
+    dl = DeviceLexical(lex)
+    v1 = dl.view(("text",))
+    assert dl.view(("text",)) is v1  # cached while generation unchanged
+    row = idx.upsert({"doc_id": "new", "doc_type": "unstructured",
+                      "unstructuredText": "w000 w001"}, None)
+    lex.index_doc(row, {"unstructuredText": "w000 w001"})
+    v2 = dl.view(("text",))
+    assert v2 is not v1 and v2.generation == lex.generation
+
+
+def test_hybrid_batch_matches_single_additive(small_corpus, rng):
+    """The batched device path must reproduce the corpus-exact additive
+    hybrid (same docs, same fused scores) when M/m exceed the matched set."""
+    idx, lex = small_corpus
+    r = Retriever(idx, lex, use_pallas=False)
+    queries = [" ".join(VOCAB[i : i + 3]) for i in range(0, 20, 4)]
+    embs = rng.normal(size=(len(queries), DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    batch = r._hybrid_batch_device(queries, embs, 5, FilterSpec())
+    for b, q in enumerate(queries):
+        single = r._additive_hybrid(q, embs[b], 5, FilterSpec(),
+                                    {"text": 1.5, "keyword": 1.0}, 2.0)
+        got = [(h[0]["doc_id"], round(h[1], 3)) for h in batch[b]]
+        want = [(h[0]["doc_id"], round(h[1], 3)) for h in single]
+        assert got == want
+
+
+def test_hybrid_batch_respects_filters(small_corpus, rng):
+    idx, lex = small_corpus
+    r = Retriever(idx, lex, use_pallas=False)
+    emb = rng.normal(size=(1, DIM)).astype(np.float32)
+    hits = r._hybrid_batch_device([" ".join(VOCAB[:4])], emb, 8,
+                                  FilterSpec(patient_id="p3"))
+    assert hits[0]
+    assert all(h[0]["patientId"] == "p3" for h in hits[0])
+
+
+def test_hybrid_batch_lexical_only_doc_found(rng):
+    """A doc with zero semantic score but strong BM25 must surface (the
+    corpus-wide additive semantics candidate-union fusion can miss)."""
+    idx = TenantIndex("t", DIM, capacity=256, block_rows=256)
+    lex = LexicalIndex()
+    for i in range(50):
+        doc = {"doc_id": f"d{i}", "doc_type": "unstructured",
+               "unstructuredText": " ".join(rng.choice(VOCAB[10:], 8))}
+        v = rng.normal(size=(DIM,)).astype(np.float32)
+        row = idx.upsert(doc, v / np.linalg.norm(v))
+        lex.index_doc(row, doc)
+    special = {"doc_id": "lexonly", "doc_type": "structured",
+               "conditionCodeText": "uniquetoken uniquetoken"}
+    row = idx.upsert(special, None)  # no embedding at all
+    lex.index_doc(row, special)
+    r = Retriever(idx, lex, use_pallas=False)
+    emb = rng.normal(size=(1, DIM)).astype(np.float32)
+    hits = r._hybrid_batch_device(["uniquetoken"], emb, 3, FilterSpec())
+    assert hits[0][0][0]["doc_id"] == "lexonly"
+
+
+def test_fused_scores_are_additive(small_corpus, rng):
+    """Fused score of the winner equals 2·cos + Σ w·bm25 recomputed by hand."""
+    idx, lex = small_corpus
+    r = Retriever(idx, lex, use_pallas=False)
+    q = " ".join(VOCAB[0:3])
+    emb = rng.normal(size=(DIM,)).astype(np.float32)
+    emb /= np.linalg.norm(emb)
+    hits = r._hybrid_batch_device([q], emb[None], 3, FilterSpec())[0]
+    assert hits
+    doc, score = hits[0]
+    row = idx._id_to_row[doc["doc_id"]]
+    bm = 0.0
+    for g, w in (("text", 1.5), ("keyword", 1.0)):
+        rows, vals = lex.score_sparse(q, idx.capacity, g)
+        pos = np.nonzero(rows == row)[0]
+        if pos.size:
+            bm += w * float(vals[pos[0]])
+    cos = float(idx._vecs[row] @ emb)
+    assert score == pytest.approx(2.0 * cos + bm, rel=2e-2, abs=2e-2)
+
+
+def test_truncation_keeps_highest_impact(rng):
+    """Impact-ordered slices: when a term's postings are truncated, the kept
+    ones are the highest-contribution docs."""
+    lex = LexicalIndex()
+    # one very common term with varying tf
+    for i in range(200):
+        lex.index_doc(i, {"unstructuredText": "common " * (1 + i % 5)})
+    dl = DeviceLexical(lex)
+    view = dl.view(("text",))
+    start_chunk, ln = view.terms[("text", "common")]
+    flat = np.asarray(view.contrib2d).reshape(-1)
+    contrib = flat[start_chunk * 128 : start_chunk * 128 + ln]
+    assert (np.diff(contrib) <= 1e-6).all()  # descending

@@ -93,3 +93,29 @@ class TestScoring:
         s = lx.score("zebra", 11)
         s_common = lx.score("common", 11)
         assert s[10] > s_common[0]
+
+
+class TestRegressions:
+    def test_expand_prefix_bisect_sorted(self):
+        lex = LexicalIndex()
+        lex.index_doc(0, {"unstructuredText": "alpha alphabet alpine beta betamax"})
+        assert lex.expand_prefix("alp") == ["alpha", "alphabet", "alpine"]
+        assert lex.expand_prefix("beta", limit=1) == ["beta"]
+        assert lex.expand_prefix("zzz") == []
+        # cache invalidates on mutation
+        lex.index_doc(1, {"unstructuredText": "alpaca"})
+        assert lex.expand_prefix("alp") == ["alpaca", "alpha", "alphabet", "alpine"]
+
+    def test_same_field_date_ranges_intersect(self):
+        from rassengine_tpu.index.store import FilterSpec
+
+        a = FilterSpec(date_ranges={"conditionOnsetDateTime": (100, 500)})
+        b = FilterSpec(date_ranges={"conditionOnsetDateTime": (300, 900),
+                                    "observationEffectiveDateTime": (1, 2)})
+        m = a.merged_with(b)
+        assert m.date_ranges["conditionOnsetDateTime"] == (300, 500)
+        assert m.date_ranges["observationEffectiveDateTime"] == (1, 2)
+        # None bounds defer to the other side's bound
+        c = FilterSpec(date_ranges={"conditionOnsetDateTime": (None, 400)})
+        m2 = a.merged_with(c)
+        assert m2.date_ranges["conditionOnsetDateTime"] == (100, 400)
