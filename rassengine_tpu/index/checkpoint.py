@@ -74,12 +74,19 @@ def load_tenant(path: str) -> tuple[TenantIndex, LexicalIndex]:
 
 
 def save_engine(engine, root: str) -> None:
-    """Persist every tenant of a RassEngine."""
+    """Persist every tenant of a RassEngine.
+
+    Runs concurrently with ingestion/retrieval (serve/app.py checkpoint loop):
+    snapshot the tenants dict first (a live ``tenant()`` insert would raise
+    mid-iteration) and hold each tenant's mutation lock while serializing so a
+    concurrent upsert can't leave a half-written row in the checkpoint.
+    """
     os.makedirs(root, exist_ok=True)
     names = []
-    for name, tenant in engine._tenants.items():
+    for name, tenant in list(engine._tenants.items()):
         safe = name.replace("/", "_")
-        save_tenant(tenant.index, os.path.join(root, safe))
+        with tenant.lock:
+            save_tenant(tenant.index, os.path.join(root, safe))
         names.append(safe)
     with open(os.path.join(root, "tenants.json"), "w") as f:
         json.dump(names, f)

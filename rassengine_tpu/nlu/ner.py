@@ -173,14 +173,34 @@ class ModelNER:
         self.threshold = threshold
         self._fwd = jax.jit(self.model.apply)
 
+    def _encode_words(self, words: list[str]):
+        """One token per whitespace word — the exact training-time scheme
+        (train/ner_train.py encode_ner)."""
+        from rassengine_tpu.models.tokenizer import (
+            CLS_ID, PAD_ID, SEP_ID, bucket_length)
+
+        if not hasattr(self.tokenizer, "_token_id"):  # WordPiece weights path
+            return self.tokenizer.encode_batch([" ".join(words)], 128)
+        body = [self.tokenizer._token_id(w) for w in words[:126]]
+        toks = [CLS_ID] + body + [SEP_ID]
+        pad_to = bucket_length(len(toks), 128)
+        ids = np.full((1, pad_to), PAD_ID, np.int32)
+        mask = np.zeros((1, pad_to), np.int32)
+        ids[0, : len(toks)] = toks
+        mask[0, : len(toks)] = 1
+        return ids, mask
+
     def extract(self, query: str) -> list[Entity]:
         import jax.nn
 
         words = query.split()
         if not words:
             return []
-        # word-level tokenization: one "token" per word via the hash tokenizer
-        ids, mask = self.tokenizer.encode_batch([query], 128)
+        # word-level tokenization: one token per *whitespace word*, hashed with
+        # the same scheme as training (train/ner_train.py encode_ner hashes
+        # whole words; encode_batch's _WORD_RE would split punctuation into
+        # separate tokens and shift the position→word alignment)
+        ids, mask = self._encode_words(words)
         logits = self._fwd(self.params, ids, mask)
         probs = np.asarray(jax.nn.softmax(logits[0]))  # [L, num_labels]
         n = int(mask[0].sum())

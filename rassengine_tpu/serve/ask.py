@@ -210,7 +210,14 @@ class AskService:
                 break
             from rassengine_tpu.utils.files import retrieve_ehr_document
 
-            content = retrieve_ehr_document(path)
+            # file_path metadata is data, not a trusted filesystem reference:
+            # only read it if it resolves inside a configured ingest root
+            content = None
+            for root in (self.config.upload_dir, self.config.emb_dir):
+                if root:
+                    content = retrieve_ehr_document(path, upload_root=root)
+                    if content is not None:
+                        break
             if content is not None:
                 files.append(f"=== {os.path.basename(path)} ===\n{content}")
         if not files:

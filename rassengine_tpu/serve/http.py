@@ -116,6 +116,9 @@ class WebSocket:
                 n = struct.unpack(">H", await self.reader.readexactly(2))[0]
             elif n == 127:
                 n = struct.unpack(">Q", await self.reader.readexactly(8))[0]
+            if n + len(buf) > MAX_BODY:  # frame length is client-controlled
+                await self.close(1009)  # 1009 = message too big
+                return None
             mask = await self.reader.readexactly(4) if masked else b"\0\0\0\0"
             payload = await self.reader.readexactly(n)
             payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
@@ -185,7 +188,11 @@ class App:
                 path = unquote(parsed.path)
                 query = parse_qs(parsed.query)
                 if "chunked" in headers.get("transfer-encoding", "").lower():
-                    body = await self._read_chunked(reader)
+                    try:
+                        body = await self._read_chunked(reader)
+                    except ValueError:
+                        await self._write(writer, Response.error(400, "malformed chunked body"))
+                        return
                     if body is None:
                         await self._write(writer, Response.error(413, "body too large"))
                         return
@@ -225,7 +232,10 @@ class App:
                 pass
 
     async def _read_chunked(self, reader: asyncio.StreamReader) -> bytes | None:
-        """RFC 7230 chunked request body; None when over MAX_BODY."""
+        """RFC 7230 chunked request body; None when over MAX_BODY.
+
+        Raises ValueError on a malformed chunk-size line.
+        """
         chunks = []
         total = 0
         while True:
@@ -233,7 +243,9 @@ class App:
             try:
                 size = int(size_line.strip().split(b";")[0], 16)
             except ValueError:
-                return b"".join(chunks)
+                # a malformed size line is a protocol error, not end-of-body —
+                # silently truncating here would hand the handler a partial body
+                raise ValueError("malformed chunk-size line")
             if size == 0:
                 await reader.readline()  # trailing CRLF (no trailer support)
                 return b"".join(chunks)

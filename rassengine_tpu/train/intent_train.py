@@ -34,12 +34,13 @@ def evaluate(model, tokenizer):
         fwd = jax.jit(model.apply)
         for b in eval_batches:
             logits = np.asarray(fwd(params, b["ids"], b["mask"]))
-            preds.extend(np.argmax(logits, axis=-1).tolist())
-            golds.extend(np.asarray(b["labels"]).tolist())
-        n = len(golds)
+            p = np.argmax(logits, axis=-1)
+            v = np.asarray(b["valid"]) == 1  # drop zero-padded tail rows
+            preds.extend(p[v].tolist())
+            golds.extend(np.asarray(b["labels"])[v].tolist())
         return {
-            "accuracy": float(accuracy_score(golds[:n], preds[:n])),
-            "f1": float(f1_score(golds[:n], preds[:n], average="weighted",
+            "accuracy": float(accuracy_score(golds, preds)),
+            "f1": float(f1_score(golds, preds, average="weighted",
                                  zero_division=0)),
         }
 

@@ -46,11 +46,16 @@ def make_optimizer(cfg: TrainConfig):
     return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
 
 
-def sequence_loss(logits, labels):
-    """Cross-entropy for sequence classification. logits [B, C], labels [B]."""
+def sequence_loss(logits, labels, valid=None):
+    """Cross-entropy for sequence classification. logits [B, C], labels [B],
+    valid [B] (1 = real example; batch_iterator zero-pads tail batches and a
+    padded row must not train the model toward label 0)."""
     logp = jax.nn.log_softmax(logits)
     ll = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-    return -jnp.mean(ll)
+    if valid is None:
+        return -jnp.mean(ll)
+    v = valid.astype(jnp.float32)
+    return -(ll * v).sum() / jnp.maximum(v.sum(), 1.0)
 
 
 def token_loss(logits, labels, mask):
@@ -68,8 +73,9 @@ def make_train_step(model, optimizer, token_level: bool):
     def loss_fn(params, batch):
         logits = model.apply(params, batch["ids"], batch["mask"])
         if token_level:
+            # padded rows have an all-zero mask, so they drop out of token_loss
             return token_loss(logits, batch["labels"], batch["mask"])
-        return sequence_loss(logits, batch["labels"])
+        return sequence_loss(logits, batch["labels"], batch.get("valid"))
 
     @jax.jit
     def train_step(params, opt_state, batch):
@@ -88,7 +94,7 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh, token_level: bool):
         logits = model.apply(params, batch["ids"], batch["mask"])
         if token_level:
             return token_loss(logits, batch["labels"], batch["mask"])
-        return sequence_loss(logits, batch["labels"])
+        return sequence_loss(logits, batch["labels"], batch.get("valid"))
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
@@ -184,17 +190,25 @@ class Trainer:
 
 
 def batch_iterator(ids, mask, labels, batch_size: int) -> list[dict]:
-    """Fixed-shape batches (pad the tail) → list of device-ready dicts."""
+    """Fixed-shape batches (pad the tail) → list of device-ready dicts.
+
+    Each batch carries a ``valid`` [B] flag (0 for zero-padded tail rows) so
+    padded examples stay out of the loss and eval metrics.
+    """
     n = ids.shape[0]
     batches = []
     for start in range(0, n, batch_size):
         sl = slice(start, start + batch_size)
         b_ids, b_mask, b_labels = ids[sl], mask[sl], labels[sl]
-        pad = batch_size - b_ids.shape[0]
+        n_real = b_ids.shape[0]
+        pad = batch_size - n_real
+        valid = np.ones(batch_size, np.int32)
         if pad:
             b_ids = np.pad(b_ids, ((0, pad),) + ((0, 0),) * (b_ids.ndim - 1))
             b_mask = np.pad(b_mask, ((0, pad),) + ((0, 0),) * (b_mask.ndim - 1))
             b_labels = np.pad(b_labels, ((0, pad),) + ((0, 0),) * (b_labels.ndim - 1))
+            valid[n_real:] = 0
         batches.append({"ids": jnp.asarray(b_ids), "mask": jnp.asarray(b_mask),
-                        "labels": jnp.asarray(b_labels)})
+                        "labels": jnp.asarray(b_labels),
+                        "valid": jnp.asarray(valid)})
     return batches

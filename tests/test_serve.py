@@ -485,3 +485,140 @@ class TestChunkedRequests:
             await server.wait_closed()
 
         run(scenario())
+
+
+class TestAdviceRegressions:
+    """Regression tests for round-1 advisor findings (ADVICE.md)."""
+
+    def test_ws_oversized_frame_rejected(self, engine):
+        """A client frame header declaring a multi-GB payload must close the
+        socket (1009), not buffer it (serve/http.py recv_text cap)."""
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            w.write(
+                b"GET /ws/ask HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                b"Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                b"Sec-WebSocket-Version: 13\r\n\r\n")
+            await w.drain()
+            await r.readuntil(b"\r\n\r\n")
+            import struct as _s
+            # 64-bit length frame claiming 8 GB, masked, no payload sent
+            w.write(bytes([0x81, 0x80 | 127]) + _s.pack(">Q", 8 << 30)
+                    + b"\x00\x00\x00\x00")
+            await w.drain()
+            head = await asyncio.wait_for(r.readexactly(2), 10)
+            assert head[0] & 0x0F == 0x8  # close frame
+            n = head[1] & 0x7F
+            payload = await r.readexactly(n)
+            assert _s.unpack(">H", payload[:2])[0] == 1009
+            w.close()
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
+
+    def test_malformed_chunk_size_is_400(self, engine):
+        """An unparsable chunk-size line is a protocol error, not a silent
+        end-of-body truncation (serve/http.py _read_chunked)."""
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            w.write(b"POST /ask HTTP/1.1\r\nHost: x\r\n"
+                    b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n"
+                    b"ZZZ\r\ngarbage\r\n0\r\n\r\n")
+            await w.drain()
+            data = await r.read()
+            w.close()
+            assert b" 400 " in data.split(b"\r\n")[0] + b" "
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
+
+    def test_document_fetch_refuses_paths_outside_roots(self, engine, tmp_path):
+        """Indexed file_path metadata must not read arbitrary disk paths
+        (serve/ask.py _fetch_documents now passes upload_root)."""
+        import types
+
+        secret = tmp_path / "secret.txt"
+        secret.write_text("TOP SECRET CONTENTS")
+        svc = AskService(engine, db=ChatStore(":memory:"))
+        result = types.SimpleNamespace(
+            patient_ids=["p1"],
+            hits=[({"doc_id": "d1", "file_path": str(secret),
+                    "unstructuredText": "indexed body"}, 1.0)],
+        )
+        out = svc._fetch_documents(result)
+        assert "TOP SECRET" not in out
+        assert "indexed body" in out  # falls back to the indexed doc body
+
+    def test_document_fetch_reads_inside_upload_root(self, engine, tmp_path):
+        import types
+
+        cfg = engine.config
+        old = cfg.upload_dir
+        object.__setattr__(cfg, "upload_dir", str(tmp_path))
+        try:
+            doc = tmp_path / "u1" / "rec.txt"
+            doc.parent.mkdir(parents=True, exist_ok=True)
+            doc.write_text("inside-root body")
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            result = types.SimpleNamespace(
+                patient_ids=["p1"],
+                hits=[({"doc_id": "d1", "file_path": str(doc)}, 1.0)],
+            )
+            out = svc._fetch_documents(result)
+            assert "inside-root body" in out
+        finally:
+            object.__setattr__(cfg, "upload_dir", old)
+
+    def test_checkpoint_save_locks_tenants(self, engine, tmp_path):
+        """save_engine snapshots the tenant dict and serializes under each
+        tenant's lock — concurrent ingestion can't corrupt a checkpoint."""
+        import threading
+        from rassengine_tpu.index.checkpoint import load_engine, save_engine
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.engine import RassEngine
+        from rassengine_tpu.models.bert import BertConfig
+
+        cfg = EngineConfig(embed_dim=32, embed_batch_size=4, index_capacity=4096,
+                           index_block_rows=512, database_path=":memory:",
+                           llm_backend="echo", intent_model_path="/nonexistent",
+                           ner_model_path="/nonexistent")
+        eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        stop = threading.Event()
+        errors = []
+
+        def churn():
+            i = 0
+            while not stop.is_set():
+                try:
+                    eng.ingest_docs(f"t{i % 3}", [], [
+                        {"doc_id": f"d{i}", "doc_type": "unstructured",
+                         "unstructuredText": f"note number {i} hypertension"}])
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+                i += 1
+
+        t = threading.Thread(target=churn)
+        t.start()
+        try:
+            for _ in range(5):
+                save_engine(eng, str(tmp_path / "ckpt"))
+        finally:
+            stop.set()
+            t.join()
+        assert not errors
+        # every persisted tenant loads back with fully-formed docs
+        eng2 = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        load_engine(eng2, str(tmp_path / "ckpt"))
+        for t2 in eng2._tenants.values():
+            for row in range(t2.index.count):
+                assert t2.index.docs[row] is not None

@@ -71,3 +71,46 @@ class TestNerTraining:
                     # I- must continue a same-type B-/I-
                     assert prev != "O" and prev.split("-", 1)[1] == lbl.split("-", 1)[1]
                 prev = lbl
+
+
+class TestAdviceRegressions:
+    def test_padded_rows_excluded_from_loss(self):
+        """batch_iterator zero-pads tail batches; padded rows (label 0) must
+        not contribute to sequence loss or eval (ADVICE round 1)."""
+        import jax.numpy as jnp
+        from rassengine_tpu.train.trainer import batch_iterator, sequence_loss
+
+        ids = np.ones((5, 8), np.int32)
+        mask = np.ones((5, 8), np.int32)
+        labels = np.arange(5, dtype=np.int32) + 1
+        batches = batch_iterator(ids, mask, labels, batch_size=4)
+        assert [int(b["valid"].sum()) for b in batches] == [4, 1]
+
+        # loss over the padded batch must equal loss over the single real row
+        logits = jnp.asarray(np.random.RandomState(0).randn(4, 12).astype(np.float32))
+        tail = batches[1]
+        masked = float(sequence_loss(logits, tail["labels"], tail["valid"]))
+        alone = float(sequence_loss(logits[:1], tail["labels"][:1]))
+        assert abs(masked - alone) < 1e-5
+
+    def test_ner_inference_tokenizes_like_training(self, tmp_path):
+        """Punctuated queries must hash whole whitespace words, the exact
+        training-time scheme (ADVICE round 1: _WORD_RE splitting shifted the
+        position->word alignment and fed the model unseen ids)."""
+        from rassengine_tpu.train import ner_train
+        from rassengine_tpu.nlu.ner import ModelNER
+        from rassengine_tpu.train.ner_train import encode_ner
+
+        out = str(tmp_path / "ner_tok")
+        result = ner_train.main(samples=64, epochs=1, size="tiny", out=out,
+                                batch_size=16)
+        ner = ModelNER(result["final_path"], threshold=0.0)
+        words = "does Jane Doe have diabetes?".split()
+        ids, mask = ner._encode_words(words)
+        ref_ids, ref_mask, _ = encode_ner([(words, [0] * len(words))],
+                                          ner.tokenizer)
+        n = len(words) + 2
+        assert ids[0, :n].tolist() == ref_ids[0, :n].tolist()
+        assert int(mask.sum()) == n  # one token per word + CLS/SEP
+        ents = ner.extract("does Jane Doe have diabetes?")
+        assert isinstance(ents, list)
