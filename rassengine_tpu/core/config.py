@@ -62,10 +62,13 @@ class EngineConfig:
     # --- ANN (replaces HNSW m=48 ef_construction=400, main.py:563-572) ---
     ann_enabled: bool = True
     ann_threshold: int = 200_000        # below this, exact scan is faster than IVF
+    ann_mode: str = "auto"              # auto | exact | int8 | pq | ivf
     ivf_nlist: int = 1024
     ivf_nprobe: int = 64
     ivf_rerank: int = 256               # exact re-rank depth after list scan
-    pq_subvectors: int = 64             # for 10M-scale int8/PQ compression
+    pq_subvectors: int = 64             # PQ bytes/vector (>int8-budget corpora)
+    pq_oversample: int = 8              # ADC candidates = oversample × k
+    int8_hbm_budget_bytes: int = 12 * 1024**3  # beyond this, codes go PQ
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
     ner_model_path: str = "./ner_model/final"
     intent_model_path: str = "./intent_model/final"
@@ -127,6 +130,13 @@ class EngineConfig:
             index_capacity=_env_int("INDEX_CAPACITY", 16384),
             shard_count=_env_int("SHARD_COUNT", 1),
             replica_count=_env_int("REPLICA_COUNT", 0),
+            ann_mode=os.getenv("ANN_MODE", "auto"),
+            ivf_nlist=_env_int("IVF_NLIST", 1024),
+            ivf_nprobe=_env_int("IVF_NPROBE", 64),
+            ivf_rerank=_env_int("IVF_RERANK", 256),
+            pq_subvectors=_env_int("PQ_SUBVECTORS", 64),
+            pq_oversample=_env_int("PQ_OVERSAMPLE", 8),
+            int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),
             ner_model_path=os.getenv("NER_MODEL_PATH", "./ner_model/final"),
             intent_model_path=os.getenv("INTENT_MODEL_PATH", "./intent_model/final"),
             intent_threshold=_env_float("INTENT_THRESHOLD", 0.75),

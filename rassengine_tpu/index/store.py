@@ -39,6 +39,14 @@ MAX_FILTER_VALUES = 4  # max OR'd values per keyword field in one filter
 _KW_POS = {f: i for i, f in enumerate(schema.KEYWORD_FIELDS)}
 _DATE_POS = {f: i for i, f in enumerate(schema.DATE_FIELDS)}
 
+# aggregation column → the doc key(s) it dictionary-encodes
+AGG_FIELDS: dict[str, tuple[str, ...]] = {
+    "condition": ("conditionCodeText",),
+    "resource": ("resourceType",),
+    "patient": ("patientId",),
+    "filekey": ("file_path", "doc_id"),  # first non-empty wins
+}
+
 
 def stable_hash32(s: str) -> int:
     """Stable positive 31-bit hash for routing/term columns (0 reserved for none)."""
@@ -171,8 +179,25 @@ class TenantIndex:
         self._id_to_row: dict[str, int] = {}
         self._device: dict | None = None
         self._device_q: dict | None = None  # int8 codes + scales (large corpora)
+        self._device_pq4: dict | None = None  # packed 4-bit PQ codes (>int8 budget)
+        self._pq4 = None
         self._mask_cache: dict = {}
-        self._dirty = True
+        # every mutation bumps the generation; each device view records the
+        # generation it was flushed at (a shared boolean went stale: refreshing
+        # the filter columns must not mark the int8/PQ code views fresh)
+        self.generation = 0
+        self._flushed = {"cols": -1, "int8": -1, "pq4": -1, "mask": -1}
+        self._deleted = np.zeros((self.capacity,), dtype=bool)
+        self.deleted_count = 0
+        # dense-coded aggregation columns: terms-aggs and distinct-file
+        # collapse run as vectorized bincounts instead of Python doc loops
+        # (reference aggregate_search main.py:1777-1808, collapse main.py:2143)
+        self._agg_cols: dict[str, np.ndarray] = {
+            name: np.zeros((self.capacity,), np.int32) for name in AGG_FIELDS
+        }
+        # per-column dictionary: value string → dense code (0 = absent)
+        self._agg_dicts: dict[str, dict[str, int]] = {n: {} for n in AGG_FIELDS}
+        self._agg_values: dict[str, list[str | None]] = {n: [None] for n in AGG_FIELDS}
 
     # --- ingestion -----------------------------------------------------------
 
@@ -214,8 +239,106 @@ class TenantIndex:
             self._keyword[row, pos] = stable_hash32(str(val).strip().lower()) if val else 0
         for f, pos in _DATE_POS.items():
             self._dates[row, pos] = schema.date_to_epoch_days(doc.get(f))
-        self._dirty = True
+        self.encode_agg(row, doc)
+        self._mutated()
         return row
+
+    def _mutated(self) -> None:
+        self.generation += 1
+
+    # --- deletion / compaction -------------------------------------------------
+    # The reference delegates deletes to OpenSearch; long-lived mutable tenants
+    # here tombstone rows (excluded from every mask) and periodically compact.
+
+    def delete(self, doc_id: str) -> bool:
+        """Tombstone one document; False if the id is unknown."""
+        row = self._id_to_row.pop(str(doc_id), None)
+        if row is None:
+            return False
+        self.docs[row] = None
+        self._deleted[row] = True
+        self.deleted_count += 1
+        self._vecs[row] = 0.0
+        self._has_embedding[row] = False
+        self._patient_hash[row] = 0
+        self._resource_type[row] = 0
+        self._keyword[row] = 0
+        self._dates[row] = schema.NO_DATE
+        for col in self._agg_cols.values():
+            col[row] = 0
+        self._mutated()
+        return True
+
+    def compact(self) -> np.ndarray:
+        """Drop tombstoned rows in place; → kept old-row ids (in new-row order).
+
+        Lexical postings reference row ids, so the caller must rebuild its
+        LexicalIndex from the surviving docs (engine.compact_tenant).
+        """
+        keep = np.asarray([r for r in range(self.count)
+                           if self.docs[r] is not None and not self._deleted[r]],
+                          dtype=np.int64)
+        n_new = keep.size
+        for name in ("_vecs", "_patient_hash", "_resource_type", "_doc_type",
+                     "_has_embedding", "_keyword"):
+            arr = getattr(self, name)
+            arr[:n_new] = arr[keep]
+            arr[n_new: self.count] = 0
+        self._dates[:n_new] = self._dates[keep]
+        self._dates[n_new: self.count] = schema.NO_DATE
+        for col in self._agg_cols.values():
+            col[:n_new] = col[keep]
+            col[n_new: self.count] = 0
+        new_docs = [self.docs[r] for r in keep]
+        self.docs[:n_new] = new_docs
+        for r in range(n_new, self.count):
+            self.docs[r] = None
+        self._id_to_row = {str(d.get("doc_id")): i for i, d in enumerate(new_docs)}
+        self.count = n_new
+        self._deleted[:] = False
+        self.deleted_count = 0
+        self._mutated()
+        return keep
+
+    def encode_agg(self, row: int, doc: dict) -> None:
+        """Dictionary-encode the aggregation columns for one row."""
+        for name, keys in AGG_FIELDS.items():
+            val = next((doc.get(k) for k in keys if doc.get(k)), None)
+            if val is None:
+                self._agg_cols[name][row] = 0
+                continue
+            val = str(val)
+            d = self._agg_dicts[name]
+            code = d.get(val)
+            if code is None:
+                code = len(self._agg_values[name])
+                d[val] = code
+                self._agg_values[name].append(val)
+            self._agg_cols[name][row] = code
+
+    def agg_buckets(self, name: str, mask: np.ndarray, size: int = 5) -> dict:
+        """Terms aggregation over one dense-coded column (vectorized bincount;
+        the reference's terms aggs, main.py:1786-1800). Ties break by key asc
+        like OpenSearch."""
+        codes = self._agg_cols[name][mask]
+        counts = np.bincount(codes, minlength=len(self._agg_values[name]))
+        counts[0] = 0  # code 0 = field absent
+        nz = np.nonzero(counts)[0]
+        vals = self._agg_values[name]
+        top = sorted(((vals[c], int(counts[c])) for c in nz),
+                     key=lambda kv: (-kv[1], kv[0]))[:size]
+        return {"buckets": [{"key": k, "doc_count": n} for k, n in top]}
+
+    def distinct_first_rows(self, name: str, mask: np.ndarray, k: int) -> np.ndarray:
+        """First row (in row order) of each distinct value of an agg column
+        within ``mask`` — the vectorized collapse for document_fetch_search."""
+        rows = np.nonzero(mask)[0]
+        if rows.size == 0:
+            return rows
+        codes = self._agg_cols[name][rows]
+        _, first = np.unique(codes, return_index=True)
+        first.sort()
+        return rows[first[:k]]
 
     def upsert_batch(self, docs: list[dict], embeddings: np.ndarray | None = None) -> int:
         n = 0
@@ -236,11 +359,14 @@ class TenantIndex:
         self._has_embedding = _pad_rows(self._has_embedding, new_cap)
         self._keyword = _pad_rows(self._keyword, new_cap)
         self._dates = _pad_rows(self._dates, new_cap, fill=schema.NO_DATE)
+        self._agg_cols = {n: _pad_rows(c, new_cap) for n, c in self._agg_cols.items()}
+        self._deleted = _pad_rows(self._deleted, new_cap)
         self.docs.extend([None] * (new_cap - self.capacity))
         self.capacity = new_cap
         self._device = None
         self._device_q = None
-        self._dirty = True
+        self._device_pq4 = None
+        self._mutated()
 
     # --- device view ---------------------------------------------------------
 
@@ -251,12 +377,13 @@ class TenantIndex:
         path owns the HBM vector budget at 10M-scale; exact re-rank reads the
         host-canonical f32 rows instead).
         """
-        if self._device is not None and not self._dirty:
+        if self._device is not None and self._flushed["cols"] == self.generation:
             if include_vecs and "vecs" not in self._device:
                 self._device["vecs"] = jnp.asarray(self._vecs, dtype=STORE_DTYPE)
             return self._device
         valid = np.zeros((self.capacity,), dtype=bool)
         valid[: self.count] = True
+        valid &= ~self._deleted
         self._device = {
             "valid": jnp.asarray(valid),
             "patient_hash": jnp.asarray(self._patient_hash),
@@ -268,8 +395,37 @@ class TenantIndex:
         }
         if include_vecs:
             self._device["vecs"] = jnp.asarray(self._vecs, dtype=STORE_DTYPE)
-        self._dirty = False
+        self._flushed["cols"] = self.generation
         return self._device
+
+    def device_columns_pq4(self, bytes_per_vec: int) -> dict:
+        """Packed 4-bit PQ codes + codebooks on device (index/pq4.py) — the
+        scan view for corpora whose rows never touch HBM (beyond the int8
+        budget). Codebooks train once and retrain when the corpus doubles;
+        codes re-encode per index generation.
+        """
+        if (self._device_pq4 is not None
+                and self._flushed["pq4"] == self.generation):
+            return self._device_pq4
+        from rassengine_tpu.index.pq4 import Pq4Index
+
+        self.device_columns(include_vecs=False)  # refresh filter columns
+        m_sub = Pq4Index.subvectors_for(self.dim, bytes_per_vec)
+        pq = self._pq4
+        if (pq is None or pq.m_sub != m_sub
+                or self.count > 2 * max(pq.trained_count, 1)):
+            pq = Pq4Index.build(self._vecs, m_sub, count=self.count)
+            self._pq4 = pq
+        else:
+            pq.packed, pq.assign = pq.encode(self._vecs, 0, self.capacity)
+        self._device_pq4 = {
+            "packed": jnp.asarray(pq.packed),
+            "assign": jnp.asarray(pq.assign),
+            "codebooks": jnp.asarray(pq.codebooks),
+            "coarse": jnp.asarray(pq.coarse),
+        }
+        self._flushed["pq4"] = self.generation
+        return self._device_pq4
 
     def device_columns_int8(self) -> dict:
         """int8 codes + per-row scales for the quantized scan (index/quant.py).
@@ -277,7 +433,7 @@ class TenantIndex:
         Halves HBM residency vs bf16 — the path for corpora near HBM capacity
         (10M×1024-d). Rebuilt lazily when the index mutates.
         """
-        if self._device_q is not None and not self._dirty:
+        if self._device_q is not None and self._flushed["int8"] == self.generation:
             return self._device_q
         from rassengine_tpu.index.quant import quantize_int8
 
@@ -288,6 +444,7 @@ class TenantIndex:
             "codes": jnp.asarray(codes),
             "scales": jnp.asarray(scales),
         }
+        self._flushed["int8"] = self.generation
         return self._device_q
 
     def filter_mask(self, spec: FilterSpec | None) -> jax.Array:
@@ -295,12 +452,13 @@ class TenantIndex:
         # cache per (index generation, spec): the common no-filter / per-patient
         # masks are reused on every query of a serving session
         key = tuple(np.asarray(v).tobytes() for v in spec_arrays.values())
-        if not self._dirty:
+        if self._flushed["mask"] == self.generation:
             cached = self._mask_cache.get(key)
             if cached is not None:
                 return cached
         else:
             self._mask_cache.clear()
+            self._flushed["mask"] = self.generation
         cols = self.device_columns(include_vecs=False)
         spec_dev = {k: jnp.asarray(v) for k, v in spec_arrays.items()}
         mask = build_filter_mask(
@@ -320,6 +478,7 @@ class TenantIndex:
         s = (spec or FilterSpec()).to_arrays()
         ok = np.zeros(self.capacity, bool)
         ok[: self.count] = True
+        ok &= ~self._deleted
         if s["patient"] != 0:
             ok &= self._patient_hash == s["patient"]
         if s["doc_type"] >= 0:

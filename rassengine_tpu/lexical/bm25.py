@@ -93,6 +93,36 @@ def analyze(text: str, bigrams: bool = False) -> list[str]:
     return toks
 
 
+def _deletions1(term: str) -> list[str]:
+    """All strings obtained by deleting one character."""
+    return [term[:i] + term[i + 1:] for i in range(len(term))]
+
+
+def damerau1(a: str, b: str) -> bool:
+    """True iff Damerau-Levenshtein distance(a, b) <= 1 (one insert, delete,
+    substitute, or adjacent transposition — OpenSearch AUTO fuzziness counts
+    transpositions by default)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # la <= lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if la == lb:
+        # substitution at i, or adjacent transposition
+        if a[i + 1:] == b[i + 1:]:
+            return True
+        return (i + 1 < la and a[i] == b[i + 1] and a[i + 1] == b[i]
+                and a[i + 2:] == b[i + 2:])
+    # insertion into a at position i
+    return a[i:] == b[i + 1:]
+
+
 class _Posting:
     __slots__ = ("rows", "wtf", "fin")
 
@@ -114,11 +144,13 @@ class LexicalIndex:
         self.generation = 0
         self._stats_cache: dict[int, tuple[float, float]] = {}
         self._sorted_terms: list[str] | None = None
+        self._del_map: dict[str, list[str]] | None = None
 
     def _mutated(self) -> None:
         self.generation += 1
         self._stats_cache.clear()
         self._sorted_terms = None
+        self._del_map = None
 
     def _ensure_len(self, row: int) -> None:
         if row >= self._doc_len.shape[0]:
@@ -157,6 +189,10 @@ class LexicalIndex:
         self._doc_len[row] = length
         self._row_terms[row] = list(bag)
         self._mutated()
+
+    def remove_doc(self, row: int) -> None:
+        """Drop a document's postings (delete-by-doc_id support)."""
+        self._remove_row(row)
 
     def _remove_row(self, row: int) -> None:
         for t in self._row_terms.pop(row, ()):
@@ -210,13 +246,53 @@ class LexicalIndex:
             i += 1
         return out
 
+    def fuzzy_expand(self, term: str, limit: int = 3) -> list[str]:
+        """Edit-distance-1 vocabulary neighbors of an out-of-vocab term.
+
+        Reference hybrid/patient-name queries use ``"fuzziness": "AUTO"``
+        (main.py:1582, 2709-2731); this is the query-analysis-time equivalent:
+        a SymSpell-style deletion-neighborhood lookup (built lazily per index
+        generation, O(Σ|term|) memory) verified with Damerau distance ≤ 1.
+        Terms under 3 chars stay exact, matching AUTO's 0-2-char band.
+        """
+        term = term.lower()
+        if len(term) < 3:
+            return []
+        if self._del_map is None:
+            dm: dict[str, list[str]] = {}
+            for t in self._postings:
+                if "_" in t or len(t) < 3:
+                    continue
+                for v in _deletions1(t):
+                    dm.setdefault(v, []).append(t)
+            self._del_map = dm
+        dm = self._del_map
+        cands: set[str] = set(dm.get(term, ()))
+        for v in _deletions1(term):
+            if v in self._postings and "_" not in v:
+                cands.add(v)          # query has one extra char
+            cands.update(dm.get(v, ()))  # shared deletion: substitution/swap
+        cands.discard(term)
+        good = sorted(c for c in cands if damerau1(term, c))
+        # prefer the most common neighbors (highest df) like OpenSearch's
+        # fuzzy expansion; df = posting length
+        good.sort(key=lambda t: -len(self._postings[t].rows))
+        return good[:limit]
+
     def _select_postings(self, query: str, cap: int, g: int, *,
-                         phrase: bool, prefix_last: bool):
+                         phrase: bool, prefix_last: bool, fuzzy: bool = False):
         """→ (base_terms, [(rows, wtf_g, idf, is_base)]) for one query/group."""
         base_terms = [t for t in analyze(query) if "_" not in t]
         if not base_terms:
             return base_terms, []
         terms: list[str] = list(dict.fromkeys(base_terms))
+        if fuzzy:
+            # expand only out-of-vocab terms (typos); in-vocab terms keep
+            # their exact-match scoring
+            for t in list(terms):
+                if t not in self._postings:
+                    terms.extend(self.fuzzy_expand(t))
+            terms = list(dict.fromkeys(terms))
         if prefix_last and terms:
             terms = terms[:-1] + self.expand_prefix(terms[-1])
         if phrase:
@@ -242,7 +318,8 @@ class LexicalIndex:
 
     def score_sparse(self, query: str, cap: int, group: str = "text", *,
                      phrase: bool = False, require_all: bool = False,
-                     prefix_last: bool = False) -> tuple[np.ndarray, np.ndarray]:
+                     prefix_last: bool = False,
+                     fuzzy: bool = False) -> tuple[np.ndarray, np.ndarray]:
         """Sparse BM25 scores → (rows, scores), touching only matched docs.
 
         The hybrid hot path: no dense [cap] arrays, cost is O(total postings
@@ -250,7 +327,8 @@ class LexicalIndex:
         """
         g = _G[group]
         base_terms, sel = self._select_postings(query, cap, g, phrase=phrase,
-                                                prefix_last=prefix_last)
+                                                prefix_last=prefix_last,
+                                                fuzzy=fuzzy)
         if not sel:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         _n, avgdl = self._group_stats(g)
@@ -275,12 +353,13 @@ class LexicalIndex:
 
     def score(self, query: str, cap: int, group: str = "text", *,
               phrase: bool = False, require_all: bool = False,
-              prefix_last: bool = False) -> np.ndarray:
+              prefix_last: bool = False, fuzzy: bool = False) -> np.ndarray:
         """Dense BM25 scores [cap] for one query against one field group."""
         g = _G[group]
         scores = np.zeros(cap, np.float32)
         base_terms, sel = self._select_postings(query, cap, g, phrase=phrase,
-                                                prefix_last=prefix_last)
+                                                prefix_last=prefix_last,
+                                                fuzzy=fuzzy)
         if not sel:
             return scores
         _n, avgdl = self._group_stats(g)

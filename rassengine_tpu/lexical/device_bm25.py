@@ -185,9 +185,16 @@ class DeviceLexical:
             key = (groups, q)
             chunks = self._plan_cache.get(key)
             if chunks is None:
+                terms = list(dict.fromkeys(analyze(q)))
+                # reference hybrid multi_match uses fuzziness AUTO
+                # (main.py:1582): expand out-of-vocab (typo) terms to their
+                # edit-distance-1 vocabulary neighbors at plan time
+                for t in list(terms):
+                    if t not in self.lexical._postings:
+                        terms.extend(self.lexical.fuzzy_expand(t))
                 chunks = []
                 for gname in groups:
-                    for t in dict.fromkeys(analyze(q)):
+                    for t in dict.fromkeys(terms):
                         sl = view.terms.get((gname, t))
                         if sl is None:
                             continue

@@ -11,9 +11,20 @@ from __future__ import annotations
 
 import logging
 
+from rassengine_tpu.lexical.bm25 import damerau1
 from rassengine_tpu.nlu.ner import NerPipeline
 
 log = logging.getLogger("rassengine.patient")
+
+
+def _token_matches(tok: str, pname: str) -> bool:
+    """Containment or edit-distance-1 token match ("fuzziness": "AUTO",
+    reference main.py:2709-2731) — 'Jon Carter' must resolve 'John Carter'."""
+    if tok in pname:
+        return True
+    if len(tok) < 3:
+        return False
+    return any(damerau1(tok, pt) for pt in pname.split())
 
 
 def resolve_patient_ids_from_name(query: str, retriever, ner: NerPipeline,
@@ -39,7 +50,7 @@ def resolve_patient_ids_from_name(query: str, retriever, ner: NerPipeline,
         pname = (src.get("patientName") or "").lower()
         if not pid or pid in seen:
             continue
-        if pname and any(tok in pname for tok in name.lower().split()):
+        if pname and any(_token_matches(tok, pname) for tok in name.lower().split()):
             seen.add(pid)
             ids.append(pid)
         elif pid == direct:

@@ -119,3 +119,54 @@ class TestRegressions:
         c = FilterSpec(date_ranges={"conditionOnsetDateTime": (None, 400)})
         m2 = a.merged_with(c)
         assert m2.date_ranges["conditionOnsetDateTime"] == (100, 400)
+
+
+class TestFuzzy:
+    def test_damerau1(self):
+        from rassengine_tpu.lexical.bm25 import damerau1
+
+        assert damerau1("jon", "john")        # insertion
+        assert damerau1("johnn", "john")      # deletion
+        assert damerau1("jahn", "john")       # substitution
+        assert damerau1("jhon", "john")       # adjacent transposition
+        assert damerau1("john", "john")
+        assert not damerau1("jane", "john")   # distance 2
+        assert not damerau1("jo", "john")     # distance 2
+
+    def test_fuzzy_expand_finds_neighbors(self):
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+
+        lex = LexicalIndex()
+        lex.index_doc(0, {"unstructuredText": "john carter has hypertension"})
+        lex.index_doc(1, {"unstructuredText": "metformin prescribed daily"})
+        assert "john" in lex.fuzzy_expand("jon")
+        assert "metformin" in lex.fuzzy_expand("metfromin")  # transposition
+        assert lex.fuzzy_expand("xx") == []                  # too short
+        assert lex.fuzzy_expand("zzzzzz") == []              # nothing near
+
+    def test_fuzzy_scoring_matches_typo(self):
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+
+        lex = LexicalIndex()
+        lex.index_doc(0, {"unstructuredText": "hypertension followup visit"})
+        lex.index_doc(1, {"unstructuredText": "no relevant complaints"})
+        rows, scores = lex.score_sparse("hypertenson followup", 16, "text",
+                                        fuzzy=True)
+        assert 0 in rows.tolist()
+        r_exact, _ = lex.score_sparse("hypertenson followup", 16, "text")
+        # without fuzzy, only "followup" matches doc 0 — fuzzy must score higher
+        d = dict(zip(rows.tolist(), scores.tolist()))
+        r2, s2 = lex.score_sparse("hypertension followup", 16, "text")
+        exact_d = dict(zip(r2.tolist(), s2.tolist()))
+        assert d[0] > 0
+        assert d[0] <= exact_d[0] + 1e-5  # typo never beats the exact query
+
+    def test_in_vocab_terms_not_expanded(self):
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+
+        lex = LexicalIndex()
+        lex.index_doc(0, {"unstructuredText": "cart services"})
+        lex.index_doc(1, {"unstructuredText": "care services"})
+        # "cart" is in-vocab: fuzzy must not bleed into "care"
+        rows, _ = lex.score_sparse("cart", 16, "text", fuzzy=True)
+        assert rows.tolist() == [0]

@@ -89,3 +89,13 @@ class TestQuality:
         res = engine.retrieve("demo", "HbA1c goal under 7 percent", top_k=3,
                               intent=QueryIntent.KEYWORD)
         assert any("markdown-patient_2_summary" in d for d in doc_ids(res))
+
+
+class TestFuzzyQuality:
+    def test_typo_name_resolves_patient(self, engine):
+        """'Jon Carter' (typo) must resolve to John Carter's patient id —
+        reference "fuzziness": "AUTO" on the patientName lookup
+        (main.py:2709-2731)."""
+        res = engine.retrieve("demo", "fetch the medical records for Jon Carter")
+        assert res.patient_ids == ["p1"]
+        assert res.hits and all(h["patientId"] == "p1" for h, _ in res.hits)

@@ -161,3 +161,55 @@ class TestStrategies:
         spec = FilterSpec(keyword_terms={"conditionClinicalStatus": ["active"]})
         hits = r.structured_search("hypertension diabetes", k=5, filter_clause=spec)
         assert [h["doc_id"] for h, _ in hits] == ["s1"]
+
+
+class TestVectorizedAggregations:
+    def test_agg_buckets_match_doc_loop(self, corpus):
+        """The bincount aggregation must equal a brute-force dict count."""
+        r, _ = corpus
+        aggs = r.aggregate_search("")
+        expect = {}
+        for row in range(r.index.count):
+            doc = r.index.docs[row]
+            if doc and doc.get("conditionCodeText"):
+                c = doc["conditionCodeText"]
+                expect[c] = expect.get(c, 0) + 1
+        got = {b["key"]: b["doc_count"] for b in aggs["by_condition"]["buckets"]}
+        assert got == expect
+        # patient filter narrows counts
+        p1 = r.aggregate_search("", patient_id="p1")
+        assert all(b["key"] == "Essential hypertension"
+                   for b in p1["by_condition"]["buckets"])
+
+    def test_document_fetch_distinct_collapse(self, corpus):
+        r, _ = corpus
+        hits = r.document_fetch_search("", k=10, patient_id="p1")
+        keys = [h[0].get("file_path") or h[0].get("doc_id") for h in hits]
+        assert len(keys) == len(set(keys))
+        assert any(h[0].get("file_path") for h in hits)
+
+    def test_agg_columns_survive_growth(self, rng):
+        from rassengine_tpu.index.store import TenantIndex
+
+        idx = TenantIndex("g", DIM, capacity=256, block_rows=256)
+        for i in range(300):  # forces _grow
+            idx.upsert({"doc_id": f"d{i}", "doc_type": "structured",
+                        "patientId": f"p{i % 7}",
+                        "conditionCodeText": f"cond{i % 3}"})
+        mask = np.zeros(idx.capacity, bool)
+        mask[: idx.count] = True
+        b = idx.agg_buckets("condition", mask)
+        assert sum(x["doc_count"] for x in b["buckets"]) == 300
+        assert {x["key"] for x in b["buckets"]} == {"cond0", "cond1", "cond2"}
+
+
+class TestFuzzyRetrieval:
+    def test_hybrid_typo_still_matches(self, corpus, rng):
+        r, vecs = corpus
+        hits = r.hybrid_search("hypertenson folowup", None, k=3)
+        assert any(h[0]["doc_id"] == "u3" for h in hits)
+
+    def test_entity_fallback_fuzzy_name(self, corpus):
+        r, _ = corpus
+        hits = r.entity_specific_search("Jane Doee", k=5)
+        assert any(h[0].get("patientName") == "Jane Doe" for h in hits)
