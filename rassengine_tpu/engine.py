@@ -113,6 +113,47 @@ class RassEngine:
         log.info("indexed %d docs into %s (total %d)", n, t.name, t.index.count)
         return n
 
+    def delete_docs(self, user_id: str, doc_ids: list[str]) -> int:
+        """Delete documents by id (the reference delegates this to OpenSearch;
+        here rows tombstone immediately and compact once a quarter of the
+        tenant is dead). → number actually deleted."""
+        t = self.tenant(user_id)
+        n = 0
+        with t.lock:
+            for did in doc_ids:
+                row = t.index._id_to_row.get(str(did))
+                if row is None:
+                    continue
+                t.lexical.remove_doc(row)
+                if t.index.delete(str(did)):
+                    n += 1
+            self._maybe_compact(t)
+        log.info("deleted %d docs from %s (%d tombstones pending)",
+                 n, t.name, t.index.deleted_count)
+        return n
+
+    def _maybe_compact(self, t: Tenant) -> None:
+        idx = t.index
+        if idx.deleted_count and idx.deleted_count >= max(256, idx.count // 4):
+            self.compact_tenant(t)
+
+    def compact_tenant(self, t: Tenant) -> int:
+        """Rewrite the tenant without tombstoned rows; postings rebuild from
+        the surviving sources so row ids stay consistent everywhere."""
+        with t.lock:
+            kept = t.index.compact()
+            lexical = LexicalIndex()
+            for row in range(t.index.count):
+                doc = t.index.docs[row]
+                if doc is not None:
+                    lexical.index_doc(row, doc)
+            t.lexical = lexical
+            t.retriever.lexical = lexical
+            t.retriever._device_lexical = None
+            t.retriever._ivf_cache = None  # row ids changed
+        log.info("compacted %s → %d rows", t.name, t.index.count)
+        return int(kept.size)
+
     def ingest_file(self, user_id: str, path: str, chunk_size: int | None = None) -> int:
         """Parse + ingest one .json/.md/.txt file (reference ingest paths)."""
         import json

@@ -152,81 +152,123 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None) -> A
     async def health(req: Request) -> Response:
         return Response.json_response({"status": "ok"})
 
-    @app.route("POST", "/upload_data")
-    async def upload_data(req: Request) -> Response:
+    @app.route("POST", "/delete_docs")
+    async def delete_docs(req: Request) -> Response:
+        """Delete indexed documents by id (no reference endpoint — OpenSearch
+        owns deletes upstream; a standalone framework needs one)."""
         try:
-            parts = req.multipart()
-        except ValueError as e:
-            return Response.error(400, str(e))
-        user_id = None
-        files: list[tuple[str, bytes]] = []
-        for headers, body in parts:
-            disp = headers.get("content-disposition", "")
-            name_m = re.search(r'name="([^"]+)"', disp)
-            file_m = re.search(r'filename="([^"]*)"', disp)
-            if file_m:
-                files.append((file_m.group(1), body))
-            elif name_m and name_m.group(1) == "user_id":
-                user_id = body.decode("utf-8", "replace").strip()
-
-        # validation chain (reference embedding_gen.py:1233-1294)
+            payload = req.json() or {}
+        except json.JSONDecodeError:
+            return Response.error(400, "invalid JSON body")
+        user_id = (payload.get("user_id") or "").strip()
+        doc_ids = payload.get("doc_ids") or []
         if not user_id or not _USER_ID_RE.match(user_id):
             return Response.error(400, "invalid user_id")
         if not await db.a_user_exists(user_id):
             return Response.error(403, "user not authorized")
-        if not files:
-            return Response.error(400, "no files provided")
-        if len(files) > cfg.max_files_per_request:
-            return Response.error(
-                400, f"too many files (max {cfg.max_files_per_request})")
-        for fname, body in files:
-            if len(body) > cfg.max_file_size_bytes:
-                return Response.error(400, f"file too large: {fname}")
-            ext = os.path.splitext(fname)[1].lower()
-            if ext not in (".json", ".md", ".txt"):
-                return Response.error(400, f"unsupported file type: {fname}")
+        if not isinstance(doc_ids, list) or not doc_ids:
+            return Response.error(400, "doc_ids must be a non-empty list")
+        n = await asyncio.to_thread(engine.delete_docs, user_id,
+                                    [str(d) for d in doc_ids])
+        return Response.json_response({"deleted": n})
 
-        user_dir = os.path.join(cfg.upload_dir, user_id)
-        os.makedirs(user_dir, exist_ok=True)
-        all_structured: list[dict] = []
-        all_unstructured: list[dict] = []
-        errors: list[str] = []
+    @app.route("POST", "/upload_data", streaming=True)
+    async def upload_data(req: Request) -> Response:
+        """Streaming multipart ingest: each file is read in 8 KB chunks to a
+        temp file with an incremental size check, so an oversized upload is
+        rejected at the limit instead of buffered whole (reference
+        embedding_gen.py:1239-1250)."""
+        from rassengine_tpu.serve.http import MemoryBodyReader, MultipartStream
 
-        async def process_file(fname: str, body: bytes) -> None:
-            async with sem:
-                safe = secure_filename(fname)
-                ext = os.path.splitext(safe)[1].lower()
-                fd, tmp = tempfile.mkstemp(suffix=ext)
-                try:
+        ctype = req.headers.get("content-type", "")
+        m = re.search(r'boundary="?([^";]+)"?', ctype)
+        if not m:
+            return Response.error(400, "no multipart boundary")
+        body = req.body_reader or MemoryBodyReader(req.body)
+        stream = MultipartStream(body, m.group(1).encode())
+
+        user_id: str | None = None
+        saved: list[tuple[str, str]] = []  # (original name, tmp path)
+        try:
+            async for headers, chunks in stream.parts():
+                disp = headers.get("content-disposition", "")
+                name_m = re.search(r'name="([^"]+)"', disp)
+                file_m = re.search(r'filename="([^"]*)"', disp)
+                if file_m:
+                    fname = file_m.group(1)
+                    if len(saved) >= cfg.max_files_per_request:
+                        return Response.error(
+                            400, f"too many files (max {cfg.max_files_per_request})")
+                    ext = os.path.splitext(fname)[1].lower()
+                    if ext not in (".json", ".md", ".txt"):
+                        return Response.error(400, f"unsupported file type: {fname}")
+                    fd, tmp = tempfile.mkstemp(suffix=ext)
+                    saved.append((fname, tmp))
+                    size = 0
                     with os.fdopen(fd, "wb") as f:
-                        f.write(body)
-                    final = os.path.join(user_dir, f"{uuid.uuid4().hex[:8]}-{safe}")
-                    if ext == ".json":
-                        bundle = json.loads(body.decode("utf-8", "replace"))
-                        if not isinstance(bundle, dict) or "entry" not in bundle:
-                            errors.append(f"{fname}: not a FHIR bundle (no entry)")
-                            return
-                        shutil.move(tmp, final)
-                        s, u = parse_fhir_bundle_with_path(bundle, final, cfg.chunk_size)
-                        all_structured.extend(s)
-                        all_unstructured.extend(u)
-                    else:
-                        shutil.move(tmp, final)
-                        parser = parse_markdown_file if ext == ".md" else parse_text_file
-                        all_unstructured.extend(parser(final, cfg.chunk_size))
-                except json.JSONDecodeError:
-                    errors.append(f"{fname}: invalid JSON")
-                finally:
-                    if os.path.exists(tmp):
-                        os.unlink(tmp)
+                        async for c in chunks:
+                            size += len(c)
+                            if size > cfg.max_file_size_bytes:
+                                return Response.error(
+                                    400, f"file too large: {fname}")
+                            f.write(c)
+                elif name_m and name_m.group(1) == "user_id":
+                    data = b""
+                    async for c in chunks:
+                        if len(data) < 4096:
+                            data += c
+                    user_id = data.decode("utf-8", "replace").strip()
 
-        await asyncio.gather(*(process_file(f, b) for f, b in files))
+            # validation chain (reference embedding_gen.py:1233-1294)
+            if not user_id or not _USER_ID_RE.match(user_id):
+                return Response.error(400, "invalid user_id")
+            if not await db.a_user_exists(user_id):
+                return Response.error(403, "user not authorized")
+            if not saved:
+                return Response.error(400, "no files provided")
+
+            user_dir = os.path.join(cfg.upload_dir, user_id)
+            os.makedirs(user_dir, exist_ok=True)
+            all_structured: list[dict] = []
+            all_unstructured: list[dict] = []
+            errors: list[str] = []
+
+            async def process_file(fname: str, tmp: str) -> None:
+                async with sem:
+                    safe = secure_filename(fname)
+                    ext = os.path.splitext(safe)[1].lower()
+                    final = os.path.join(user_dir, f"{uuid.uuid4().hex[:8]}-{safe}")
+                    try:
+                        if ext == ".json":
+                            with open(tmp, encoding="utf-8", errors="replace") as f:
+                                bundle = json.load(f)
+                            if not isinstance(bundle, dict) or "entry" not in bundle:
+                                errors.append(f"{fname}: not a FHIR bundle (no entry)")
+                                return
+                            shutil.move(tmp, final)
+                            s, u = parse_fhir_bundle_with_path(bundle, final,
+                                                               cfg.chunk_size)
+                            all_structured.extend(s)
+                            all_unstructured.extend(u)
+                        else:
+                            shutil.move(tmp, final)
+                            parser = (parse_markdown_file if ext == ".md"
+                                      else parse_text_file)
+                            all_unstructured.extend(parser(final, cfg.chunk_size))
+                    except json.JSONDecodeError:
+                        errors.append(f"{fname}: invalid JSON")
+
+            await asyncio.gather(*(process_file(f, t) for f, t in saved))
+        finally:
+            for _f, tmp in saved:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         n = 0
         if all_structured or all_unstructured:
             n = await asyncio.to_thread(
                 engine.ingest_docs, user_id, all_structured, all_unstructured
             )
-        msg = f"indexed {n} documents from {len(files)} file(s)"
+        msg = f"indexed {n} documents from {len(saved)} file(s)"
         if errors:
             msg += f"; errors: {'; '.join(errors)}"
         return Response.json_response({"message": msg})

@@ -26,6 +26,118 @@ _WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 MAX_BODY = 64 * 1024 * 1024
 
 
+class BodyReader:
+    """Bounded incremental reader over the request body (content-length)."""
+
+    def __init__(self, reader: asyncio.StreamReader, remaining: int):
+        self._reader = reader
+        self.remaining = remaining
+
+    async def read(self, n: int = 8192) -> bytes:
+        if self.remaining <= 0:
+            return b""
+        chunk = await self._reader.read(min(n, self.remaining))
+        if not chunk:
+            raise asyncio.IncompleteReadError(b"", self.remaining)
+        self.remaining -= len(chunk)
+        return chunk
+
+
+class MemoryBodyReader:
+    """BodyReader over an in-memory body (buffered requests, tests)."""
+
+    def __init__(self, body: bytes):
+        self._body = body
+        self._pos = 0
+
+    async def read(self, n: int = 8192) -> bytes:
+        out = self._body[self._pos: self._pos + n]
+        self._pos += len(out)
+        return out
+
+
+class MultipartStream:
+    """Incremental multipart/form-data parser.
+
+    The reference reads uploads in 8 KB chunks with an incremental size check
+    (embedding_gen.py:1239-1250); buffering the whole body first would defeat
+    the per-file limit. ``parts()`` yields (headers, chunk-async-iterator) per
+    part; a part's chunks must be consumed before advancing (parts() drains
+    any remainder itself).
+    """
+
+    def __init__(self, body, boundary: bytes, chunk_size: int = 8192):
+        self._body = body
+        self._delim = b"\r\n--" + boundary
+        self._first = b"--" + boundary
+        self._chunk = chunk_size
+        self._buf = b""
+        self._eof = False
+        self._part_done = True
+
+    async def _fill(self) -> bool:
+        if self._eof:
+            return False
+        c = await self._body.read(self._chunk)
+        if not c:
+            self._eof = True
+            return False
+        self._buf += c
+        return True
+
+    async def parts(self):
+        while self._first not in self._buf:  # preamble → first boundary
+            if not await self._fill():
+                return
+        self._buf = self._buf[self._buf.find(self._first) + len(self._first):]
+        while True:
+            while len(self._buf) < 2 and not self._eof:
+                await self._fill()
+            if self._buf[:2] == b"--":  # closing boundary
+                return
+            if self._buf[:2] == b"\r\n":
+                self._buf = self._buf[2:]
+            while b"\r\n\r\n" not in self._buf:
+                if not await self._fill():
+                    return
+            j = self._buf.find(b"\r\n\r\n")
+            head = self._buf[:j].decode("utf-8", "replace")
+            self._buf = self._buf[j + 4:]
+            headers: dict[str, str] = {}
+            for line in head.split("\r\n"):
+                k, _, v = line.partition(":")
+                if k.strip():
+                    headers[k.strip().lower()] = v.strip()
+            self._part_done = False
+            chunks = self._part_chunks()
+            yield headers, chunks
+            while not self._part_done:  # drain if the caller stopped early
+                async for _ in chunks:
+                    pass
+
+    async def _part_chunks(self):
+        while True:
+            i = self._buf.find(self._delim)
+            if i >= 0:
+                out = self._buf[:i]
+                self._buf = self._buf[i + len(self._delim):]
+                self._part_done = True
+                if out:
+                    yield out
+                return
+            keep = len(self._delim) - 1  # a delimiter prefix may span chunks
+            if len(self._buf) > keep:
+                out, self._buf = self._buf[:-keep], self._buf[-keep:]
+                if out:
+                    yield out
+            if not await self._fill():
+                self._part_done = True  # truncated body: flush what's left
+                if self._buf:
+                    out, self._buf = self._buf, b""
+                    yield out
+                return
+
+
 @dataclass
 class Request:
     method: str
@@ -33,6 +145,8 @@ class Request:
     query: dict[str, list[str]]
     headers: dict[str, str]
     body: bytes = b""
+    # set on streaming routes: the body arrives through this reader instead
+    body_reader: "BodyReader | MemoryBodyReader | None" = None
 
     def json(self):
         return json.loads(self.body.decode("utf-8") or "null")
@@ -152,12 +266,16 @@ class App:
     def __init__(self, name: str = "rassengine"):
         self.name = name
         self.routes: dict[tuple[str, str], Handler] = {}
+        self.streaming_routes: set[tuple[str, str]] = set()
         self.ws_routes: dict[str, WsHandler] = {}
         self.on_startup: list[Callable[[], Awaitable[None]]] = []
 
-    def route(self, method: str, path: str):
+    def route(self, method: str, path: str, streaming: bool = False):
         def deco(fn: Handler):
             self.routes[(method.upper(), path)] = fn
+            if streaming:
+                # handler reads the body incrementally via req.body_reader
+                self.streaming_routes.add((method.upper(), path))
             return fn
         return deco
 
@@ -187,7 +305,33 @@ class App:
                 parsed = urlsplit(target)
                 path = unquote(parsed.path)
                 query = parse_qs(parsed.query)
-                if "chunked" in headers.get("transfer-encoding", "").lower():
+                is_ws = headers.get("upgrade", "").lower() == "websocket"
+                chunked = "chunked" in headers.get("transfer-encoding", "").lower()
+                if (not is_ws and not chunked
+                        and (method.upper(), path) in self.streaming_routes):
+                    # streaming route: hand the socket to the handler instead
+                    # of buffering (incremental multipart with early size
+                    # rejection); the connection closes afterwards since any
+                    # unread remainder would desync keep-alive framing
+                    clen = int(headers.get("content-length", "0") or 0)
+                    if clen > MAX_BODY:  # total bound; per-file limits are
+                        await self._write(writer,  # enforced by the handler
+                                          Response.error(413, "body too large"))
+                        return
+                    req = Request(method.upper(), path, query, headers, b"",
+                                  body_reader=BodyReader(reader, clen))
+                    handler = self.routes[(req.method, path)]
+                    try:
+                        resp = await handler(req)
+                    except Exception as e:
+                        log.exception("handler error on %s %s", method, path)
+                        resp = Response.error(500, str(e))
+                    if isinstance(resp, StreamingResponse):
+                        await self._write_streaming(writer, resp)
+                    else:
+                        await self._write(writer, resp)
+                    return
+                if chunked:
                     try:
                         body = await self._read_chunked(reader)
                     except ValueError:
