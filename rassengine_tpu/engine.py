@@ -71,6 +71,24 @@ class RassEngine:
 
             use_pallas = jax.devices()[0].platform not in ("cpu",)
         self.use_pallas = use_pallas
+        # SHARD_COUNT > 1 → serve row-sharded over a ("shard",) mesh
+        # (reference shard distribution, main.py:89-90 / _routing main.py:1230)
+        self.mesh = None
+        self.router = None
+        if self.config.shard_count > 1:
+            import jax
+
+            from rassengine_tpu.core.meshes import shard_mesh
+            from rassengine_tpu.parallel.topk_merge import ShardRouter
+
+            n = self.config.shard_count
+            if len(jax.devices()) >= n:
+                self.mesh = shard_mesh(n)
+                self.router = ShardRouter(n)
+                self.use_pallas = False  # sharded scans are shard_map SPMD
+            else:
+                log.warning("SHARD_COUNT=%d but only %d devices; single-chip",
+                            n, len(jax.devices()))
 
     # --- tenancy --------------------------------------------------------------
 
@@ -84,10 +102,15 @@ class RassEngine:
         if t is None:
             index = TenantIndex(name, self.config.embed_dim,
                                 capacity=self.config.index_capacity,
-                                block_rows=self.config.index_block_rows)
+                                block_rows=self.config.index_block_rows,
+                                mesh=self.mesh)
             lexical = LexicalIndex()
             t = Tenant(name, index, lexical,
-                       Retriever(index, lexical, self.config, self.use_pallas))
+                       Retriever(index, lexical, self.config, self.use_pallas,
+                                 mesh=self.mesh, router=self.router))
+            # sharded-region grows move rows; postings must follow (late-bound
+            # so compaction's lexical replacement stays hooked)
+            index.remap_hooks.append(lambda mv, _t=t: _t.lexical.shift_rows(mv))
             self._tenants[name] = t
         return t
 
@@ -143,10 +166,10 @@ class RassEngine:
         with t.lock:
             kept = t.index.compact()
             lexical = LexicalIndex()
-            for row in range(t.index.count):
-                doc = t.index.docs[row]
+            for row in np.nonzero(t.index._allocated)[0]:
+                doc = t.index.docs[int(row)]
                 if doc is not None:
-                    lexical.index_doc(row, doc)
+                    lexical.index_doc(int(row), doc)
             t.lexical = lexical
             t.retriever.lexical = lexical
             t.retriever._device_lexical = None

@@ -78,11 +78,14 @@ HYBRID_BF16_BUDGET_BYTES = 6 * 1024**3
 
 class Retriever:
     def __init__(self, index: TenantIndex, lexical: LexicalIndex,
-                 config: EngineConfig | None = None, use_pallas: bool = True):
+                 config: EngineConfig | None = None, use_pallas: bool = True,
+                 mesh=None, router=None):
         self.index = index
         self.lexical = lexical
         self.config = config or EngineConfig()
         self.use_pallas = use_pallas
+        self.mesh = mesh            # 1-D ("shard",) Mesh → SPMD sharded scans
+        self.router = router        # ShardRouter for patient-routed masking
         self._device_lexical = None
         self._ivf_cache: tuple[int, object] | None = None  # (built_count, IvfIndex)
 
@@ -112,6 +115,8 @@ class Retriever:
         EngineConfig ivf_*/pq_* knobs).
         """
         cfg, idx = self.config, self.index
+        if self.mesh is not None:
+            return "sharded"  # SPMD row-sharded scan + all-gather merge
         if cfg.ann_mode in ("exact", "int8", "pq", "ivf"):
             return cfg.ann_mode
         if not (cfg.ann_enabled and idx.capacity >= cfg.ann_threshold):
@@ -192,6 +197,30 @@ class Retriever:
                                   constant_values=NEG_INF)
             return r.astype(np.int64), s
 
+    def _routed_mask(self, mask, spec: FilterSpec):
+        """Compose the shard-routing mask for patient-routed queries
+        (reference _routing, main.py:1230). Rows allocate into per-shard
+        regions by patient hash (store._alloc_row), so masking non-owner
+        shards is result-preserving — the patient's rows all live there."""
+        if self.router is None or spec is None or not spec.patient_id:
+            return mask
+        return self.router.routed_mask(mask, spec.patient_id, self.index.capacity)
+
+    def _sharded_top_m(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
+        """SPMD sharded scan: per-chip partition scan + all-gather merge
+        (parallel/topk_merge.py). Exact bf16 tier only — quantized sharded
+        scans are single-chip paths for now."""
+        from rassengine_tpu.parallel.topk_merge import sharded_topk
+
+        idx = self.index
+        with stage("semantic_scan_sharded"):
+            cols = idx.device_columns()
+            mask = self._routed_mask(idx.filter_mask(spec), spec)
+            q = jnp.asarray(np.atleast_2d(query_embs))
+            s, r = sharded_topk(self.mesh, cols["vecs"], mask, q,
+                                min(m, idx.capacity))
+        return np.asarray(r), np.asarray(s)
+
     def _sem_top_m_batch(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """Batched device top-M: query_embs [B, d] → (rows [B, m], scores [B, m]).
 
@@ -204,6 +233,8 @@ class Retriever:
         spec = FilterSpec(require_embedding=True).merged_with(spec)
         m = min(m, idx.capacity)
         tier = self._scan_tier()
+        if tier == "sharded":
+            return self._sharded_top_m(query_embs, spec, m)
         if tier == "ivf":
             return self._ivf_top_m_batch(query_embs, spec, m)
         mask = idx.filter_mask(spec)
@@ -241,6 +272,10 @@ class Retriever:
         spec = FilterSpec(require_embedding=True).merged_with(spec)
         m = min(m, idx.capacity)
         tier = self._scan_tier()
+        if tier == "sharded":
+            r, s = self._sharded_top_m(query_emb, spec, m)
+            good = (r[0] >= 0) & (s[0] > NEG_INF / 2)
+            return r[0][good], s[0][good]
         if tier in ("ivf", "pq"):
             if tier == "ivf":
                 r, s = self._ivf_top_m_batch(query_emb, spec, m)
@@ -352,7 +387,8 @@ class Retriever:
         work (falls back to candidate-union fusion past the bf16 HBM budget)."""
         spec = self._spec(filter_clause, patient_id)
         idx = self.index
-        if 2 * idx.capacity * idx.dim <= HYBRID_BF16_BUDGET_BYTES:
+        if (self.mesh is None
+                and 2 * idx.capacity * idx.dim <= HYBRID_BF16_BUDGET_BYTES):
             try:
                 return self._hybrid_batch_device(queries, query_embs, k, spec)
             except Exception:
@@ -491,12 +527,18 @@ class Retriever:
         # add by sem_weight and re-scaling the result gives sem_weight·cos +
         # add uniformly on every scan path (the XLA path normalizes queries
         # internally, so the weight cannot ride on the query vector).
-        add_dev = _scatter_scale(idx.filter_mask(spec), jnp.asarray(rows_pad),
+        base_mask = self._routed_mask(idx.filter_mask(spec), spec)
+        add_dev = _scatter_scale(base_mask, jnp.asarray(rows_pad),
                                  jnp.asarray(vals_pad),
                                  jnp.float32(1.0 / sem_weight))
         qd = jnp.asarray(qn)
         with stage("hybrid_scan"):
-            if self.use_pallas and cap >= idx.block_rows:
+            if self.mesh is not None:
+                from rassengine_tpu.parallel.topk_merge import sharded_topk
+
+                s, r = sharded_topk(self.mesh, idx.device_columns()["vecs"],
+                                    add_dev, qd, min(k, cap))
+            elif self.use_pallas and cap >= idx.block_rows:
                 try:
                     cols = idx.device_columns()
                     s, r = fused_topk_pooled(cols["vecs"], qd, add_dev,

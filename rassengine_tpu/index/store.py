@@ -159,13 +159,26 @@ def build_filter_mask(cols: dict, spec: dict) -> jax.Array:
 
 
 class TenantIndex:
-    """One user's index: vectors + filter columns on device, sources on host."""
+    """One user's index: vectors + filter columns on device, sources on host.
 
-    def __init__(self, name: str, dim: int, capacity: int = 16384, block_rows: int = 2048):
+    With ``mesh`` (a 1-D ``("shard",)`` jax Mesh), the index serves
+    row-sharded across chips: device columns are placed with
+    ``NamedSharding(mesh, P("shard"))``, and rows allocate into per-shard
+    *regions* by patient hash (``ShardRouter.shard_of``), so a patient-routed
+    query can mask every shard but the owner — the reference's ``_routing``
+    fast path (main.py:1230) as SPMD metadata.
+    """
+
+    def __init__(self, name: str, dim: int, capacity: int = 16384,
+                 block_rows: int = 2048, mesh=None):
         self.name = name
         self.dim = dim
         self.block_rows = block_rows
-        self.capacity = max(block_rows, _round_up(capacity, block_rows))
+        self.mesh = mesh
+        self.n_shards = int(mesh.shape["shard"]) if mesh is not None else 1
+        cap = max(block_rows, _round_up(capacity, block_rows))
+        self.capacity = _round_up(cap, self.n_shards * block_rows) \
+            if self.n_shards > 1 else cap
         self.count = 0
         # host-canonical arrays (device copies derived on flush)
         self._vecs = np.zeros((self.capacity, dim), dtype=np.float32)
@@ -189,6 +202,14 @@ class TenantIndex:
         self._flushed = {"cols": -1, "int8": -1, "pq4": -1, "mask": -1}
         self._deleted = np.zeros((self.capacity,), dtype=bool)
         self.deleted_count = 0
+        # row-liveness (contiguous low-water in single-device mode; per-shard
+        # regions leave holes, so liveness is explicit)
+        self._allocated = np.zeros((self.capacity,), dtype=bool)
+        rs = self.capacity // self.n_shards
+        self._region_next = [s * rs for s in range(self.n_shards)]
+        # called with [(old_start, new_start, used)] when a region grow moves
+        # rows — external row-id holders (lexical postings) must remap
+        self.remap_hooks: list = []
         # dense-coded aggregation columns: terms-aggs and distinct-file
         # collapse run as vectorized bincounts instead of Python doc loops
         # (reference aggregate_search main.py:1777-1808, collapse main.py:2143)
@@ -211,11 +232,10 @@ class TenantIndex:
         doc_id = str(doc.get("doc_id") or f"doc-{self.count}")
         row = self._id_to_row.get(doc_id)
         if row is None:
-            if self.count >= self.capacity:
-                self._grow()
-            row = self.count
+            row = self._alloc_row(doc)
             self.count += 1
             self._id_to_row[doc_id] = row
+        self._allocated[row] = True
         self.docs[row] = doc
         if embedding is not None:
             v = np.asarray(embedding, dtype=np.float32).reshape(-1)
@@ -246,6 +266,22 @@ class TenantIndex:
     def _mutated(self) -> None:
         self.generation += 1
 
+    def _alloc_row(self, doc: dict) -> int:
+        """Next free row: contiguous single-device, patient-region sharded."""
+        if self.n_shards == 1:
+            if self.count >= self.capacity:
+                self._grow()
+            return self.count
+        shard = stable_hash32(str(doc.get("patientId") or "")) % self.n_shards \
+            if doc.get("patientId") else self.count % self.n_shards
+        rs = self.capacity // self.n_shards
+        if self._region_next[shard] >= (shard + 1) * rs:
+            self._grow()
+            rs = self.capacity // self.n_shards
+        row = self._region_next[shard]
+        self._region_next[shard] += 1
+        return row
+
     # --- deletion / compaction -------------------------------------------------
     # The reference delegates deletes to OpenSearch; long-lived mutable tenants
     # here tombstone rows (excluded from every mask) and periodically compact.
@@ -257,6 +293,7 @@ class TenantIndex:
             return False
         self.docs[row] = None
         self._deleted[row] = True
+        self._allocated[row] = False
         self.deleted_count += 1
         self._vecs[row] = 0.0
         self._has_embedding[row] = False
@@ -273,32 +310,46 @@ class TenantIndex:
         """Drop tombstoned rows in place; → kept old-row ids (in new-row order).
 
         Lexical postings reference row ids, so the caller must rebuild its
-        LexicalIndex from the surviving docs (engine.compact_tenant).
+        LexicalIndex from the surviving docs (engine.compact_tenant). In
+        sharded mode each region compacts to its own start, preserving
+        patient→shard placement.
         """
-        keep = np.asarray([r for r in range(self.count)
-                           if self.docs[r] is not None and not self._deleted[r]],
-                          dtype=np.int64)
-        n_new = keep.size
-        for name in ("_vecs", "_patient_hash", "_resource_type", "_doc_type",
-                     "_has_embedding", "_keyword"):
-            arr = getattr(self, name)
-            arr[:n_new] = arr[keep]
-            arr[n_new: self.count] = 0
-        self._dates[:n_new] = self._dates[keep]
-        self._dates[n_new: self.count] = schema.NO_DATE
-        for col in self._agg_cols.values():
-            col[:n_new] = col[keep]
-            col[n_new: self.count] = 0
-        new_docs = [self.docs[r] for r in keep]
-        self.docs[:n_new] = new_docs
-        for r in range(n_new, self.count):
-            self.docs[r] = None
-        self._id_to_row = {str(d.get("doc_id")): i for i, d in enumerate(new_docs)}
-        self.count = n_new
+        rs = self.capacity // self.n_shards
+        all_keep: list[np.ndarray] = []
+        row_arrays = [getattr(self, n) for n in self._row_arrays()
+                      if n not in ("_deleted", "_allocated")]
+        fills = {id(self._dates): schema.NO_DATE}
+        for s in range(self.n_shards):
+            if self.n_shards == 1:
+                lo, hi = 0, self.count
+            else:
+                lo, hi = s * rs, self._region_next[s]
+            keep = np.asarray([r for r in range(lo, hi)
+                               if self.docs[r] is not None
+                               and not self._deleted[r]], dtype=np.int64)
+            n_new = keep.size
+            for arr in row_arrays:
+                arr[lo: lo + n_new] = arr[keep]
+                arr[lo + n_new: hi] = fills.get(id(arr), 0)
+            for col in self._agg_cols.values():
+                col[lo: lo + n_new] = col[keep]
+                col[lo + n_new: hi] = 0
+            kept_docs = [self.docs[r] for r in keep]
+            self.docs[lo: lo + n_new] = kept_docs
+            for r in range(lo + n_new, hi):
+                self.docs[r] = None
+            self._allocated[lo: lo + n_new] = True
+            self._allocated[lo + n_new: hi] = False
+            if self.n_shards > 1:
+                self._region_next[s] = lo + n_new
+            all_keep.append(keep)
+        self._id_to_row = {str(d.get("doc_id")): r
+                           for r, d in enumerate(self.docs) if d is not None}
+        self.count = sum(k.size for k in all_keep)
         self._deleted[:] = False
         self.deleted_count = 0
         self._mutated()
-        return keep
+        return np.concatenate(all_keep) if all_keep else np.zeros(0, np.int64)
 
     def encode_agg(self, row: int, doc: dict) -> None:
         """Dictionary-encode the aggregation columns for one row."""
@@ -350,18 +401,55 @@ class TenantIndex:
             n += 1
         return n
 
+    def _row_arrays(self) -> tuple[str, ...]:
+        return ("_vecs", "_patient_hash", "_resource_type", "_doc_type",
+                "_has_embedding", "_keyword", "_dates", "_deleted",
+                "_allocated")
+
     def _grow(self) -> None:
         new_cap = self.capacity * 2
-        self._vecs = _pad_rows(self._vecs, new_cap)
-        self._patient_hash = _pad_rows(self._patient_hash, new_cap)
-        self._resource_type = _pad_rows(self._resource_type, new_cap)
-        self._doc_type = _pad_rows(self._doc_type, new_cap)
-        self._has_embedding = _pad_rows(self._has_embedding, new_cap)
-        self._keyword = _pad_rows(self._keyword, new_cap)
-        self._dates = _pad_rows(self._dates, new_cap, fill=schema.NO_DATE)
-        self._agg_cols = {n: _pad_rows(c, new_cap) for n, c in self._agg_cols.items()}
-        self._deleted = _pad_rows(self._deleted, new_cap)
-        self.docs.extend([None] * (new_cap - self.capacity))
+        fills = {"_dates": schema.NO_DATE}
+        if self.n_shards == 1:
+            for name in self._row_arrays():
+                setattr(self, name,
+                        _pad_rows(getattr(self, name), new_cap,
+                                  fill=fills.get(name, 0)))
+            self._agg_cols = {n: _pad_rows(c, new_cap)
+                              for n, c in self._agg_cols.items()}
+            self.docs.extend([None] * (new_cap - self.capacity))
+        else:
+            # region mode: each shard's rows move to its doubled region
+            old_rs = self.capacity // self.n_shards
+            new_rs = new_cap // self.n_shards
+            moves = []  # (old_start, new_start, used)
+            for s in range(self.n_shards):
+                used = self._region_next[s] - s * old_rs
+                moves.append((s * old_rs, s * new_rs, used))
+            for name in self._row_arrays():
+                old = getattr(self, name)
+                new = np.full((new_cap,) + old.shape[1:],
+                              fills.get(name, 0), dtype=old.dtype)
+                for o, nn, used in moves:
+                    new[nn: nn + used] = old[o: o + used]
+                setattr(self, name, new)
+            new_aggs = {}
+            for cname, col in self._agg_cols.items():
+                new = np.zeros(new_cap, col.dtype)
+                for o, nn, used in moves:
+                    new[nn: nn + used] = col[o: o + used]
+                new_aggs[cname] = new
+            self._agg_cols = new_aggs
+            new_docs: list[dict | None] = [None] * new_cap
+            for o, nn, used in moves:
+                new_docs[nn: nn + used] = self.docs[o: o + used]
+            self.docs = new_docs
+            self._region_next = [nn + used for _o, nn, used in moves]
+            self._id_to_row = {
+                str(d.get("doc_id")): r for r, d in enumerate(self.docs)
+                if d is not None
+            }
+            for hook in self.remap_hooks:
+                hook(moves)
         self.capacity = new_cap
         self._device = None
         self._device_q = None
@@ -381,22 +469,31 @@ class TenantIndex:
             if include_vecs and "vecs" not in self._device:
                 self._device["vecs"] = jnp.asarray(self._vecs, dtype=STORE_DTYPE)
             return self._device
-        valid = np.zeros((self.capacity,), dtype=bool)
-        valid[: self.count] = True
-        valid &= ~self._deleted
+        valid = self._allocated & ~self._deleted
+        put = self._put_rows
         self._device = {
-            "valid": jnp.asarray(valid),
-            "patient_hash": jnp.asarray(self._patient_hash),
-            "resource_type": jnp.asarray(self._resource_type),
-            "doc_type": jnp.asarray(self._doc_type),
-            "has_embedding": jnp.asarray(self._has_embedding),
-            "keyword": jnp.asarray(self._keyword),
-            "dates": jnp.asarray(self._dates),
+            "valid": put(valid),
+            "patient_hash": put(self._patient_hash),
+            "resource_type": put(self._resource_type),
+            "doc_type": put(self._doc_type),
+            "has_embedding": put(self._has_embedding),
+            "keyword": put(self._keyword),
+            "dates": put(self._dates),
         }
         if include_vecs:
-            self._device["vecs"] = jnp.asarray(self._vecs, dtype=STORE_DTYPE)
+            self._device["vecs"] = put(
+                jnp.asarray(self._vecs, dtype=STORE_DTYPE)
+                if self.mesh is None else self._vecs.astype(STORE_DTYPE))
         self._flushed["cols"] = self.generation
         return self._device
+
+    def _put_rows(self, arr: np.ndarray):
+        """Upload a [cap, ...] array — row-sharded over the mesh when set."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("shard")))
 
     def device_columns_pq4(self, bytes_per_vec: int) -> dict:
         """Packed 4-bit PQ codes + codebooks on device (index/pq4.py) — the
@@ -476,9 +573,7 @@ class TenantIndex:
     def host_mask(self, spec: FilterSpec | None) -> np.ndarray:
         """Numpy mirror of build_filter_mask (bool [cap]) for host-side scoring."""
         s = (spec or FilterSpec()).to_arrays()
-        ok = np.zeros(self.capacity, bool)
-        ok[: self.count] = True
-        ok &= ~self._deleted
+        ok = self._allocated & ~self._deleted
         if s["patient"] != 0:
             ok &= self._patient_hash == s["patient"]
         if s["doc_type"] >= 0:

@@ -194,6 +194,30 @@ class LexicalIndex:
         """Drop a document's postings (delete-by-doc_id support)."""
         self._remove_row(row)
 
+    def shift_rows(self, moves: list[tuple[int, int, int]]) -> None:
+        """Remap row ids after a sharded-region grow moved rows
+        (TenantIndex.remap_hooks). moves: [(old_start, new_start, used)]."""
+        import bisect
+
+        starts = [o for o, _n, _u in moves]
+
+        def remap(r: int) -> int:
+            i = bisect.bisect_right(starts, r) - 1
+            o, nn, _u = moves[i]
+            return r - o + nn
+
+        for p in self._postings.values():
+            p.rows = [remap(r) for r in p.rows]
+            p.fin = None
+        self._row_terms = {remap(r): t for r, t in self._row_terms.items()}
+        new_rows = max((nn + u for _o, nn, u in moves), default=0)
+        new_len = np.zeros((max(new_rows, self._doc_len.shape[0]), N_GROUPS),
+                           np.float32)
+        for o, nn, u in moves:
+            new_len[nn: nn + u] = self._doc_len[o: o + u]
+        self._doc_len = new_len
+        self._mutated()
+
     def _remove_row(self, row: int) -> None:
         for t in self._row_terms.pop(row, ()):
             p = self._postings.get(t)

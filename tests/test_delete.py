@@ -77,6 +77,8 @@ class TestDelete:
         assert set(t.index._id_to_row) == {f"d{i}" for i in range(20, 40)}
 
     def test_checkpoint_roundtrip_with_tombstones(self, tmp_path):
+        """Checkpoints persist live rows only — saving is an implicit
+        compaction point, so tombstones do not survive a restore."""
         from rassengine_tpu.index.checkpoint import load_engine, save_engine
 
         eng = mk_engine()
@@ -86,9 +88,12 @@ class TestDelete:
         eng2 = mk_engine()
         load_engine(eng2, str(tmp_path / "ck"))
         t2 = eng2.tenant("u")
-        assert t2.index.deleted_count == 2
+        assert t2.index.deleted_count == 0
+        assert t2.index.count == 8
         res = eng2.retrieve("u", "clinical note number 7", top_k=20)
         assert not any(h["doc_id"] == "d7" for h, _ in res.hits)
+        res = eng2.retrieve("u", "clinical note number 6", top_k=20)
+        assert any(h["doc_id"] == "d6" for h, _ in res.hits)
 
     def test_delete_endpoint(self):
         from rassengine_tpu.serve.app import build_upload_app
