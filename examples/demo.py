@@ -31,13 +31,29 @@ async def main() -> None:
     cfg = EngineConfig.from_env().replace(
         embed_dim=64, embed_batch_size=8, index_capacity=1024,
         database_path=":memory:", llm_backend="echo")
-    engine = RassEngine(cfg, bert_cfg=BertConfig.tiny())
+    bert_cfg = BertConfig.tiny()
+    if os.path.isdir("encoder_model") and not cfg.encoder_weights_path:
+        # the shipped contrastively-trained bi-encoder: semantically trusted
+        # embeddings, which also turns the semantic answer cache on
+        cfg = cfg.replace(encoder_weights_path="encoder_model", embed_dim=128)
+        bert_cfg = None
+    engine = RassEngine(cfg, bert_cfg=bert_cfg)
+    print(f"encoder trusted_semantics={engine.embedder.trusted_semantics}")
     n = engine.ingest_directory("demo", "sample_dataset")
     print(f"ingested {n} documents from sample_dataset/\n")
     service = AskService(engine, db=ChatStore(":memory:"))
+    print(f"semantic cache enabled={service.cache is not None}")
     for q in QUESTIONS:
         answer = await service.ask(q, "demo", "demo-chat")
         print(f"Q: {q}\nA: {answer[:300]}\n")
+    # a paraphrased repeat should hit the semantic cache when trusted
+    if service.cache is not None:
+        from rassengine_tpu.core.tracing import METRICS
+
+        before = METRICS.counters.get("cache_hits", 0)
+        await service.ask("metformin stomach upset", "demo", "demo-chat")
+        print(f"cache hits after paraphrase: {METRICS.counters.get('cache_hits', 0)}"
+              f" (was {before})")
 
 
 if __name__ == "__main__":

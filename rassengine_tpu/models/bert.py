@@ -53,6 +53,15 @@ class BertConfig:
         )
 
     @staticmethod
+    def small(vocab_size: int = 4096) -> "BertConfig":
+        """Shipped-NLU size: big enough to host domain-MLM semantics, small
+        enough to train on this image in minutes."""
+        return BertConfig(
+            vocab_size=vocab_size, hidden_size=128, num_layers=4, num_heads=4,
+            intermediate_size=512, max_position=128,
+        )
+
+    @staticmethod
     def large() -> "BertConfig":
         return BertConfig()
 
@@ -156,6 +165,28 @@ class BertForSequenceClassification(nn.Module):
         cls = nn.tanh(nn.Dense(self.cfg.hidden_size, dtype=jnp.float32,
                                name="pooler")(cls))
         return nn.Dense(self.num_labels, dtype=jnp.float32, name="classifier")(cls)
+
+
+class BertForMaskedLM(nn.Module):
+    """Domain-MLM pretraining head (train/pretrain.py).
+
+    The reference's NLU quality rides on web-scale-pretrained checkpoints
+    (bart-large-mnli, BioBERT — main.py:128-189); in a zero-egress image the
+    achievable analog is masked-LM pretraining on the synthetic clinical
+    corpus, whose encoder then initializes the intent/NER fine-tunes.
+    """
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        hidden = BertEncoder(self.cfg, name="encoder")(input_ids, attention_mask)
+        x = nn.Dense(self.cfg.hidden_size, dtype=jnp.float32,
+                     name="mlm_dense")(hidden.astype(jnp.float32))
+        x = nn.gelu(x)
+        x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="mlm_norm")(x)
+        return nn.Dense(self.cfg.vocab_size, dtype=jnp.float32,
+                        name="mlm_head")(x)
 
 
 class BertForTokenClassification(nn.Module):

@@ -34,7 +34,13 @@ class Embedder:
         self.config = config or EngineConfig()
         if bert_cfg is None:
             if self.config.encoder_weights_path:
-                bert_cfg = BertConfig.large()
+                from rassengine_tpu.train.serialization import load_model_meta
+
+                meta = load_model_meta(self.config.encoder_weights_path)
+                # our trained checkpoints carry their config; bare HF dirs
+                # (mxbai-embed-large class) default to BERT-large
+                bert_cfg = (BertConfig(**meta["bert_config"]) if meta
+                            else BertConfig.large())
             else:
                 # weightless mode: tiny deterministic encoder (tests/benches)
                 bert_cfg = BertConfig.tiny()

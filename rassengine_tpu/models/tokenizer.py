@@ -46,6 +46,26 @@ class HashTokenizer:
         h = int.from_bytes(hashlib.md5(word.lower().encode()).digest()[:4], "little")
         return N_SPECIAL + h % (self.vocab_size - N_SPECIAL)
 
+    def encode_words(self, words: list[str], max_len: int | None = None):
+        """Word-aligned encoding → (ids [1, L], mask [1, L], word_ids [1, L]).
+
+        One token per whitespace word; word_ids maps each position to its
+        source word (-1 for CLS/SEP/pad). Shared API with WordPieceTokenizer
+        so NER training and inference tokenize identically.
+        """
+        max_len = max_len or self.max_len
+        words = words[: max_len - 2]
+        toks = [CLS_ID] + [self._token_id(w) for w in words] + [SEP_ID]
+        wids = [-1] + list(range(len(words))) + [-1]
+        pad_to = bucket_length(len(toks), max_len)
+        ids = np.full((1, pad_to), PAD_ID, np.int32)
+        mask = np.zeros((1, pad_to), np.int32)
+        word_ids = np.full((1, pad_to), -1, np.int32)
+        ids[0, : len(toks)] = toks
+        mask[0, : len(toks)] = 1
+        word_ids[0, : len(wids)] = wids
+        return ids, mask, word_ids
+
     def encode_batch(self, texts: list[str], max_len: int | None = None):
         max_len = max_len or self.max_len
         toks = []
@@ -107,6 +127,60 @@ class WordPieceTokenizer:
             ids[i, : len(t)] = t
             mask[i, : len(t)] = 1
         return ids, mask
+
+
+    def encode_words(self, words: list[str], max_len: int | None = None):
+        """Word-aligned subword encoding (see HashTokenizer.encode_words).
+
+        Each word tokenizes independently; continuation subtokens carry the
+        same word id, so BIO training labels first-subtokens B- and
+        continuations I-, and decoding reads the first subtoken per word.
+        """
+        max_len = max_len or self.max_len
+        toks: list[int] = [self._tok.token_to_id("[CLS]")]
+        wids: list[int] = [-1]
+        for wi, w in enumerate(words):
+            sub = self._tok.encode(w, add_special_tokens=False).ids or [
+                self._tok.token_to_id("[UNK]")]
+            if len(toks) + len(sub) + 1 > max_len:
+                break
+            toks.extend(sub)
+            wids.extend([wi] * len(sub))
+        toks.append(self._tok.token_to_id("[SEP]"))
+        wids.append(-1)
+        pad_to = bucket_length(len(toks), max_len)
+        ids = np.full((1, pad_to), self.pad_id, np.int32)
+        mask = np.zeros((1, pad_to), np.int32)
+        word_ids = np.full((1, pad_to), -1, np.int32)
+        ids[0, : len(toks)] = toks
+        mask[0, : len(toks)] = 1
+        word_ids[0, : len(wids)] = wids
+        return ids, mask, word_ids
+
+
+def train_wordpiece_vocab(texts: list[str], out_dir: str,
+                          vocab_size: int = 8192) -> str:
+    """Train a WordPiece vocab on a text corpus → writes ``vocab.txt``.
+
+    Real-weight deployments ship a pretrained vocab; synthetic-trained NLU
+    models get subword generalization (unseen surface forms decompose into
+    seen pieces — the hash tokenizer maps them to arbitrary ids instead,
+    which is why round-1 models couldn't generalize off-template).
+    Special-token order matches the module constants (PAD=0 … MASK=4).
+    """
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
+    tok.normalizer = normalizers.BertNormalizer(lowercase=True)
+    tok.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+    trainer = trainers.WordPieceTrainer(
+        vocab_size=vocab_size,
+        special_tokens=["[PAD]", "[CLS]", "[SEP]", "[UNK]", "[MASK]"],
+    )
+    tok.train_from_iterator(texts, trainer)
+    os.makedirs(out_dir, exist_ok=True)
+    tok.model.save(out_dir)
+    return os.path.join(out_dir, "vocab.txt")
 
 
 def load_tokenizer(weights_path: str, vocab_size: int, max_len: int):

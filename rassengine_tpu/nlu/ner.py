@@ -173,37 +173,22 @@ class ModelNER:
         self.threshold = threshold
         self._fwd = jax.jit(self.model.apply)
 
-    def _encode_words(self, words: list[str]):
-        """One token per whitespace word — the exact training-time scheme
-        (train/ner_train.py encode_ner)."""
-        from rassengine_tpu.models.tokenizer import (
-            CLS_ID, PAD_ID, SEP_ID, bucket_length)
-
-        if not hasattr(self.tokenizer, "_token_id"):  # WordPiece weights path
-            return self.tokenizer.encode_batch([" ".join(words)], 128)
-        body = [self.tokenizer._token_id(w) for w in words[:126]]
-        toks = [CLS_ID] + body + [SEP_ID]
-        pad_to = bucket_length(len(toks), 128)
-        ids = np.full((1, pad_to), PAD_ID, np.int32)
-        mask = np.zeros((1, pad_to), np.int32)
-        ids[0, : len(toks)] = toks
-        mask[0, : len(toks)] = 1
-        return ids, mask
-
     def extract(self, query: str) -> list[Entity]:
         import jax.nn
 
         words = query.split()
         if not words:
             return []
-        # word-level tokenization: one token per *whitespace word*, hashed with
-        # the same scheme as training (train/ner_train.py encode_ner hashes
-        # whole words; encode_batch's _WORD_RE would split punctuation into
-        # separate tokens and shift the position→word alignment)
-        ids, mask = self._encode_words(words)
+        # tokenizer.encode_words is the exact training-time scheme
+        # (train/ner_train.py encode_ner): word-aligned for both the hash and
+        # WordPiece tokenizers; each word's label reads from its FIRST subtoken
+        ids, mask, word_ids = self.tokenizer.encode_words(words, 128)
         logits = self._fwd(self.params, ids, mask)
         probs = np.asarray(jax.nn.softmax(logits[0]))  # [L, num_labels]
-        n = int(mask[0].sum())
+        first_pos: dict[int, int] = {}
+        for j, wi in enumerate(word_ids[0].tolist()):
+            if wi >= 0 and wi not in first_pos:
+                first_pos[wi] = j
         ents: list[Entity] = []
         cur_words: list[str] = []
         cur_label = None
@@ -216,8 +201,10 @@ class ModelNER:
                              "confidence": float(cur_conf)})
             cur_words, cur_label, cur_conf = [], None, 1.0
 
-        # positions 1..n-2 map to words (CLS at 0, SEP at n-1) for HashTokenizer
-        for wi, pos in enumerate(range(1, min(n - 1, len(words) + 1))):
+        for wi in range(len(words)):
+            pos = first_pos.get(wi)
+            if pos is None:
+                break  # truncated by max_len
             li = int(np.argmax(probs[pos]))
             conf = float(probs[pos, li])
             label = BIO_LABELS[li]

@@ -87,6 +87,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "what should I know about this patient's {CONDITION}",
         "describe recent findings related to {ANATOMY} issues",
         "give me background on {PERSON}",
+        "overview of how {PERSON} has been doing",
+        "what stands out in the notes about {CONDITION}",
+        "broad summary of the {ANATOMY} complaints",
+        "help me understand this patient's situation with {CONDITION}",
+        "general impression of {PERSON}'s wellbeing",
     ],
     "KEYWORD": [
         '"{CONDITION}"',
@@ -94,6 +99,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "records containing the code {ICD10_CODE}",
         "search {LABTEST} results verbatim",
         "exact phrase {PROCEDURE}",
+        "literal match for {MEDICATION}",
+        "grep the charts for {CONDITION}",
+        "documents that say {PROCEDURE} word for word",
+        "look up the exact term {LABTEST}",
+        "find the string {ICD10_CODE} anywhere",
     ],
     "HYBRID": [
         "{CONDITION} treatment options for {PERSON}",
@@ -101,6 +111,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "{LABTEST} trends and interpretation",
         "information on {PROCEDURE} recovery",
         "{CONDITION} management plan",
+        "guidance on dosing {MEDICATION} in {CONDITION}",
+        "relevant records about {PROCEDURE} complications",
+        "evidence on {MEDICATION} effectiveness",
+        "what do the notes and labs say about {CONDITION}",
+        "material covering {LABTEST} abnormalities",
     ],
     "STRUCTURED": [
         "what is the marital status of {PERSON}",
@@ -108,6 +123,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "list the status of the {MEDICATION} prescription",
         "what is the gender recorded for {PERSON}",
         "show the dosage for {MEDICATION}",
+        "what language is on file for {PERSON}",
+        "prescription priority for {MEDICATION}",
+        "recorded phone number of {PERSON}",
+        "clinical status field of the {CONDITION} entry",
+        "what unit is the {LABTEST} recorded in",
     ],
     "HYBRID_STRUCTURED": [
         "patients with a condition of {CONDITION}",
@@ -115,6 +135,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "patients with {SEVERITY} {CONDITION} on {MEDICATION}",
         "anyone with an allergy to {ALLERGY} and {CONDITION}",
         "patients whose medication includes {MEDICATION}",
+        "list {GENDER} patients prescribed {MEDICATION}",
+        "who has both {CONDITION} and an allergy to {ALLERGY}",
+        "find patients whose {LABTEST} is abnormal and have {CONDITION}",
+        "everyone diagnosed with {CONDITION} taking {MEDICATION}",
+        "which patients carry the code {ICD10_CODE}",
     ],
     "AGGREGATE": [
         "how many patients have {CONDITION}",
@@ -122,6 +147,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "what is the most common condition in the registry",
         "total number of {PROCEDURE} procedures performed",
         "breakdown of patients by condition",
+        "how many prescriptions of {MEDICATION} exist",
+        "tally the {LABTEST} orders this year",
+        "distribution of diagnoses across the panel",
+        "number of {GENDER} patients in the registry",
+        "count records mentioning {ALLERGY}",
     ],
     "COMPARISON": [
         "compare {LABTEST} between the last two visits",
@@ -129,6 +159,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "is {PERSON}'s blood pressure higher than last year",
         "{CONDITION} versus {CONDITION} prevalence",
         "compare results before and after {PROCEDURE}",
+        "which works better {MEDICATION} or {MEDICATION}",
+        "contrast the {LABTEST} values across visits",
+        "has the {CONDITION} improved relative to baseline",
+        "side by side of {PROCEDURE} outcomes by year",
+        "is {OBS_VALUE} better or worse than before",
     ],
     "TEMPORAL": [
         "when was {PERSON}'s last visit",
@@ -136,6 +171,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "show the latest {LABTEST} results",
         "history of {MEDICATION} prescriptions since {DATE}",
         "most recent encounter for {PERSON}",
+        "timeline of the {CONDITION} diagnosis",
+        "anything new since {DATE}",
+        "earliest record of {PROCEDURE}",
+        "what changed in the last month for {PERSON}",
+        "chronology of {LABTEST} orders",
     ],
     "EXPLANATORY": [
         "why was {MEDICATION} prescribed",
@@ -143,6 +183,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "what does {ICD10_CODE} mean",
         "why does {CONDITION} cause fatigue",
         "explain the note about {PROCEDURE}",
+        "help me interpret the {LABTEST} value",
+        "what is the rationale for the {PROCEDURE}",
+        "why would {MEDICATION} be stopped",
+        "clarify what {SEVERITY} {CONDITION} implies",
+        "walk me through the meaning of {OBS_VALUE}",
     ],
     "MULTI_INTENT": [
         "what meds is {PERSON} taking? any allergies on file?",
@@ -150,6 +195,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "compare {LABTEST} trends and explain the latest value",
         "show {PERSON}'s conditions and also their medications",
         "when was the last visit? what was the {LABTEST} then?",
+        "fetch the chart and summarize {CONDITION} history",
+        "how many have {CONDITION} and who treats them",
+        "list allergies plus explain the {MEDICATION} choice",
+        "latest {LABTEST} and also the prescription status",
+        "summarize the visit and count open conditions",
     ],
     "ENTITY_SPECIFIC": [
         "did {DOCTOR} see {PERSON}",
@@ -157,6 +207,11 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "which patients did {DOCTOR} treat",
         "contact details for {PERSON}",
         "appointments at {ORGANIZATION} clinic",
+        "notes authored by {DOCTOR}",
+        "everything associated with {ORGANIZATION}",
+        "who is {PERSON}'s primary physician",
+        "visits handled by {DOCTOR} this year",
+        "phone number on file for {ORGANIZATION}",
     ],
     "DOCUMENT_FETCH": [
         "fetch the medical records for {PERSON}",
@@ -164,23 +219,187 @@ INTENT_TEMPLATES: dict[str, list[str]] = {
         "get me the uploaded documents for {PERSON}",
         "show me the raw files for {PERSON}",
         "download the record file for {PERSON}",
+        "open the original bundle for {PERSON}",
+        "export {PERSON}'s documents as uploaded",
+        "raw source files belonging to {PERSON}",
+        "give me the unprocessed chart for {PERSON}",
+        "pull up the stored files of {PERSON}",
     ],
 }
 
-NER_TEMPLATES: list[str] = [
+# Held-out intent paraphrases: novel sentences REUSING cue words that appear
+# somewhere in INTENT_TEMPLATES. Never trained on; "eval" split. This measures
+# template-surface independence (what round 1's circular eval missed). The
+# even/odd "hard" split below additionally holds out whole cue vocabularies —
+# a bar that genuinely requires web-scale pretraining (the reference zero-shots
+# bart-large-mnli); both numbers are reported.
+INTENT_EVAL_TEMPLATES: dict[str, list[str]] = {
+    "SEMANTIC": [
+        "could you summarize how {PERSON} is doing overall",
+        "what should the team know about the {CONDITION} picture",
+        "describe the background on this {ANATOMY} problem",
+        "tell me what stands out for {PERSON}",
+        "give a clinical overview of {CONDITION} for this patient",
+    ],
+    "KEYWORD": [
+        "notes with the exact phrase {PROCEDURE}",
+        "records mentioning {MEDICATION} word for word",
+        "search verbatim for {LABTEST}",
+        "find charts containing the code {ICD10_CODE} exactly",
+        'documents that include "{CONDITION}"',
+    ],
+    "HYBRID": [
+        "treatment information about {CONDITION}",
+        "what do notes say on {MEDICATION} side effects",
+        "records and guidance on {PROCEDURE} recovery",
+        "interpretation of recent {LABTEST} trends",
+        "management options for {SEVERITY} {CONDITION}",
+    ],
+    "STRUCTURED": [
+        "what gender is recorded for {PERSON}",
+        "show the recorded date of birth of {PERSON}",
+        "the status field of the {MEDICATION} prescription",
+        "what dosage is listed for {MEDICATION}",
+        "marital status on file for {PERSON}",
+    ],
+    "HYBRID_STRUCTURED": [
+        "which patients have {CONDITION} and take {MEDICATION}",
+        "patients whose allergy list includes {ALLERGY}",
+        "anyone having {SEVERITY} {CONDITION}",
+        "list patients with a condition of {CONDITION} please",
+        "patients with {CONDITION} whose medication includes {MEDICATION}",
+    ],
+    "AGGREGATE": [
+        "how many encounters were recorded for {PERSON}",
+        "count the patients diagnosed with {CONDITION}",
+        "what is the total number of {PROCEDURE} orders",
+        "give me a breakdown of conditions by patient",
+        "which condition is most common across the registry",
+    ],
+    "COMPARISON": [
+        "compare the {LABTEST} against the prior visit",
+        "what is the difference between the two {MEDICATION} regimens",
+        "is the blood pressure higher than it was before",
+        "{MEDICATION} versus {MEDICATION} for {CONDITION}",
+        "compare outcomes before and after the {PROCEDURE}",
+    ],
+    "TEMPORAL": [
+        "when did {PERSON} last come in",
+        "show the most recent {LABTEST} values",
+        "what has happened since {DATE}",
+        "history of {CONDITION} over the past year",
+        "latest encounter notes for {PERSON}",
+    ],
+    "EXPLANATORY": [
+        "explain why {MEDICATION} was chosen",
+        "what does a {LABTEST} of {OBS_VALUE} mean",
+        "why would {CONDITION} cause these symptoms",
+        "explain the meaning of code {ICD10_CODE}",
+        "help me interpret the note about {PROCEDURE}",
+    ],
+    "MULTI_INTENT": [
+        "list the medications and also any allergies for {PERSON}",
+        "how many {CONDITION} cases? also show the recent ones",
+        "compare the {LABTEST} trend and also explain the latest value",
+        "what conditions does {PERSON} have and what meds are they on",
+        "when was the last visit and what did the {LABTEST} show then",
+    ],
+    "ENTITY_SPECIFIC": [
+        "did {DOCTOR} treat {PERSON} recently",
+        "show records from the {ORGANIZATION} clinic",
+        "which patients are seen by {DOCTOR}",
+        "what are the contact details on file for {PERSON}",
+        "appointments scheduled at {ORGANIZATION}",
+    ],
+    "DOCUMENT_FETCH": [
+        "fetch the raw files for {PERSON}",
+        "retrieve every uploaded document of {PERSON}",
+        "get the full medical record file for {PERSON}",
+        "show me the original chart for {PERSON}",
+        "download {PERSON}'s records as uploaded",
+    ],
+}
+
+# --- NER templates, organized in FAMILIES -----------------------------------
+# The reference fine-tunes on 400 hand-written templates — 200 single-slot +
+# 200 multi-slot (train_ner.py:237-675). Round 1 shipped 20 and evaluated
+# in-distribution (circular). Here: hand-written template *families*, each a
+# distinct phrasing pattern; surface variants within a family come from
+# prefix/suffix augmentation. Generalization is evaluated by splitting BY
+# FAMILY (train on one half, eval on unseen phrasings — train/ner_train.py
+# --family-split), so the reported F1 is off-distribution.
+
+_SINGLE_SLOT_FAMILIES: list[str] = [
+    # condition-centric
     "does {PERSON} have {CONDITION}",
-    "is {PERSON} still taking {MEDICATION}",
+    "any documented history of {CONDITION}",
+    "when was {CONDITION} first diagnosed",
+    "rule out {CONDITION} please",
+    "the assessment lists {CONDITION} as active",
+    "patient denies symptoms of {CONDITION}",
+    "differential includes {CONDITION}",
+    "screening for {CONDITION} came back negative",
+    "{CONDITION} appears well controlled",
+    "chart mentions longstanding {CONDITION}",
+    # medication-centric
+    "is the patient still taking {MEDICATION}",
+    "refill request for {MEDICATION}",
+    "discontinue {MEDICATION} immediately",
+    "any adverse reactions to {MEDICATION}",
+    "titrate the {MEDICATION} dose upward",
+    "{MEDICATION} was started last visit",
+    "check adherence to {MEDICATION}",
+    "pharmacy flagged an interaction with {MEDICATION}",
+    # procedure-centric
+    "schedule a {PROCEDURE} for next month",
+    "the {PROCEDURE} went without complication",
+    "is a {PROCEDURE} indicated here",
+    "post {PROCEDURE} recovery notes",
+    "consent obtained for {PROCEDURE}",
+    "awaiting results from the {PROCEDURE}",
+    # lab-centric
+    "order a {LABTEST} today",
+    "latest {LABTEST} results please",
+    "trend the {LABTEST} over six months",
+    "repeat the {LABTEST} fasting",
+    "{LABTEST} remains out of range",
+    # person-centric
+    "pull the chart for {PERSON}",
+    "{PERSON} called about test results",
+    "next appointment for {PERSON}",
+    "insurance details for {PERSON}",
+    "{PERSON} missed the last visit",
+    # doctor / org
+    "{DOCTOR} signed the discharge summary",
+    "referred by {DOCTOR} for evaluation",
+    "which patients does {DOCTOR} cover",
+    "records were faxed from {ORGANIZATION}",
+    "admitted at {ORGANIZATION} overnight",
+    "transfer to {ORGANIZATION} arranged",
+    # codes / values / contact
+    "diagnosis code {ICD10_CODE} was recorded",
+    "bill under procedure code {CPT_CODE}",
+    "map this panel to {LOINC_CODE}",
+    "reading of {OBS_VALUE} at triage",
+    "call the patient at {PHONE}",
+    "send the summary to {EMAIL}",
+    "update the address to {ADDRESS}",
+    # demographics / misc
+    "a {GENDER} patient presented today",
+    "symptoms are {SEVERITY} this week",
+    "tenderness over the {ANATOMY}",
+    "documented allergy to {ALLERGY}",
+    "an episode noted on {DATE}",
+]
+
+_MULTI_SLOT_FAMILIES: list[str] = [
     "{DOCTOR} ordered a {LABTEST} on {DATE}",
-    "schedule a {PROCEDURE} for {PERSON}",
     "allergy to {ALLERGY} noted for {PERSON}",
     "{GENDER} patient with {SEVERITY} {CONDITION}",
     "the {LABTEST} came back at {OBS_VALUE}",
-    "diagnosis code {ICD10_CODE} recorded on {DATE}",
-    "billing used procedure code {CPT_CODE}",
     "lab {LOINC_CODE} ordered by {DOCTOR}",
     "{PERSON} visited {ORGANIZATION} on {DATE}",
-    "reach the patient at {PHONE} or {EMAIL}",
-    "{PERSON} lives at {ADDRESS}",
+    "reach {PERSON} at {PHONE} or {EMAIL}",
     "{MEDICATION} prescribed for {CONDITION} since {DATE}",
     "{SEVERITY} pain in the {ANATOMY} reported by {PERSON}",
     "follow up on the {PROCEDURE} performed at {ORGANIZATION}",
@@ -188,29 +407,136 @@ NER_TEMPLATES: list[str] = [
     "compare {LABTEST} with value {OBS_VALUE} from {DATE}",
     "{PERSON} saw {DOCTOR} about {CONDITION}",
     "history of {CONDITION} and {CONDITION} for {PERSON}",
+    "switch {PERSON} from {MEDICATION} to {MEDICATION}",
+    "{PERSON} takes {MEDICATION} for {CONDITION}",
+    "{CONDITION} managed with {MEDICATION} and {MEDICATION}",
+    "{DOCTOR} at {ORGANIZATION} performed the {PROCEDURE}",
+    "admit {PERSON} to {ORGANIZATION} for {PROCEDURE}",
+    "{LABTEST} of {OBS_VALUE} suggests {CONDITION}",
+    "{PERSON} reported {SEVERITY} {ANATOMY} pain on {DATE}",
+    "code {ICD10_CODE} assigned for {CONDITION}",
+    "{PROCEDURE} billed as {CPT_CODE} on {DATE}",
+    "since {DATE} the {CONDITION} has been {SEVERITY}",
+    "{DOCTOR} increased {MEDICATION} after the {LABTEST}",
+    "contact {DOCTOR} at {PHONE} regarding {PERSON}",
+    "{PERSON} living at {ADDRESS} enrolled at {ORGANIZATION}",
+    "allergy panel for {ALLERGY} and {ALLERGY} on {DATE}",
+    "{GENDER} patient of {DOCTOR} with {CONDITION}",
+    "{MEDICATION} held before the {PROCEDURE}",
+    "{LABTEST} and {LABTEST} both pending for {PERSON}",
+    "image the {ANATOMY} before {PROCEDURE}",
+    "{ORGANIZATION} reported {OBS_VALUE} for the {LABTEST}",
+    "flag {ICD10_CODE} and {ICD10_CODE} for review",
+    "{PERSON} with {CONDITION} saw {DOCTOR} on {DATE}",
+    "discuss {MEDICATION} side effects with {PERSON}",
+    "biopsy of the {ANATOMY} showed {CONDITION}",
+    "{DATE} visit at {ORGANIZATION} for {SEVERITY} {CONDITION}",
+    "verify {EMAIL} and {PHONE} for {PERSON}",
+    "post {PROCEDURE} the {LABTEST} normalized to {OBS_VALUE}",
 ]
+
+_PREFIXES = ["", "please ", "can you check ", "note that ", "per the chart ",
+             "reminder ", "as discussed ", "urgent "]
+_SUFFIXES = ["", " thanks", " as soon as possible", " for the record",
+             " before friday"]
+
+
+def _augment(families: list[str]) -> list[tuple[int, str]]:
+    """→ [(family_id, template)] — ~4 surface variants per family."""
+    out = []
+    for fid, fam in enumerate(families):
+        for i in range(4):
+            pre = _PREFIXES[(fid + i) % len(_PREFIXES)]
+            suf = _SUFFIXES[(fid * 3 + i) % len(_SUFFIXES)]
+            out.append((fid, f"{pre}{fam}{suf}".strip()))
+    return out
+
+
+# family ids for multi-slot continue after the single-slot ids
+NER_FAMILY_TEMPLATES: list[tuple[int, str]] = _augment(_SINGLE_SLOT_FAMILIES) + [
+    (fid + len(_SINGLE_SLOT_FAMILIES), t)
+    for fid, t in _augment(_MULTI_SLOT_FAMILIES)
+]
+N_NER_FAMILIES = len(_SINGLE_SLOT_FAMILIES) + len(_MULTI_SLOT_FAMILIES)
+
+NER_TEMPLATES: list[str] = [t for _fid, t in NER_FAMILY_TEMPLATES]
 
 _BIO_INDEX = {lbl: i for i, lbl in enumerate(BIO_LABELS)}
 
 
-def generate_intent_data(n: int, seed: int = 0) -> list[tuple[str, int]]:
-    """→ [(query, intent_label_index)] (reference generate_intent_data shape)."""
+_FILLER_PRE = ["", "", "please ", "hey ", "quick question ", "i need to know ",
+               "for this case ", "checking "]
+_FILLER_POST = ["", "", " thanks", " today", " for me", " right away"]
+
+
+def _augment_text(text: str, rng: random.Random, word_dropout: float) -> str:
+    """Generic filler + word dropout — forces cue-word learning instead of
+    template-surface memorization (a from-scratch model has no pretrained
+    semantics; the reference leans on bart-large-mnli zero-shot instead)."""
+    words = text.split()
+    if len(words) > 3 and word_dropout > 0:
+        words = [w for w in words
+                 if "{" in w or rng.random() > word_dropout] or words
+    text = " ".join(words)
+    return f"{rng.choice(_FILLER_PRE)}{text}{rng.choice(_FILLER_POST)}".strip()
+
+
+def generate_intent_data(n: int, seed: int = 0,
+                         template_split: str | None = None,
+                         augment: bool = True) -> list[tuple[str, int]]:
+    """→ [(query, intent_label_index)] (reference generate_intent_data shape).
+
+    ``template_split``: None = all templates; "train"/"eval" = disjoint
+    template halves per intent (off-distribution evaluation).
+    """
     rng = random.Random(seed)
     out = []
+    is_eval = template_split in ("eval", "eval_hard")
     for _ in range(n):
         intent = rng.choice(ALL_INTENTS)
-        template = rng.choice(INTENT_TEMPLATES[intent])
+        if template_split == "eval":
+            pool = INTENT_EVAL_TEMPLATES[intent]  # unseen phrasings, shared cues
+        elif template_split == "train_hard":
+            pool = [t for i, t in enumerate(INTENT_TEMPLATES[intent]) if i % 2 == 0]
+        elif template_split == "eval_hard":
+            # whole cue vocabularies held out — needs pretrained semantics
+            pool = [t for i, t in enumerate(INTENT_TEMPLATES[intent]) if i % 2 == 1]
+        else:  # None or "train": every training template
+            pool = INTENT_TEMPLATES[intent]
+        template = rng.choice(pool)
         text = _fill(template, rng)
+        if augment and not is_eval:
+            text = _augment_text(text, rng, word_dropout=0.12)
         out.append((text, ALL_INTENTS.index(intent)))
     return out
 
 
-def generate_ner_data(n: int, seed: int = 0) -> list[tuple[list[str], list[int]]]:
-    """→ [(words, bio_label_ids)] word-aligned BIO samples."""
+def ner_families_for(split: str | None) -> set[int] | None:
+    """Family ids for a split: even families train, odd families eval."""
+    if split is None:
+        return None
+    want = 0 if split == "train" else 1
+    return {f for f in range(N_NER_FAMILIES) if f % 2 == want}
+
+
+def generate_ner_data(n: int, seed: int = 0,
+                      template_split: str | None = None
+                      ) -> list[tuple[list[str], list[int]]]:
+    """→ [(words, bio_label_ids)] word-aligned BIO samples.
+
+    ``template_split``: "train"/"eval" restrict to disjoint template FAMILIES
+    (distinct phrasings, not just unseen slot values) so eval measures
+    off-distribution generalization — VERDICT round 1 #4.
+    """
     rng = random.Random(seed)
+    fams = ner_families_for(template_split)
+    pool = [t for f, t in NER_FAMILY_TEMPLATES if fams is None or f in fams]
+    # (O-word dropout was tried as augmentation and HURT off-dist F1
+    # 0.865→0.81 — context words are exactly the cues NER relies on)
+    drop_o = 0.0
     out = []
     for _ in range(n):
-        template = rng.choice(NER_TEMPLATES)
+        template = rng.choice(pool)
         words: list[str] = []
         labels: list[int] = []
         for piece in template.split():
@@ -230,6 +556,11 @@ def generate_ner_data(n: int, seed: int = 0) -> list[tuple[list[str], list[int]]
                 w2 = (prefix + w if wi == 0 else w) + (suffix if wi == len(vwords) - 1 else "")
                 words.append(w2)
                 labels.append(_BIO_INDEX[("B-" if wi == 0 else "I-") + slot])
+        if drop_o and len(words) > 3:
+            kept = [(w, lab) for w, lab in zip(words, labels)
+                    if lab != _BIO_INDEX["O"] or rng.random() > drop_o]
+            if kept:
+                words, labels = [w for w, _ in kept], [lab for _, lab in kept]
         out.append((words, labels))
     return out
 

@@ -1,0 +1,234 @@
+"""Contrastive bi-encoder fine-tune — the trained-embedding story.
+
+The reference's retrieval quality rests entirely on mxbai-embed-large served
+by Ollama (app/main.py:67, 225-274). This image has no network, so no public
+checkpoint can be fetched; the achievable substitute is a bi-encoder trained
+IN the framework: InfoNCE over synthetic clinical (query → chunk) pairs whose
+queries paraphrase the chunk through a synonym map (hypertension ↔ "high
+blood pressure" …), so lexical overlap alone cannot solve the task. Evaluated
+on HELD-OUT pairs against the random-init encoder (VERDICT round 1 #3); the
+trained checkpoint loads through ``EngineConfig.encoder_weights_path``, which
+flips ``Embedder.trusted_semantics`` and enables the semantic answer cache.
+
+Run: ``python -m rassengine_tpu.train.encoder_train [--steps N] [--out DIR]
+[--init-from MLM_DIR]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+import time
+
+import numpy as np
+
+from rassengine_tpu.models.bert import BertConfig, BertEncoder
+from rassengine_tpu.models.tokenizer import load_tokenizer, train_wordpiece_vocab
+from rassengine_tpu.models.weights import save_params
+from rassengine_tpu.train.serialization import save_model_meta
+
+log = logging.getLogger("rassengine.train.encoder")
+
+MAX_LEN = 64
+
+# lay-term synonym map: queries use one side, chunks the other — forcing the
+# encoder to learn the equivalence instead of token overlap
+SYNONYMS: dict[str, list[str]] = {
+    "hypertension": ["high blood pressure", "elevated blood pressure"],
+    "type 2 diabetes mellitus": ["adult onset diabetes", "high blood sugar disease"],
+    "asthma": ["reactive airway disease", "wheezing condition"],
+    "pneumonia": ["lung infection"],
+    "otitis media": ["middle ear infection"],
+    "anemia": ["low red blood cell count", "low hemoglobin"],
+    "obesity": ["excess body weight"],
+    "coronary heart disease": ["clogged heart arteries"],
+    "atrial fibrillation": ["irregular heartbeat"],
+    "osteoarthritis": ["joint wear and tear", "degenerative joint disease"],
+    "chronic kidney disease": ["reduced kidney function"],
+    "heart failure": ["weak heart pumping"],
+    "major depressive disorder": ["clinical depression", "persistent low mood"],
+    "hemoglobin a1c": ["long term sugar average", "glycated hemoglobin"],
+    "lipid panel": ["cholesterol test"],
+    "creatinine": ["kidney blood marker"],
+    "metformin": ["the sugar lowering pill"],
+    "lisinopril": ["the blood pressure tablet"],
+    "albuterol": ["the rescue inhaler"],
+    "colonoscopy": ["bowel camera exam"],
+    "echocardiogram": ["heart ultrasound"],
+    "influenza vaccination": ["flu shot"],
+}
+
+_CHUNK_TEMPLATES = [
+    "{PERSON} was seen in clinic for {COND}. {MED} was continued and a "
+    "{LAB} was ordered. Symptoms are currently {SEV}.",
+    "Progress note for {PERSON}: {COND} remains the active problem. "
+    "Daily {MED} prescribed. Latest {LAB} reviewed with the patient.",
+    "{PERSON} presented with {SEV} symptoms attributed to {COND}. "
+    "Plan: start {MED}, repeat {LAB} in three months.",
+    "Discharge summary: {PERSON} admitted for {COND}, stabilized on {MED}. "
+    "Follow-up {LAB} scheduled after discharge.",
+    "Telehealth visit with {PERSON} regarding {COND}. Adherence to {MED} "
+    "confirmed; {LAB} pending.",
+]
+
+_QUERY_TEMPLATES = [
+    "what is being done about {PERSON}'s {ALT}",
+    "which medicine does {PERSON} get for {ALT}",
+    "notes about {ALT} for {PERSON}",
+    "how is the {ALT} of {PERSON} managed",
+    "treatment record of {PERSON} concerning {ALT}",
+]
+
+
+def generate_pairs(n: int, seed: int = 0) -> list[tuple[str, str]]:
+    """→ [(query, chunk)]: query references the chunk via a SYNONYM of its
+    condition, so the pair shares the patient name but not the key term."""
+    from rassengine_tpu.train.data import (FIRST_NAMES, LAST_NAMES, LABTESTS,
+                                           MEDICATIONS, SEVERITIES)
+
+    rng = random.Random(seed)
+    conds = list(SYNONYMS)
+    out = []
+    for _ in range(n):
+        person = f"{rng.choice(FIRST_NAMES)} {rng.choice(LAST_NAMES)}"
+        cond = rng.choice(conds)
+        chunk = rng.choice(_CHUNK_TEMPLATES).format(
+            PERSON=person, COND=cond, MED=rng.choice(MEDICATIONS),
+            LAB=rng.choice(LABTESTS), SEV=rng.choice(SEVERITIES))
+        query = rng.choice(_QUERY_TEMPLATES).format(
+            PERSON=person, ALT=rng.choice(SYNONYMS[cond]))
+        out.append((query, chunk))
+    return out
+
+
+def eval_recall(embed_fn, pairs: list[tuple[str, str]], ks=(1, 5)) -> dict:
+    """Retrieve each query's own chunk among all eval chunks → recall@k."""
+    q = embed_fn([p[0] for p in pairs])
+    c = embed_fn([p[1] for p in pairs])
+    sims = q @ c.T
+    order = np.argsort(-sims, axis=1)
+    want = np.arange(len(pairs))[:, None]
+    return {f"recall@{k}": float(np.mean(np.any(order[:, :k] == want, axis=1)))
+            for k in ks}
+
+
+def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
+         learning_rate: float = 5e-4, seed: int = 0, size: str = "small",
+         init_from: str = "", n_pairs: int = 30_000,
+         n_eval: int = 1024, temperature: float = 0.05) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rassengine_tpu.train.trainer import copy_vocab, load_pretrained
+
+    if init_from:
+        cfg, enc_params, pre_vocab = load_pretrained(init_from)
+        params = {"params": enc_params}
+        copy_vocab(pre_vocab, out)
+    else:
+        cfg = {"tiny": BertConfig.tiny, "small": BertConfig.small,
+               "base": BertConfig.base, "large": BertConfig.large}[size]()
+        params = None
+        pre_vocab = None
+
+    pairs = generate_pairs(n_pairs + n_eval, seed)
+    train_pairs, eval_pairs = pairs[:n_pairs], pairs[n_pairs:]
+    if pre_vocab is None:
+        texts = [t for p in train_pairs for t in p]
+        train_wordpiece_vocab(texts, out, min(4096, cfg.vocab_size))
+    tokenizer = load_tokenizer(out, cfg.vocab_size, MAX_LEN)
+
+    model = BertEncoder(cfg)
+    if params is None:
+        dummy = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(seed), dummy, jnp.ones_like(dummy))
+    random_params = model.init(jax.random.PRNGKey(seed + 1),
+                               jnp.zeros((1, 8), jnp.int32),
+                               jnp.ones((1, 8), jnp.int32))
+
+    def encode_texts(texts):
+        ids, mask = tokenizer.encode_batch(texts, MAX_LEN)
+        if ids.shape[1] < MAX_LEN:
+            ids = np.pad(ids, ((0, 0), (0, MAX_LEN - ids.shape[1])))
+            mask = np.pad(mask, ((0, 0), (0, MAX_LEN - mask.shape[1])))
+        return ids[:, :MAX_LEN], mask[:, :MAX_LEN]
+
+    q_ids, q_mask = encode_texts([p[0] for p in train_pairs])
+    c_ids, c_mask = encode_texts([p[1] for p in train_pairs])
+
+    optimizer = optax.adamw(
+        optax.warmup_cosine_decay_schedule(0.0, learning_rate,
+                                           min(100, steps // 10), steps),
+        weight_decay=0.01)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, bqi, bqm, bci, bcm):
+        hq = model.apply(p, bqi, bqm)
+        hc = model.apply(p, bci, bcm)
+        zq = model.pool(hq, bqm)
+        zc = model.pool(hc, bcm)
+        logits = (zq @ zc.T) / temperature          # [B, B]
+        labels = jnp.arange(logits.shape[0])
+        lq = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        lc = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+        return 0.5 * (lq.mean() + lc.mean())
+
+    @jax.jit
+    def step(p, o, bqi, bqm, bci, bcm):
+        loss, grads = jax.value_and_grad(loss_fn)(p, bqi, bqm, bci, bcm)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    losses = []
+    for s in range(steps):
+        take = rng.integers(0, n_pairs, batch_size)
+        params, opt_state, loss = step(
+            params, opt_state,
+            jnp.asarray(q_ids[take]), jnp.asarray(q_mask[take]),
+            jnp.asarray(c_ids[take]), jnp.asarray(c_mask[take]))
+        losses.append(float(loss))
+        if (s + 1) % 100 == 0:
+            log.info("step %d/%d nce_loss %.4f (%.1f steps/s)", s + 1, steps,
+                     float(np.mean(losses[-100:])), (s + 1) / (time.time() - t0))
+
+    fwd = jax.jit(lambda p, i, m: model.pool(model.apply(p, i, m), m))
+
+    def embed_with(p):
+        def fn(texts):
+            outv = []
+            for st in range(0, len(texts), 256):
+                ids, mask = encode_texts(texts[st: st + 256])
+                outv.append(np.asarray(fwd(p, jnp.asarray(ids),
+                                           jnp.asarray(mask)), np.float32))
+            return np.concatenate(outv)
+        return fn
+
+    trained_m = eval_recall(embed_with(params), eval_pairs)
+    random_m = eval_recall(embed_with(random_params), eval_pairs)
+    save_params(out, params)
+    save_model_meta(out, cfg)
+    result = {"out": out, "final_loss": float(np.mean(losses[-50:])),
+              "trained": trained_m, "random_init": random_m,
+              "n_eval_pairs": len(eval_pairs)}
+    log.info("encoder done → %s trained=%s random=%s", out, trained_m, random_m)
+    return result
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--out", default="./encoder_model")
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--size", default="small",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--init-from", default="")
+    p.add_argument("--pairs", type=int, default=30_000)
+    a = p.parse_args()
+    main(a.steps, a.batch_size, a.out, a.lr, size=a.size,
+         init_from=a.init_from, n_pairs=a.pairs)

@@ -49,29 +49,89 @@ def evaluate(model, tokenizer):
 
 def main(samples: int = 2000, epochs: int = 5, size: str = "tiny",
          out: str = "./intent_model", batch_size: int = 64,
-         learning_rate: float = 2e-5, seed: int = 0) -> dict:
-    cfg = {"tiny": BertConfig.tiny, "base": BertConfig.base,
-           "large": BertConfig.large}[size]()
-    model = BertForSequenceClassification(cfg, num_labels=len(ALL_INTENTS))
-    tokenizer = HashTokenizer(cfg.vocab_size, 128)
+         learning_rate: float = 2e-5, seed: int = 0,
+         family_split: bool = False, use_wordpiece: bool = True,
+         vocab_size: int = 8192, init_from: str = "") -> dict:
+    from rassengine_tpu.models.tokenizer import (load_tokenizer,
+                                                 train_wordpiece_vocab)
+    from rassengine_tpu.train.trainer import graft_encoder, load_pretrained
 
-    data = generate_intent_data(samples, seed)
-    texts = [t for t, _ in data]
-    labels = np.asarray([l for _, l in data], np.int32)
-    ids, mask = tokenizer.encode_batch(texts, 128)
+    init_params = None
+    pre_vocab = None
+    if init_from:
+        cfg, enc_params, pre_vocab = load_pretrained(init_from)
+        model = BertForSequenceClassification(cfg, num_labels=len(ALL_INTENTS))
+        init_params = graft_encoder(model, enc_params, seed)
+    else:
+        cfg = {"tiny": BertConfig.tiny, "small": BertConfig.small,
+               "base": BertConfig.base, "large": BertConfig.large}[size]()
+        model = BertForSequenceClassification(cfg, num_labels=len(ALL_INTENTS))
 
-    n_eval = max(1, int(len(data) * 0.2))
-    tr = slice(0, len(data) - n_eval)
-    ev = slice(len(data) - n_eval, None)
+    if family_split:
+        # off-distribution eval. family_split="hard" holds out whole cue
+        # vocabularies (odd templates); True/"paraphrase" evaluates on
+        # held-out paraphrases that reuse trained cue words — see
+        # data.INTENT_EVAL_TEMPLATES for the distinction.
+        tr_split = "train_hard" if family_split == "hard" else "train"
+        ev_split = "eval_hard" if family_split == "hard" else "eval"
+        train_data = generate_intent_data(samples, seed, template_split=tr_split)
+        eval_data = generate_intent_data(max(64, samples // 5), seed + 1,
+                                         template_split=ev_split)
+    else:
+        data = generate_intent_data(samples, seed)
+        n_eval = max(1, int(len(data) * 0.2))
+        train_data, eval_data = data[:-n_eval], data[-n_eval:]
+
+    from rassengine_tpu.train.trainer import copy_vocab
+
+    extra_files: list[str] = []
+    if pre_vocab:  # the pretrained embedding's vocab MUST be reused
+        vocab_path = copy_vocab(pre_vocab, out)
+        extra_files.append(vocab_path)
+        tokenizer = load_tokenizer(out, cfg.vocab_size, 128)
+    elif use_wordpiece:
+        vocab_path = train_wordpiece_vocab([t for t, _ in train_data], out,
+                                           min(vocab_size, cfg.vocab_size))
+        extra_files.append(vocab_path)
+        tokenizer = load_tokenizer(out, cfg.vocab_size, 128)
+    else:
+        tokenizer = HashTokenizer(cfg.vocab_size, 128)
+
+    def enc(rows):
+        texts = [t for t, _ in rows]
+        labels = np.asarray([l for _, l in rows], np.int32)
+        ids, mask = tokenizer.encode_batch(texts, 128)
+        # encode_batch buckets by longest; re-pad to one width across splits
+        if ids.shape[1] < 64:
+            pad = 64 - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        return ids[:, :64], mask[:, :64], labels
+
     tcfg = TrainConfig(epochs=epochs, batch_size=batch_size,
                        learning_rate=learning_rate, seed=seed)
-    trainer = Trainer(model, tcfg, token_level=False, out_dir=out, bert_config=cfg)
+    trainer = Trainer(model, tcfg, token_level=False, out_dir=out,
+                      bert_config=cfg, extra_files=extra_files,
+                      init_params=init_params)
     result = trainer.fit(
-        batch_iterator(ids[tr], mask[tr], labels[tr], batch_size),
-        batch_iterator(ids[ev], mask[ev], labels[ev], batch_size),
+        batch_iterator(*enc(train_data), batch_size),
+        batch_iterator(*enc(eval_data), batch_size),
         evaluate(model, tokenizer),
     )
-    log.info("intent training done → %s", result["final_path"])
+    result["family_split"] = family_split
+    if family_split:
+        # the production fallback baseline on the same off-dist split
+        from rassengine_tpu.core.schema import ALL_INTENTS as _AI
+        from rassengine_tpu.nlu.intent import RuleIntentClassifier
+
+        rules = RuleIntentClassifier()
+        rule_acc = float(np.mean([
+            rules.classify(t)[0].value == _AI[lbl] for t, lbl in eval_data]))
+        result["rule_baseline_accuracy"] = rule_acc
+        log.info("rule-classifier baseline on this split: %.4f", rule_acc)
+    log.info("intent training done → %s (family_split=%s, acc=%.4f)",
+             result["final_path"], family_split,
+             result["history"][-1].get("accuracy", -1))
     return result
 
 
@@ -80,9 +140,19 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--samples", type=int, default=2000)
     p.add_argument("--epochs", type=int, default=5)
-    p.add_argument("--size", default="tiny", choices=["tiny", "base", "large"])
+    p.add_argument("--size", default="tiny", choices=["tiny", "small", "base", "large"])
     p.add_argument("--out", default="./intent_model")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--family-split", default="",
+                   choices=["", "paraphrase", "hard"],
+                   help="off-dist eval: 'paraphrase' = unseen phrasings with "
+                        "trained cue words; 'hard' = whole cue vocabularies "
+                        "held out")
+    p.add_argument("--hash-tokenizer", action="store_true")
+    p.add_argument("--init-from", default="",
+                   help="MLM-pretrained encoder dir (train/pretrain.py)")
     a = p.parse_args()
-    main(a.samples, a.epochs, a.size, a.out, a.batch_size, a.lr)
+    main(a.samples, a.epochs, a.size, a.out, a.batch_size, a.lr,
+         family_split=a.family_split, use_wordpiece=not a.hash_tokenizer,
+         init_from=a.init_from)

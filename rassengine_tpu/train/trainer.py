@@ -135,16 +135,21 @@ def _match_sharding(leaf, params, p_sh, mesh):
 
 class Trainer:
     def __init__(self, model, cfg: TrainConfig, token_level: bool, out_dir: str,
-                 bert_config, tokenizer=None):
+                 bert_config, tokenizer=None, extra_files: list[str] | None = None,
+                 init_params=None):
         self.model = model
         self.cfg = cfg
         self.token_level = token_level
         self.out_dir = out_dir
         self.bert_config = bert_config
+        self.extra_files = extra_files or []  # e.g. vocab.txt → every ckpt dir
+        self.init_override = init_params      # e.g. MLM-pretrained encoder
         self.optimizer = make_optimizer(cfg)
         self.train_step = make_train_step(model, self.optimizer, token_level)
 
     def init_params(self):
+        if self.init_override is not None:
+            return self.init_override
         dummy = jnp.zeros((1, 8), jnp.int32)
         return self.model.init(jax.random.PRNGKey(self.cfg.seed), dummy,
                                jnp.ones_like(dummy))
@@ -187,6 +192,50 @@ class Trainer:
     def _save(self, params, path: str) -> None:
         save_params(path, params)
         save_model_meta(path, self.bert_config)
+        for f in self.extra_files:
+            if os.path.exists(f):
+                shutil.copy(f, path)
+
+
+def load_pretrained(init_from: str):
+    """Load an MLM-pretrained encoder (train/pretrain.py output).
+
+    → (BertConfig, encoder_param_subtree, vocab_path-or-None). Fine-tune
+    scripts build their head model with this config, init it, and graft the
+    encoder subtree in (the head stays fresh).
+    """
+    from rassengine_tpu.models.bert import BertConfig, BertForMaskedLM
+    from rassengine_tpu.models.weights import load_params
+    from rassengine_tpu.train.serialization import load_model_meta
+
+    meta = load_model_meta(init_from)
+    cfg = BertConfig(**meta["bert_config"])
+    mlm = BertForMaskedLM(cfg)
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    template = mlm.init(jax.random.PRNGKey(0), dummy, jnp.ones_like(dummy))
+    mlm_params = load_params(init_from, template)
+    if mlm_params is None:
+        raise FileNotFoundError(init_from)
+    vocab = os.path.join(init_from, "vocab.txt")
+    return (cfg, mlm_params["params"]["encoder"],
+            vocab if os.path.exists(vocab) else None)
+
+
+def copy_vocab(pre_vocab: str, out: str) -> str:
+    """Reuse the pretrained embedding's vocab in a fine-tune output dir."""
+    os.makedirs(out, exist_ok=True)
+    dst = os.path.join(out, "vocab.txt")
+    shutil.copy(pre_vocab, dst)
+    return dst
+
+
+def graft_encoder(model, encoder_params, seed: int = 0):
+    """Init ``model`` and replace its encoder subtree with pretrained params."""
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), dummy, jnp.ones_like(dummy))
+    params = jax.tree_util.tree_map(lambda x: x, params)  # plain-dict copy
+    params["params"]["encoder"] = encoder_params
+    return params
 
 
 def batch_iterator(ids, mask, labels, batch_size: int) -> list[dict]:
