@@ -51,7 +51,9 @@ async def main() -> None:
         from rassengine_tpu.core.tracing import METRICS
 
         before = METRICS.counters.get("cache_hits", 0)
-        await service.ask("metformin stomach upset", "demo", "demo-chat")
+        # near-paraphrase above the 0.88 threshold ("stomach upset" measures
+        # 0.84 on the small shipped encoder — below the conservative cutoff)
+        await service.ask("metformin GI upset issues", "demo", "demo-chat")
         print(f"cache hits after paraphrase: {METRICS.counters.get('cache_hits', 0)}"
               f" (was {before})")
 

@@ -258,7 +258,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         acc = jnp.full(cand.shape, -1e30, jnp.float32)
         for i in range(nblocks6):
             acc = cand_scores_block(i, rows6, acc)
-        cand_exact = np.asarray(acc)
+        cand_exact = np.array(acc)  # copy: np.asarray of a jax array is RO
         cand_exact[cand < 0] = -1e30
         top5 = -np.sort(-cand_exact, axis=1)[:, :k]
         rec6 = float(np.mean(top5 >= (kth6[:, None] - 1e-3)))

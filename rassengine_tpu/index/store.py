@@ -231,11 +231,23 @@ class TenantIndex:
         """
         doc_id = str(doc.get("doc_id") or f"doc-{self.count}")
         row = self._id_to_row.get(doc_id)
+        if row is not None and self.n_shards > 1:
+            # re-upsert with a different patientId must move shard regions,
+            # or routed masks would miss the row (owner-shard invariant)
+            rs = self.capacity // self.n_shards
+            want = (stable_hash32(str(doc.get("patientId") or ""))
+                    % self.n_shards if doc.get("patientId")
+                    else row // rs)
+            if row // rs != want:
+                self.delete(doc_id)
+                self.count -= 1  # delete() dropped it; re-add below
+                row = None
         if row is None:
             row = self._alloc_row(doc)
             self.count += 1
             self._id_to_row[doc_id] = row
         self._allocated[row] = True
+        self._deleted[row] = False
         self.docs[row] = doc
         if embedding is not None:
             v = np.asarray(embedding, dtype=np.float32).reshape(-1)

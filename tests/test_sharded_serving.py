@@ -156,3 +156,28 @@ class TestShardedServing:
         load_engine(eng3, str(tmp_path / "sck"))
         got3 = hit_ids(eng3.retrieve("ck", "bronchitis management", top_k=5))
         assert want == got3
+
+    def test_reupsert_moves_shard_region_on_patient_change(self):
+        """Changing a doc's patientId must move its row to the new owner
+        shard, or routed masks would miss it."""
+        eng = mk_engine(8)
+        eng.ingest_docs("mv", [], corpus_docs(20))
+        t = eng.tenant("mv")
+        from rassengine_tpu.core.schema import QueryIntent
+        from rassengine_tpu.index.store import stable_hash32
+
+        doc = dict(t.index.docs[int(np.nonzero(t.index._allocated)[0][0])])
+        old_pid = doc["patientId"]
+        new_pid = next(p for p in ("p0", "p1", "p2", "p3", "p4", "p5", "p6")
+                       if stable_hash32(p) % 8 != stable_hash32(old_pid) % 8)
+        doc["patientId"] = new_pid
+        eng.ingest_docs("mv", [], [doc])
+        row = t.index._id_to_row[doc["doc_id"]]
+        rs = t.index.capacity // 8
+        assert row // rs == stable_hash32(new_pid) % 8
+        res = eng.retrieve("mv", "patient note", top_k=20,
+                           intent=QueryIntent.SEMANTIC, patient_id=new_pid)
+        assert any(h["doc_id"] == doc["doc_id"] for h, _ in res.hits)
+        res_old = eng.retrieve("mv", "patient note", top_k=20,
+                               intent=QueryIntent.SEMANTIC, patient_id=old_pid)
+        assert not any(h["doc_id"] == doc["doc_id"] for h, _ in res_old.hits)
