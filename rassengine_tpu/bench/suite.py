@@ -177,16 +177,19 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         from rassengine_tpu.index import pq4 as _pq4
 
         n6, b6, blk6 = 16_777_216, 256, 1 << 17
-        nlist6, msub6 = 1024, 128
+        # corpus: 65k clusters of ~250 rows — realistic near-neighbor density
+        # for embedding corpora (a 1k-cluster version packs 16k near-duplicate
+        # siblings per cluster, which no re-rank budget can disambiguate)
+        n_data_clusters, nlist6, msub6 = 65_536, 2048, 128
         key = jax.random.PRNGKey(7)
         centers6 = jax.random.normal(jax.random.fold_in(key, 999),
-                                     (nlist6, d), jnp.float32)
+                                     (n_data_clusters, d), jnp.float32)
         centers6 = centers6 / jnp.linalg.norm(centers6, axis=1, keepdims=True)
 
         @jax.jit
         def gen_block(i):
             kb = jax.random.fold_in(key, i)
-            a = jax.random.randint(kb, (blk6,), 0, nlist6)
+            a = jax.random.randint(kb, (blk6,), 0, n_data_clusters)
             x = centers6[a] + 0.5 * jax.random.normal(
                 jax.random.fold_in(kb, 1), (blk6, d), jnp.float32)
             return x / jnp.linalg.norm(x, axis=1, keepdims=True)

@@ -81,6 +81,23 @@ class Metrics:
             return out
 
 
+    def prometheus(self) -> str:
+        """Prometheus text exposition of the snapshot (GET /metrics?format=prometheus)."""
+        snap = self.snapshot()
+        lines = []
+        for name, v in sorted(snap["counters"].items()):
+            m = f"rass_{name}_total"
+            lines += [f"# TYPE {m} counter", f"{m} {v}"]
+        for name, st in sorted(snap["latency"].items()):
+            m = f"rass_{name}_latency_ms"
+            lines += [f"# TYPE {m} summary",
+                      f'{m}{{quantile="0.5"}} {st["p50_ms"]}',
+                      f'{m}{{quantile="0.99"}} {st["p99_ms"]}',
+                      f"{m}_count {st['count']}",
+                      f"{m}_mean {st['mean_ms']}"]
+        return "\n".join(lines) + "\n"
+
+
 METRICS = Metrics()
 
 

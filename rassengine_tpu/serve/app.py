@@ -72,6 +72,9 @@ def build_app(engine: RassEngine, service: AskService | None = None) -> App:
 
     @app.route("GET", "/metrics")
     async def metrics(req: Request) -> Response:
+        if "prometheus" in req.query.get("format", []):
+            return Response(200, METRICS.prometheus(),
+                            "text/plain; version=0.0.4")
         return Response.json_response(METRICS.snapshot())
 
     @app.route("POST", "/users")

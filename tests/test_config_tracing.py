@@ -60,3 +60,40 @@ class TestTracing:
         assert snap["counters"]["x"] == 3
         assert snap["latency"]["lat"]["count"] == 2
         assert snap["latency"]["lat"]["p50_ms"] >= 2
+
+
+class TestPrometheusFormat:
+    def test_prometheus_exposition(self):
+        from rassengine_tpu.core.tracing import Metrics
+
+        m = Metrics()
+        m.incr("ask_requests", 3)
+        m.observe("retrieve", 0.012)
+        text = m.prometheus()
+        assert "# TYPE rass_ask_requests_total counter" in text
+        assert "rass_ask_requests_total 3" in text
+        assert 'rass_retrieve_latency_ms{quantile="0.5"}' in text
+        assert "rass_retrieve_latency_ms_count 1" in text
+
+    def test_metrics_endpoint_format_param(self):
+        import asyncio
+
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.engine import RassEngine
+        from rassengine_tpu.models.bert import BertConfig
+        from rassengine_tpu.serve.app import build_app
+        from rassengine_tpu.serve.http import Request
+
+        cfg = EngineConfig(embed_dim=32, embed_batch_size=4, index_capacity=512,
+                           database_path=":memory:", llm_backend="echo",
+                           intent_model_path="/none", ner_model_path="/none")
+        eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        app = build_app(eng)
+        handler = app.routes[("GET", "/metrics")]
+        resp = asyncio.run(handler(Request("GET", "/metrics",
+                                           {"format": ["prometheus"]}, {})))
+        assert resp.content_type.startswith("text/plain")
+        assert b"# TYPE" in (resp.body if isinstance(resp.body, bytes)
+                             else resp.body.encode())
+        resp2 = asyncio.run(handler(Request("GET", "/metrics", {}, {})))
+        assert resp2.content_type == "application/json"
