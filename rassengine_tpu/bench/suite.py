@@ -187,12 +187,18 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         centers6 = centers6 / jnp.linalg.norm(centers6, axis=1, keepdims=True)
 
         @jax.jit
-        def gen_block(i):
+        def _gen_block(i, centers):
+            # centers as an ARGUMENT: closing over the [65k, d] table bakes a
+            # 268 MB constant into the HLO, which the axon remote-compile
+            # endpoint rejects (HTTP 413)
             kb = jax.random.fold_in(key, i)
             a = jax.random.randint(kb, (blk6,), 0, n_data_clusters)
-            x = centers6[a] + 0.5 * jax.random.normal(
+            x = centers[a] + 0.5 * jax.random.normal(
                 jax.random.fold_in(kb, 1), (blk6, d), jnp.float32)
             return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+        def gen_block(i):
+            return _gen_block(i, centers6)
 
         # train coarse + residual codebooks on block 0
         x0 = gen_block(0)
@@ -203,8 +209,8 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         cent = _pq4._kmeans_all_subspaces(x_sub, x_sub[:, :16, :], 6)
 
         @jax.jit
-        def encode_block(i):
-            x = gen_block(i)
+        def _encode_block6(i, centers):
+            x = _gen_block(i, centers)
             a, r = _pq4._assign_and_residual(x, coarse)
             codes = _pq4._encode_block(r, cent)
             packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
@@ -212,7 +218,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
 
         nblocks6 = n6 // blk6
         t0 = time.perf_counter()
-        parts = [encode_block(i) for i in range(nblocks6)]
+        parts = [_encode_block6(i, centers6) for i in range(nblocks6)]
         packed6 = jnp.concatenate([p for p, _ in parts])
         assign6 = jnp.concatenate([a for _, a in parts])
         np.asarray(assign6[:1])  # sync
@@ -237,20 +243,20 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
 
         # exact oracle + candidate scores over regenerated blocks (on device)
         @jax.jit
-        def oracle_block(i, best_s):
-            x = gen_block(i)
+        def oracle_block(i, centers, best_s):
+            x = _gen_block(i, centers)
             s = jnp.dot(q6d, x.T, preferred_element_type=jnp.float32)
             top = jax.lax.top_k(jnp.concatenate([best_s, s], axis=1), k)[0]
             return top
 
         best = jnp.full((b6, k), -1e30, jnp.float32)
         for i in range(nblocks6):
-            best = oracle_block(i, best)
+            best = oracle_block(i, centers6, best)
         kth6 = np.asarray(best)[:, k - 1]
 
         @jax.jit
-        def cand_scores_block(i, rows, acc):
-            x = gen_block(i)
+        def cand_scores_block(i, centers, rows, acc):
+            x = _gen_block(i, centers)
             s = jnp.dot(q6d, x.T, preferred_element_type=jnp.float32)  # [B, blk]
             local = rows - i * blk6
             inside = (local >= 0) & (local < blk6)
@@ -260,7 +266,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         rows6 = jnp.asarray(np.where(cand < 0, 0, cand))
         acc = jnp.full(cand.shape, -1e30, jnp.float32)
         for i in range(nblocks6):
-            acc = cand_scores_block(i, rows6, acc)
+            acc = cand_scores_block(i, centers6, rows6, acc)
         cand_exact = np.array(acc)  # copy: np.asarray of a jax array is RO
         cand_exact[cand < 0] = -1e30
         top5 = -np.sort(-cand_exact, axis=1)[:, :k]
