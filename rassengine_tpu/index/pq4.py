@@ -174,7 +174,7 @@ def pq4_topk(packed, assign, luts_flat, coarse_lut, add_mask, m: int,
     assert ohdim == msub * N_C
     assert cap % block_rows == 0 and block_rows % LANES == 0, (cap, block_rows)
     n_blocks = cap // block_rows
-    p_depth = min(16, max(2, -(-2 * m // LANES)))  # pool width ≥ 2m
+    p_depth = min(32, max(2, -(-2 * m // LANES)))  # pool width ≥ 2m
 
     p_blocks = packed.reshape(n_blocks, block_rows, n_half)
     a_blocks = assign.reshape(n_blocks, block_rows)
