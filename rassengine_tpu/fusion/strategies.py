@@ -206,20 +206,39 @@ class Retriever:
             return mask
         return self.router.routed_mask(mask, spec.patient_id, self.index.capacity)
 
+    def _bf16_fits(self) -> bool:
+        """Whether the bf16 rows fit the per-chip HBM budget (sharded corpora
+        divide across the mesh)."""
+        n = self.index.n_shards if self.mesh is not None else 1
+        return (2 * self.index.capacity * self.index.dim) // n \
+            <= HYBRID_BF16_BUDGET_BYTES
+
     def _sharded_top_m(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """SPMD sharded scan: per-chip partition scan + all-gather merge
-        (parallel/topk_merge.py). Exact bf16 tier only — quantized sharded
-        scans are single-chip paths for now."""
-        from rassengine_tpu.parallel.topk_merge import sharded_topk
+        (parallel/topk_merge.py). bf16 exact while the per-chip partition fits
+        the budget; int8 codes + exact re-rank beyond it (8×~13M×1024-d on a
+        v5e-8 slice)."""
+        from rassengine_tpu.parallel.topk_merge import (sharded_topk,
+                                                        sharded_topk_int8)
 
         idx = self.index
         with stage("semantic_scan_sharded"):
-            cols = idx.device_columns()
             mask = self._routed_mask(idx.filter_mask(spec), spec)
             q = jnp.asarray(np.atleast_2d(query_embs))
-            s, r = sharded_topk(self.mesh, cols["vecs"], mask, q,
-                                min(m, idx.capacity))
-        return np.asarray(r), np.asarray(s)
+            if self._bf16_fits():
+                cols = idx.device_columns()
+                s, r = sharded_topk(self.mesh, cols["vecs"], mask, q,
+                                    min(m, idx.capacity))
+                return np.asarray(r), np.asarray(s)
+            q8 = idx.device_columns_int8()
+            over = min(max(4 * m, 64), idx.capacity)
+            s8, rows = sharded_topk_int8(self.mesh, q8["codes"], q8["scales"],
+                                         mask, q, over)
+            # drop masked rows before re-rank — a filtered-out row can reach
+            # the candidate list (scoring NEG_INF+ε) and exact re-rank would
+            # resurrect it
+            rows = np.where(np.asarray(s8) <= NEG_INF / 2, -1, np.asarray(rows))
+            return self._rerank_exact(np.atleast_2d(query_embs), rows, m)
 
     def _sem_top_m_batch(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """Batched device top-M: query_embs [B, d] → (rows [B, m], scores [B, m]).
@@ -247,8 +266,11 @@ class Retriever:
             with stage("semantic_scan_int8"):
                 qcols = idx.device_columns_int8()
                 over = min(max(2 * m, 32), idx.capacity, 256)
-                _s, rows = fused_topk_int8_pooled(qcols["codes"], qcols["scales"],
+                s8, rows = fused_topk_int8_pooled(qcols["codes"], qcols["scales"],
                                                   q, mask, over, idx.block_rows)
+                # masked rows (NEG_INF+ε) must not reach the exact re-rank
+                rows = np.where(np.asarray(s8) <= NEG_INF / 2, -1,
+                                np.asarray(rows))
                 return self._rerank_exact(query_embs, rows, m)
         with stage("semantic_scan"):
             if self.use_pallas and idx.capacity >= idx.block_rows:
@@ -294,11 +316,11 @@ class Retriever:
                 qcols = idx.device_columns_int8()
                 try:
                     over = min(max(4 * m, 32), idx.capacity, 256)
-                    _s, rows = fused_topk_int8_pooled(
+                    s8, rows = fused_topk_int8_pooled(
                         qcols["codes"], qcols["scales"], q, mask, over,
                         idx.block_rows)
                     rows = np.asarray(rows[0])
-                    rows = rows[rows >= 0]
+                    rows = rows[(rows >= 0) & (np.asarray(s8[0]) > NEG_INF / 2)]
                     exact = self._sem_scores_for(query_emb, rows)
                     order = np.argsort(-exact)[:m]
                     return rows[order], exact[order]
@@ -571,7 +593,7 @@ class Retriever:
         spec = self._spec(filter_clause, patient_id)
         idx = self.index
         has_emb = query_emb is not None and np.size(query_emb) and idx.has_any_data()
-        if has_emb and 2 * idx.capacity * idx.dim <= HYBRID_BF16_BUDGET_BYTES:
+        if has_emb and self._bf16_fits():
             return self._additive_hybrid(query, query_emb, k, spec,
                                          {"text": 1.5, "keyword": 1.0}, 2.0)
         m = max(4 * k, 50)
@@ -692,9 +714,7 @@ class Retriever:
         recent = ((d != schema.NO_DATE) & (d >= today - 365) & (d <= today)).any(axis=1)
         bonus = np.where(recent, np.float32(0.5), np.float32(0.0))
         if (query_emb is not None and np.size(query_emb)
-                and self.index.has_any_data()
-                and 2 * self.index.capacity * self.index.dim
-                <= HYBRID_BF16_BUDGET_BYTES):
+                and self.index.has_any_data() and self._bf16_fits()):
             return self._additive_hybrid(query, query_emb, k, spec,
                                          {"text": 1.0, "keyword": 0.5}, 1.5,
                                          extra_add=bonus)

@@ -550,8 +550,8 @@ class TenantIndex:
         self.device_columns(include_vecs=False)
         codes, scales = quantize_int8(self._vecs)
         self._device_q = {
-            "codes": jnp.asarray(codes),
-            "scales": jnp.asarray(scales),
+            "codes": self._put_rows(codes),
+            "scales": self._put_rows(scales),
         }
         self._flushed["int8"] = self.generation
         return self._device_q

@@ -63,6 +63,53 @@ def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int):
     )(vecs, mask, queries)
 
 
+def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int):
+    """Row-sharded int8 scan with all-gather merge (the beyond-bf16 sharded
+    tier: 8×~13M×1024-d per v5e-8 slice at int8 residency).
+
+    codes [cap, d] int8 + scales [cap] f32 sharded on rows; queries [B, d]
+    replicated → (approx scores [B, k], global rows [B, k]) replicated.
+    Pair with exact re-rank from the host-canonical rows (the int8 single-chip
+    path does the same).
+    """
+    import jax.numpy as jnp
+
+    n_shards = mesh.shape["shard"]
+    cap = codes.shape[0]
+    assert cap % n_shards == 0, (cap, n_shards)
+    local_rows = cap // n_shards
+    # CPU (tests) has no int8 dot; TPU wants int8 MXU inputs
+    use_int8 = jax.default_backend() != "cpu"
+
+    def fn(c, sc, m, q):
+        qf = q.astype(jnp.float32)
+        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+        qs = jnp.max(jnp.abs(qn), axis=1, keepdims=True) / 127.0
+        qc = jnp.clip(jnp.round(qn / jnp.maximum(qs, 1e-12)), -127, 127)
+        if use_int8:
+            acc = jax.lax.dot_general(
+                qc.astype(jnp.int8), c,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            acc = jnp.dot(qc, c.astype(jnp.float32).T)
+        s = acc * qs * sc[None, :] + m[None, :]
+        s_top, i = jax.lax.top_k(s, k)
+        i = i + jax.lax.axis_index("shard") * local_rows
+        all_s = jax.lax.all_gather(s_top, "shard", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(i, "shard", axis=1, tiled=True)
+        top_s, pos = jax.lax.top_k(all_s, k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(codes, scales, mask, queries)
+
+
 def shard_index_to_mesh(mesh: Mesh, cols: dict) -> dict:
     """Place a TenantIndex's device columns row-sharded on the mesh."""
     row = NamedSharding(mesh, P("shard"))

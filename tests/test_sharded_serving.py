@@ -181,3 +181,30 @@ class TestShardedServing:
         res_old = eng.retrieve("mv", "patient note", top_k=20,
                                intent=QueryIntent.SEMANTIC, patient_id=old_pid)
         assert not any(h["doc_id"] == doc["doc_id"] for h, _ in res_old.hits)
+
+    def test_sharded_int8_tier_beyond_bf16_budget(self, monkeypatch):
+        """Past the per-chip bf16 budget the sharded tier scans int8 codes +
+        exact re-rank; results must still match single-device retrieval."""
+        import rassengine_tpu.fusion.strategies as strat
+
+        single, sharded = mk_engine(1), mk_engine(8)
+        for eng in (single, sharded):
+            eng.ingest_docs("q8", [], corpus_docs(48))
+        monkeypatch.setattr(strat, "HYBRID_BF16_BUDGET_BYTES", 1)
+        t = sharded.tenant("q8")
+        assert not t.retriever._bf16_fits()
+        from rassengine_tpu.core.schema import QueryIntent
+
+        # the random tiny encoder makes every pair a near-tie (all cosines
+        # within ~0.005), so ID equality is ill-posed between the bf16 exact
+        # scan and the int8+f32-rerank path; assert tie-aware quality instead
+        for pid in (None, "p3"):
+            a = single.retrieve("q8", "diabetes management note", top_k=5,
+                                intent=QueryIntent.SEMANTIC, patient_id=pid)
+            b = sharded.retrieve("q8", "diabetes management note", top_k=5,
+                                 intent=QueryIntent.SEMANTIC, patient_id=pid)
+            assert len(b.hits) == len(a.hits), pid
+            kth = min(s for _h, s in a.hits)
+            assert all(s >= kth - 5e-3 for _h, s in b.hits), (pid, a.hits, b.hits)
+            if pid:
+                assert all(h["patientId"] == pid for h, _ in b.hits)
