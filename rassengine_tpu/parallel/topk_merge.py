@@ -14,6 +14,8 @@ OpenSearch's ``_routing`` fast path.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -32,17 +34,11 @@ def _local_scan(vecs, mask, queries, k: int):
     return jax.lax.top_k(scores, k)
 
 
-def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int):
-    """Row-sharded exact top-k with all-gather merge.
-
-    vecs [cap, d] sharded on rows over ``shard``; mask [cap] likewise;
-    queries [B, d] replicated → (scores [B, k], global row ids [B, k]),
-    replicated on every chip.
-    """
-    n_shards = mesh.shape["shard"]
-    cap = vecs.shape[0]
-    assert cap % n_shards == 0, (cap, n_shards)
-    local_rows = cap // n_shards
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_fn(mesh: Mesh, k: int, local_rows: int):
+    """Cached shard_map program — rebuilding it per call re-traces every
+    query (seconds through a remote-compile link); jax's own cache then
+    handles shape specialization within the cached callable."""
 
     def fn(v, m, q):
         s, i = _local_scan(v, m, q, k)
@@ -54,33 +50,30 @@ def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int):
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, top_i
 
-    return jax.shard_map(
+    return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P("shard"), P("shard"), P()),
         out_specs=(P(), P()),
         check_vma=False,  # outputs are replicated by the all_gather+top_k,
                           # which the varying-manual-axes checker can't infer
-    )(vecs, mask, queries)
+    ))
 
 
-def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int):
-    """Row-sharded int8 scan with all-gather merge (the beyond-bf16 sharded
-    tier: 8×~13M×1024-d per v5e-8 slice at int8 residency).
+def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int):
+    """Row-sharded exact top-k with all-gather merge.
 
-    codes [cap, d] int8 + scales [cap] f32 sharded on rows; queries [B, d]
-    replicated → (approx scores [B, k], global rows [B, k]) replicated.
-    Pair with exact re-rank from the host-canonical rows (the int8 single-chip
-    path does the same).
+    vecs [cap, d] sharded on rows over ``shard``; mask [cap] likewise;
+    queries [B, d] replicated → (scores [B, k], global row ids [B, k]),
+    replicated on every chip.
     """
-    import jax.numpy as jnp
-
     n_shards = mesh.shape["shard"]
-    cap = codes.shape[0]
+    cap = vecs.shape[0]
     assert cap % n_shards == 0, (cap, n_shards)
-    local_rows = cap // n_shards
-    # CPU (tests) has no int8 dot; TPU wants int8 MXU inputs
-    use_int8 = jax.default_backend() != "cpu"
+    return _sharded_topk_fn(mesh, k, cap // n_shards)(vecs, mask, queries)
 
+
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_int8_fn(mesh: Mesh, k: int, local_rows: int, use_int8: bool):
     def fn(c, sc, m, q):
         qf = q.astype(jnp.float32)
         qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
@@ -102,12 +95,30 @@ def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int):
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, top_i
 
-    return jax.shard_map(
+    return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P("shard"), P("shard"), P("shard"), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(codes, scales, mask, queries)
+    ))
+
+
+def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int):
+    """Row-sharded int8 scan with all-gather merge (the beyond-bf16 sharded
+    tier: 8×~13M×1024-d per v5e-8 slice at int8 residency).
+
+    codes [cap, d] int8 + scales [cap] f32 sharded on rows; queries [B, d]
+    replicated → (approx scores [B, k], global rows [B, k]) replicated.
+    Pair with exact re-rank from the host-canonical rows (the int8 single-chip
+    path does the same).
+    """
+    n_shards = mesh.shape["shard"]
+    cap = codes.shape[0]
+    assert cap % n_shards == 0, (cap, n_shards)
+    # CPU (tests) has no int8 dot; TPU wants int8 MXU inputs
+    use_int8 = jax.default_backend() != "cpu"
+    return _sharded_topk_int8_fn(mesh, k, cap // n_shards,
+                                 use_int8)(codes, scales, mask, queries)
 
 
 def shard_index_to_mesh(mesh: Mesh, cols: dict) -> dict:
