@@ -133,6 +133,8 @@ class RassEngine:
                     row = t.index.upsert(d, embs[i] if embs is not None else None)
                     t.lexical.index_doc(row, d)
                     n += 1
+                # shard-region moves on re-upsert leave tombstones too
+                self._maybe_compact(t)
         log.info("indexed %d docs into %s (total %d)", n, t.name, t.index.count)
         return n
 
