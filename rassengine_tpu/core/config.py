@@ -66,6 +66,7 @@ class EngineConfig:
     ivf_nlist: int = 1024
     ivf_nprobe: int = 64
     ivf_rerank: int = 256               # exact re-rank depth after list scan
+    ivf_tail_bound: int = 32768         # brute-forced fresh-tail rows before rebuild
     pq_subvectors: int = 64             # PQ bytes/vector (>int8-budget corpora)
     pq_oversample: int = 8              # ADC candidates = oversample × k
     int8_hbm_budget_bytes: int = 12 * 1024**3  # beyond this, codes go PQ
@@ -134,6 +135,7 @@ class EngineConfig:
             ivf_nlist=_env_int("IVF_NLIST", 1024),
             ivf_nprobe=_env_int("IVF_NPROBE", 64),
             ivf_rerank=_env_int("IVF_RERANK", 256),
+            ivf_tail_bound=_env_int("IVF_TAIL_BOUND", 32768),
             pq_subvectors=_env_int("PQ_SUBVECTORS", 64),
             pq_oversample=_env_int("PQ_OVERSAMPLE", 8),
             int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),

@@ -94,7 +94,9 @@ class Metrics:
                       f'{m}{{quantile="0.5"}} {st["p50_ms"]}',
                       f'{m}{{quantile="0.99"}} {st["p99_ms"]}',
                       f"{m}_count {st['count']}",
-                      f"{m}_mean {st['mean_ms']}"]
+                      # summaries only permit quantile/_sum/_count series —
+                      # strict OpenMetrics parsers reject a '_mean' sample
+                      f"{m}_sum {round(st['mean_ms'] * st['count'], 3)}"]
         return "\n".join(lines) + "\n"
 
 

@@ -124,13 +124,17 @@ class RassEngine:
             texts = [d.get("unstructuredText", "") for d in unstructured]
             embs = self.embedder.embed_texts_in_batches(texts) if texts else None
             n = 0
+            # a sharded re-upsert that moves shard regions tombstones the old
+            # row; its postings must go too or they inflate BM25 stats
+            evict = t.lexical.remove_doc
             with t.lock:
                 for d in structured:
-                    row = t.index.upsert(d, None)
+                    row = t.index.upsert(d, None, on_move=evict)
                     t.lexical.index_doc(row, d)
                     n += 1
                 for i, d in enumerate(unstructured):
-                    row = t.index.upsert(d, embs[i] if embs is not None else None)
+                    row = t.index.upsert(d, embs[i] if embs is not None else None,
+                                         on_move=evict)
                     t.lexical.index_doc(row, d)
                     n += 1
                 # shard-region moves on re-upsert leave tombstones too

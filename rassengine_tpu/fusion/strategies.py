@@ -87,7 +87,8 @@ class Retriever:
         self.mesh = mesh            # 1-D ("shard",) Mesh → SPMD sharded scans
         self.router = router        # ShardRouter for patient-routed masking
         self._device_lexical = None
-        self._ivf_cache: tuple[int, object] | None = None  # (built_count, IvfIndex)
+        # (built_count, update_log_len_at_build, IvfIndex)
+        self._ivf_cache: tuple[int, int, object] | None = None
 
     @property
     def device_lexical(self):
@@ -155,18 +156,27 @@ class Retriever:
             return self._rerank_exact(query_embs, rows, m)
 
     def _ivf_index(self):
-        """Lazily (re)built IVF structure; stale tail rows are exact-scanned."""
+        """Lazily (re)built IVF structure; stale tail rows are exact-scanned.
+
+        Rebuild triggers on 25% count growth OR when the brute-forced tail
+        (new rows + re-upserted rows, whose per-query exact scan cost grows
+        unboundedly otherwise) exceeds ``ivf_tail_bound``.
+        """
         from rassengine_tpu.index.ivf import IvfIndex
 
         idx, cfg = self.index, self.config
         cached = self._ivf_cache
-        if cached is not None and idx.count <= int(1.25 * cached[0]):
-            return cached
+        if cached is not None:
+            built, log_len, _ivf = cached
+            tail = (idx.count - built) + (len(idx._update_log) - log_len)
+            if idx.count <= int(1.25 * built) and tail <= cfg.ivf_tail_bound:
+                return cached
         built = idx.count
         ivf = IvfIndex.build(idx._vecs[:built],
                              nlist=min(cfg.ivf_nlist, max(1, built // 4)),
                              nprobe=cfg.ivf_nprobe)
-        self._ivf_cache = (built, ivf)
+        del idx._update_log[:]  # entries before this build are now irrelevant
+        self._ivf_cache = (built, 0, ivf)
         return self._ivf_cache
 
     def _ivf_top_m_batch(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
@@ -178,18 +188,29 @@ class Retriever:
         """
         idx, cfg = self.index, self.config
         with stage("semantic_scan_ivf"):
-            built, ivf = self._ivf_index()
+            built, log_len, ivf = self._ivf_index()
             host_mask = idx.host_mask(spec)
             k_out = min(m, cfg.ivf_rerank)
             s, r = ivf.search(idx._vecs, query_embs, k_out,
                               nprobe=cfg.ivf_nprobe, host_mask=host_mask)
-            if idx.count > built:  # fresh tail: brute-force + merge
+            # fresh tail = rows added after the build + re-upserted rows whose
+            # vector may have moved to a different centroid's list (they would
+            # otherwise be unretrievable until the next rebuild)
+            tail = np.arange(built, idx.count)
+            dirty = np.unique(np.asarray(idx._update_log[log_len:], np.int64))
+            if dirty.size:
+                tail = np.union1d(tail, dirty[dirty < built])
+            tail = tail[host_mask[tail]] if tail.size else tail
+            if tail.size:
                 q2 = np.atleast_2d(query_embs)
-                tail = np.arange(built, idx.count)[host_mask[built: idx.count]]
                 for b in range(q2.shape[0]):
                     ts = self._sem_scores_for(q2[b], tail)
-                    rows_cat = np.concatenate([r[b][r[b] >= 0], tail])
-                    scores_cat = np.concatenate([s[b][r[b] >= 0], ts])
+                    # a dirty row can also surface from its (old) probed list —
+                    # drop the probe copy so the merge never duplicates a row
+                    probed = r[b][(r[b] >= 0) & ~np.isin(r[b], tail)]
+                    pscores = s[b][(r[b] >= 0) & ~np.isin(r[b], tail)]
+                    rows_cat = np.concatenate([probed, tail])
+                    scores_cat = np.concatenate([pscores, ts])
                     order = np.argsort(-scores_cat)[:k_out]
                     pad = k_out - order.size
                     r[b] = np.pad(rows_cat[order], (0, pad), constant_values=-1)
@@ -229,7 +250,11 @@ class Retriever:
                 cols = idx.device_columns()
                 s, r = sharded_topk(self.mesh, cols["vecs"], mask, q,
                                     min(m, idx.capacity))
-                return np.asarray(r), np.asarray(s)
+                s = np.asarray(s)
+                # filter-masked rows (score NEG_INF+ε) must not surface as
+                # hits — under a patient filter they are other patients' docs
+                r = np.where(s <= NEG_INF / 2, -1, np.asarray(r))
+                return r, s
             q8 = idx.device_columns_int8()
             over = min(max(4 * m, 64), idx.capacity)
             s8, rows = sharded_topk_int8(self.mesh, q8["codes"], q8["scales"],
@@ -723,8 +748,11 @@ class Retriever:
         k_rows, k_scores = self._lex_top_m(query, spec, m, "keyword")
         hits = self._fuse([(t_rows, t_scores, 1.0), (k_rows, k_scores, 0.5)],
                           max(2 * k, 20))
-        rescored = [(src, s + float(bonus[self.index._id_to_row.get(
-            str(src.get("doc_id")), 0)])) for src, s in hits]
+        def _bonus(src) -> float:
+            row = self.index._id_to_row.get(str(src.get("doc_id")))
+            return float(bonus[row]) if row is not None else 0.0
+
+        rescored = [(src, s + _bonus(src)) for src, s in hits]
         rescored.sort(key=lambda h: -h[1])
         return rescored[:k]
 

@@ -210,6 +210,10 @@ class TenantIndex:
         # called with [(old_start, new_start, used)] when a region grow moves
         # rows — external row-id holders (lexical postings) must remap
         self.remap_hooks: list = []
+        # append-only log of upserted rows, so derived structures built from a
+        # row snapshot (the retriever's IVF cache) can find rows whose vectors
+        # changed after the build without rebuilding per upsert
+        self._update_log: list[int] = []
         # dense-coded aggregation columns: terms-aggs and distinct-file
         # collapse run as vectorized bincounts instead of Python doc loops
         # (reference aggregate_search main.py:1777-1808, collapse main.py:2143)
@@ -222,12 +226,15 @@ class TenantIndex:
 
     # --- ingestion -----------------------------------------------------------
 
-    def upsert(self, doc: dict, embedding: np.ndarray | None = None) -> int:
+    def upsert(self, doc: dict, embedding: np.ndarray | None = None,
+               on_move=None) -> int:
         """Index one document (OpenSearch bulk-item equivalent, main.py:1224-1282).
 
         ``doc`` is the full source dict (structured FHIR fields and/or
         ``unstructuredText``). Embeddings are L2-normalized on write, matching
-        main.py:1250-1251.
+        main.py:1250-1251. ``on_move(old_row)`` is called when a sharded
+        re-upsert relocates the doc to a different shard region, so external
+        row-id holders (lexical postings) can evict the tombstoned row.
         """
         doc_id = str(doc.get("doc_id") or f"doc-{self.count}")
         row = self._id_to_row.get(doc_id)
@@ -239,6 +246,8 @@ class TenantIndex:
                     % self.n_shards if doc.get("patientId")
                     else row // rs)
             if row // rs != want:
+                if on_move is not None:
+                    on_move(row)
                 self.delete(doc_id)
                 self.count -= 1  # delete() dropped it; re-add below
                 row = None
@@ -272,6 +281,7 @@ class TenantIndex:
         for f, pos in _DATE_POS.items():
             self._dates[row, pos] = schema.date_to_epoch_days(doc.get(f))
         self.encode_agg(row, doc)
+        self._update_log.append(row)
         self._mutated()
         return row
 
@@ -360,6 +370,7 @@ class TenantIndex:
         self.count = sum(k.size for k in all_keep)
         self._deleted[:] = False
         self.deleted_count = 0
+        self._update_log.clear()  # row ids changed; IVF caches reset anyway
         self._mutated()
         return np.concatenate(all_keep) if all_keep else np.zeros(0, np.int64)
 

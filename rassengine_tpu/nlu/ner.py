@@ -85,6 +85,9 @@ _GAZETTEER: dict[str, tuple[str, ...]] = {
 _PATTERNS: list[tuple[str, re.Pattern]] = [
     ("ICD10_CODE", re.compile(r"\b[A-TV-Z]\d{2}(?:\.\d{1,4})?\b")),
     ("LOINC_CODE", re.compile(r"\b\d{3,5}-\d\b")),
+    # bare 5-digit numbers are ambiguous (zip codes, "10000 steps") — only
+    # treat as CPT when the query signals a billing/procedure code context,
+    # since CPT entities become AND-ed keyword filters (entities_to_filter)
     ("CPT_CODE", re.compile(r"\b\d{5}\b")),
     ("EMAIL", re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b")),
     ("PHONE", re.compile(r"\b(?:\+?1[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]?\d{4}\b")),
@@ -95,6 +98,9 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
     ("GENDER", re.compile(r"\b(male|female|man|woman|men|women)\b", re.I)),
     ("OBS_VALUE", re.compile(r"\b\d+(?:\.\d+)?\s?(?:mg/dl|mmhg|bpm|kg|lbs|%|mmol/l)\b", re.I)),
 ]
+
+# CPT cue words that disambiguate a 5-digit number from a zip code
+_CPT_CONTEXT_RE = re.compile(r"\b(?:cpt|billing|billed|procedure|code)\b", re.I)
 
 # "Dr. Smith" / "doctor Jane Doe"
 _DOCTOR_RE = re.compile(r"\b(?:[Dd]r\.?|[Dd]octor)\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)")
@@ -122,7 +128,10 @@ class RuleNER:
 
         for m in _DOCTOR_RE.finditer(q):
             add(m.group(1), "DOCTOR", 0.95, m.start(1), m.end(1))
+        cpt_context = _CPT_CONTEXT_RE.search(q) is not None
         for label, pat in _PATTERNS:
+            if label == "CPT_CODE" and not cpt_context:
+                continue
             for m in pat.finditer(q):
                 add(m.group(0), label, 0.9, m.start(), m.end())
         lower = q.lower()

@@ -1,0 +1,65 @@
+"""Long-lived TPU job worker.
+
+This dev image's axon TPU tunnel wedges for ~20-40 min when python processes
+attach/detach in quick succession (CLAUDE.md), so ALL device work for a
+session funnels through this single process: drop ``<name>.py`` into the jobs
+directory and the worker execs it in-process, writing ``<name>.out`` (stdout +
+stderr + traceback) and ``<name>.done`` (OK/FAIL). Jobs share the process's
+compile cache, so repeated kernel iterations recompile only what changed.
+
+Usage:
+    cd /tmp && nohup python -u /root/repo/tools/tpu_worker.py > /tmp/tpu_worker.log 2>&1 &
+    echo $! > /tmp/tpu_worker.pid
+    cp job.py /tmp/tpu_jobs/      # then poll /tmp/tpu_jobs/job.done
+"""
+
+import contextlib
+import io
+import os
+import time
+import traceback
+
+JOBS = "/tmp/tpu_jobs"
+os.makedirs(JOBS, exist_ok=True)
+
+
+def main():
+    print("tpu_worker: warming up jax…", flush=True)
+    import jax
+
+    print("tpu_worker: devices:", jax.devices(), flush=True)
+    seen = set()
+    while True:
+        names = sorted(f for f in os.listdir(JOBS) if f.endswith(".py"))
+        for name in names:
+            base = name[:-3]
+            done = os.path.join(JOBS, base + ".done")
+            if os.path.exists(done) or name in seen:
+                continue
+            seen.add(name)
+            path = os.path.join(JOBS, name)
+            print(f"tpu_worker: running {name}", flush=True)
+            buf = io.StringIO()
+            ok = True
+            t0 = time.time()
+            try:
+                with open(path) as f:
+                    src = f.read()
+                with contextlib.redirect_stdout(buf), \
+                        contextlib.redirect_stderr(buf):
+                    exec(compile(src, path, "exec"), {"__name__": "__tpu_job__"})
+            except BaseException:
+                ok = False
+                buf.write("\n" + traceback.format_exc())
+            dt = time.time() - t0
+            with open(os.path.join(JOBS, base + ".out"), "w") as f:
+                f.write(buf.getvalue())
+            with open(done, "w") as f:
+                f.write(f"{'OK' if ok else 'FAIL'} {dt:.1f}s\n")
+            print(f"tpu_worker: {name} -> {'OK' if ok else 'FAIL'} "
+                  f"({dt:.1f}s)", flush=True)
+        time.sleep(1.0)
+
+
+if __name__ == "__main__":
+    main()
