@@ -211,22 +211,35 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         x_sub = r0.reshape(blk6, msub6, ds6).transpose(1, 0, 2)
         cent = _pq4._kmeans_all_subspaces(x_sub, x_sub[:, :16, :], 6)
 
+        from rassengine_tpu.ops import fused_pq4 as _fpq
+
         @jax.jit
         def _encode_block6(i, centers, u):
             x = _gen_block(i, centers, u)
             a, r = _pq4._assign_and_residual(x, coarse)
             codes = _pq4._encode_block(r, cent)
-            packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
-            return packed, a
+            # split nibble layout (pq4.pack_codes): byte j = code[j] | code[h+j]<<4
+            h = msub6 // 2
+            packed = (codes[:, :h] | (codes[:, h:] << 4)).astype(jnp.uint8)
+            aug = jnp.concatenate(
+                [packed, (a & 0xFF)[:, None].astype(jnp.uint8),
+                 ((a >> 8) & 0xFF)[:, None].astype(jnp.uint8)], axis=1)
+            return aug, a
 
         nblocks6 = n6 // blk6
         t0 = time.perf_counter()
         parts = [_encode_block6(i, centers_z, u_proj) for i in range(nblocks6)]
-        packed6 = jnp.concatenate([p for p, _ in parts])
+        aug6 = jnp.concatenate([p for p, _ in parts])
         assign6 = jnp.concatenate([a for _, a in parts])
         np.asarray(assign6[:1])  # sync
         build_s6 = time.perf_counter() - t0
         del parts
+        # cluster-sort for the fused kernel's windowed coarse path
+        br6, win6 = 1024, 512
+        order6, wins6 = _fpq.sort_for_window(np.asarray(assign6), br6,
+                                             nlist6, win_width=win6)
+        aug6 = jnp.take(aug6, jnp.asarray(order6.astype(np.int32)), axis=0)
+        wd6 = jnp.asarray(wins6) if wins6 is not None else None
 
         q6 = np.asarray(gen_block(0)[:b6]) \
             + 0.02 * rng.normal(size=(b6, d)).astype(np.float32)
@@ -236,13 +249,19 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         m_cand = 512  # tie-recall@5 = 1.0 at 16M on this corpus (drive log)
 
         def pq_fn(qq):
-            luts, clut = _pq4.pq4_luts(cent, coarse, qq)
-            return _pq4.pq4_topk(packed6, assign6, luts, clut, mask6,
-                                 m=m_cand, block_rows=8192)
+            lq = _fpq.pq4_lutq(cent, coarse, qq, nlist6)
+            if wd6 is not None:
+                return _fpq.pq4_topk_fused(aug6, lq, mask6, m_cand,
+                                           block_rows=br6, lut_dtype="int8",
+                                           win_starts=wd6, win_width=win6)
+            return _fpq.pq4_topk_fused(aug6, lq, mask6, m_cand,
+                                       block_rows=br6, lut_dtype="int8")
 
         dt6 = _chain_time(pq_fn, q6d, 20)
         _s6, r6 = pq_fn(q6d)
-        cand = np.asarray(r6)
+        cand_sorted = np.asarray(r6)
+        cand = np.where(cand_sorted >= 0,
+                        order6[np.clip(cand_sorted, 0, n6 - 1)], -1)
 
         # exact oracle + candidate scores over regenerated blocks (on device)
         @jax.jit

@@ -89,6 +89,10 @@ class Retriever:
         self._device_lexical = None
         # (built_count, update_log_len_at_build, IvfIndex)
         self._ivf_cache: tuple[int, int, object] | None = None
+        # sticky per-tenant PQ escalation (VERDICT r2 #8): set when ADC
+        # candidate order disagrees with the exact re-rank — widens the
+        # oversample and switches to bf16 LUTs for subsequent queries
+        self._pq_escalated = False
 
     @property
     def device_lexical(self):
@@ -141,19 +145,84 @@ class Retriever:
         return out_r, out_s
 
     def _pq_top_m_batch(self, query_embs: np.ndarray, mask, m: int):
-        """ADC candidates over packed 4-bit codes + exact re-rank (pq4.py)."""
-        from rassengine_tpu.index.pq4 import pq4_luts, pq4_topk
+        """ADC candidates over packed 4-bit codes + exact re-rank (pq4.py).
 
+        On TPU the scan runs as the fused Pallas kernel (ops/fused_pq4.py:
+        one dispatch, cluster-sorted codes, int8 LUTs, branch-and-bound
+        block pruning); elsewhere as the XLA one-hot scan.
+        """
         idx, cfg = self.index, self.config
         with stage("semantic_scan_pq4"):
             cols = idx.device_columns_pq4(cfg.pq_subvectors)
             q = jnp.asarray(np.atleast_2d(query_embs))
-            luts, coarse_lut = pq4_luts(cols["codebooks"], cols["coarse"], q)
-            over = min(max(cfg.pq_oversample * m, 64), idx.capacity, 1024)
-            _s, rows = pq4_topk(cols["packed"], cols["assign"], luts,
-                                coarse_lut, mask, over,
-                                min(idx.block_rows, idx.capacity))
+
+            def scan(over: int, escalated: bool):
+                # int8 LUTs are ~30% faster but add ~0.5% score noise — worth
+                # it only when the scan dominates latency (huge corpora) and
+                # the oversample absorbs the noise; escalation switches back
+                # to bf16 for accuracy
+                ldt = ("int8" if idx.capacity > 4 * 1024 * 1024
+                       and not escalated else "bf16")
+                if self.use_pallas and jax.default_backend() != "cpu":
+                    from rassengine_tpu.ops.fused_pq4 import (pq4_lutq,
+                                                              pq4_topk_fused)
+
+                    lutq = pq4_lutq(cols["codebooks"], cols["coarse"], q,
+                                    cols["nlist_pad"])
+                    mask_sorted = jnp.take(mask, cols["order"])
+                    _s, rows_sorted = pq4_topk_fused(
+                        cols["aug_sorted"], lutq, mask_sorted, over,
+                        block_rows=cols["block_rows"], lut_dtype=ldt,
+                        win_starts=cols["win_starts"],
+                        win_width=cols["win_width"])
+                    return np.asarray(jnp.where(
+                        rows_sorted >= 0,
+                        jnp.take(cols["order"], jnp.clip(rows_sorted, 0, None)),
+                        -1))
+                from rassengine_tpu.index.pq4 import pq4_luts, pq4_topk
+
+                luts, coarse_lut = pq4_luts(cols["codebooks"], cols["coarse"], q)
+                _s, rows = pq4_topk(cols["packed"], cols["assign"], luts,
+                                    coarse_lut, mask, over,
+                                    min(idx.block_rows, idx.capacity))
+                return np.asarray(rows)
+
+            over = min(max(cfg.pq_oversample * m, 512), idx.capacity, 2048)
+            if self._pq_escalated:
+                over = min(2 * over, idx.capacity, 2048)
+            rows = scan(over, self._pq_escalated)
+            if (not self._pq_escalated
+                    and over < min(idx.capacity, 2048)
+                    and self._pq_rank_agreement(query_embs, rows) < 0.2):
+                # adaptive oversample (VERDICT r2 #8): when the ADC candidate
+                # order barely correlates with exact scores, the quantizer is
+                # struggling on this corpus (near-duplicate ties, heavy
+                # distortion) and the true top-k may sit beyond the candidate
+                # list — escalate once, stickily, with bf16 LUTs
+                log.info("pq4: low ADC/exact rank agreement — escalating "
+                         "oversample %d -> %d", over,
+                         min(2 * over, idx.capacity, 2048))
+                self._pq_escalated = True
+                rows = scan(min(2 * over, idx.capacity, 2048), True)
             return self._rerank_exact(query_embs, rows, m)
+
+    def _pq_rank_agreement(self, query_embs: np.ndarray, rows: np.ndarray,
+                           sample: int = 4) -> float:
+        """Spearman correlation between ADC candidate order and exact scores
+        (VERDICT r2 #8's cheap serve-time detector), on a few queries."""
+        q2 = np.atleast_2d(query_embs)
+        rhos = []
+        for b in range(min(sample, rows.shape[0])):
+            rb = rows[b][rows[b] >= 0]
+            if rb.size < 16:
+                continue
+            exact = self._sem_scores_for(q2[b], rb)
+            pos = np.arange(rb.size, dtype=np.float64)
+            er = np.argsort(np.argsort(-exact)).astype(np.float64)
+            c = np.corrcoef(pos, er)[0, 1]
+            if np.isfinite(c):
+                rhos.append(float(c))
+        return float(np.mean(rhos)) if rhos else 1.0
 
     def _ivf_index(self):
         """Lazily (re)built IVF structure; stale tail rows are exact-scanned.

@@ -114,8 +114,21 @@ def _encode_block(x, cent):
 
 
 def pack_codes(codes: np.ndarray) -> np.ndarray:
-    """[N, m_sub] 4-bit values → [N, m_sub//2] bytes (even | odd<<4)."""
-    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+    """[N, m_sub] 4-bit values → [N, m_sub//2] bytes, SPLIT layout:
+    byte j = code[j] | code[h + j] << 4 (h = m_sub//2).
+
+    The split layout (vs interleaved even|odd) lets kernels unpack with one
+    lane-dim concatenate — ``[p & 0xF ‖ p >> 4]`` lands the codes in natural
+    subspace order — instead of a stack+reshape interleave, which has no cheap
+    Mosaic lowering (ops/fused_pq4.py).
+    """
+    h = codes.shape[1] // 2
+    return (codes[:, :h] | (codes[:, h:] << 4)).astype(np.uint8)
+
+
+def unpack_codes(packed: np.ndarray) -> np.ndarray:
+    """[N, m_sub//2] packed bytes → [N, m_sub] 4-bit values (split layout)."""
+    return np.concatenate([packed & 0xF, packed >> 4], axis=1)
 
 
 @partial(jax.jit, static_argnames=())
@@ -196,7 +209,7 @@ def pq4_topk(packed, assign, luts_flat, coarse_lut, add_mask, m: int,
         pblk, ablk, mblk, start = xs
         lo = (pblk & 0xF).astype(jnp.int32)
         hi = (pblk >> 4).astype(jnp.int32)
-        codes = jnp.stack([lo, hi], axis=2).reshape(block_rows, msub)
+        codes = jnp.concatenate([lo, hi], axis=1)  # split layout → natural order
         oh = (codes[:, :, None] == iota16[None, None, :]).astype(
             dot_dt).reshape(block_rows, msub * N_C)
         scores = jnp.dot(oh, luts_c, preferred_element_type=ACCUM_DTYPE)

@@ -523,11 +523,20 @@ class TenantIndex:
         scan view for corpora whose rows never touch HBM (beyond the int8
         budget). Codebooks train once and retrain when the corpus doubles;
         codes re-encode per index generation.
+
+        Besides the XLA-scan columns (packed/assign), the view carries the
+        fused-kernel layout (ops/fused_pq4.py): assignment-augmented codes
+        sorted by coarse cluster (``aug_sorted``), the sort permutation
+        (``order``, sorted position → row), and per-block 128-aligned LUT
+        window starts (``win_starts``; None when some block spans more than
+        ``win_width`` clusters and the kernel must use full-width coarse).
         """
         if (self._device_pq4 is not None
                 and self._flushed["pq4"] == self.generation):
             return self._device_pq4
         from rassengine_tpu.index.pq4 import Pq4Index
+        from rassengine_tpu.ops.fused_pq4 import (augment_packed,
+                                                  sort_for_window)
 
         self.device_columns(include_vecs=False)  # refresh filter columns
         m_sub = Pq4Index.subvectors_for(self.dim, bytes_per_vec)
@@ -538,11 +547,23 @@ class TenantIndex:
             self._pq4 = pq
         else:
             pq.packed, pq.assign = pq.encode(self._vecs, 0, self.capacity)
+        nlist_pad = ((pq.coarse.shape[0] + 127) // 128) * 128
+        br = 1024 if self.capacity % 1024 == 0 else self.block_rows
+        br = min(br, self.capacity)
+        win_width = min(512, nlist_pad)
+        order, wins = sort_for_window(pq.assign, br, nlist_pad, win_width)
+        aug = augment_packed(pq.packed[order], pq.assign[order])
         self._device_pq4 = {
             "packed": jnp.asarray(pq.packed),
             "assign": jnp.asarray(pq.assign),
             "codebooks": jnp.asarray(pq.codebooks),
             "coarse": jnp.asarray(pq.coarse),
+            "aug_sorted": jnp.asarray(aug),
+            "order": jnp.asarray(order.astype(np.int32)),
+            "win_starts": jnp.asarray(wins) if wins is not None else None,
+            "win_width": win_width if wins is not None else 0,
+            "nlist_pad": nlist_pad,
+            "block_rows": br,
         }
         self._flushed["pq4"] = self.generation
         return self._device_pq4

@@ -5,7 +5,8 @@ import pytest
 
 from rassengine_tpu.core.config import EngineConfig
 from rassengine_tpu.fusion.strategies import Retriever
-from rassengine_tpu.index.pq4 import Pq4Index, pack_codes, pq4_luts, pq4_topk
+from rassengine_tpu.index.pq4 import (Pq4Index, pack_codes, pq4_luts,
+                                      pq4_topk, unpack_codes)
 from rassengine_tpu.index.store import FilterSpec, TenantIndex
 from rassengine_tpu.lexical.bm25 import LexicalIndex
 
@@ -28,10 +29,7 @@ class TestPq4Core:
         rng = np.random.default_rng(0)
         codes = rng.integers(0, 16, size=(7, 32)).astype(np.uint8)
         packed = pack_codes(codes)
-        lo = packed & 0xF
-        hi = packed >> 4
-        back = np.stack([lo, hi], axis=2).reshape(7, 32)
-        np.testing.assert_array_equal(back, codes)
+        np.testing.assert_array_equal(unpack_codes(packed), codes)
 
     def test_adc_matches_numpy_reference(self):
         """pq4_topk scores must equal the brute-force residual-ADC sum."""
@@ -51,8 +49,7 @@ class TestPq4Core:
         s, r = np.asarray(s), np.asarray(r)
         # numpy reference: coarse term + residual ADC
         ds = pq.ds
-        codes = np.stack([pq.packed & 0xF, pq.packed >> 4], axis=2
-                         ).reshape(n, m_sub)
+        codes = unpack_codes(pq.packed)
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         ref = (qn @ pq.coarse.T)[:, pq.assign]                    # [B, n]
         for j in range(m_sub):
@@ -69,8 +66,7 @@ class TestPq4Core:
         n, d = 512, 64
         v = clustered(rng, n, d, n_clusters=8)
         pq = Pq4Index.build(v, 32, iters=6, seed=4, nlist=8)
-        codes = np.stack([pq.packed & 0xF, pq.packed >> 4], axis=2
-                         ).reshape(n, 32)
+        codes = unpack_codes(pq.packed)
         recon = pq.coarse[pq.assign].copy()
         for j in range(32):
             recon[:, j * pq.ds:(j + 1) * pq.ds] += pq.codebooks[j][codes[:, j]]

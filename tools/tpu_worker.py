@@ -43,6 +43,12 @@ def main():
             ok = True
             t0 = time.time()
             try:
+                # edits between jobs must be visible: purge the package from
+                # the module cache so each job re-imports current sources
+                import sys
+                for mod in [m for m in sys.modules
+                            if m.startswith("rassengine_tpu")]:
+                    del sys.modules[mod]
                 with open(path) as f:
                     src = f.read()
                 with contextlib.redirect_stdout(buf), \
