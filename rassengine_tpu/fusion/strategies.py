@@ -169,16 +169,16 @@ class Retriever:
 
                     lutq = pq4_lutq(cols["codebooks"], cols["coarse"], q,
                                     cols["nlist_pad"])
-                    mask_sorted = jnp.take(mask, cols["order"])
+                    mask_sorted = jnp.take(mask, jnp.asarray(
+                        cols["order"].astype(np.int32)))
                     _s, rows_sorted = pq4_topk_fused(
                         cols["aug_sorted"], lutq, mask_sorted, over,
                         block_rows=cols["block_rows"], lut_dtype=ldt,
                         win_starts=cols["win_starts"],
                         win_width=cols["win_width"])
-                    return np.asarray(jnp.where(
-                        rows_sorted >= 0,
-                        jnp.take(cols["order"], jnp.clip(rows_sorted, 0, None)),
-                        -1))
+                    rs = np.asarray(rows_sorted)
+                    return np.where(rs >= 0,
+                                    cols["order"][np.clip(rs, 0, None)], -1)
                 from rassengine_tpu.index.pq4 import pq4_luts, pq4_topk
 
                 luts, coarse_lut = pq4_luts(cols["codebooks"], cols["coarse"], q)
@@ -305,34 +305,78 @@ class Retriever:
 
     def _sharded_top_m(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """SPMD sharded scan: per-chip partition scan + all-gather merge
-        (parallel/topk_merge.py). bf16 exact while the per-chip partition fits
-        the budget; int8 codes + exact re-rank beyond it (8×~13M×1024-d on a
-        v5e-8 slice)."""
+        (parallel/topk_merge.py), mesh-invariant across the same three tiers
+        as single-chip (VERDICT r2 #4): bf16 exact while the per-chip
+        partition fits the budget; int8 codes + exact re-rank while codes fit
+        (8×~13M×1024-d on a v5e-8 slice); fused PQ4 ADC beyond that. Local
+        scans run the fused Pallas kernels on TPU."""
         from rassengine_tpu.parallel.topk_merge import (sharded_topk,
-                                                        sharded_topk_int8)
+                                                        sharded_topk_int8,
+                                                        sharded_topk_pq4)
 
-        idx = self.index
+        idx, cfg = self.index, self.config
         with stage("semantic_scan_sharded"):
-            mask = self._routed_mask(idx.filter_mask(spec), spec)
             q = jnp.asarray(np.atleast_2d(query_embs))
             if self._bf16_fits():
+                mask = self._routed_mask(idx.filter_mask(spec), spec)
                 cols = idx.device_columns()
                 s, r = sharded_topk(self.mesh, cols["vecs"], mask, q,
-                                    min(m, idx.capacity))
+                                    min(m, idx.capacity),
+                                    use_pallas=None if self.use_pallas else False)
                 s = np.asarray(s)
                 # filter-masked rows (score NEG_INF+ε) must not surface as
                 # hits — under a patient filter they are other patients' docs
                 r = np.where(s <= NEG_INF / 2, -1, np.asarray(r))
                 return r, s
-            q8 = idx.device_columns_int8()
-            over = min(max(4 * m, 64), idx.capacity)
-            s8, rows = sharded_topk_int8(self.mesh, q8["codes"], q8["scales"],
-                                         mask, q, over)
-            # drop masked rows before re-rank — a filtered-out row can reach
-            # the candidate list (scoring NEG_INF+ε) and exact re-rank would
-            # resurrect it
-            rows = np.where(np.asarray(s8) <= NEG_INF / 2, -1, np.asarray(rows))
-            return self._rerank_exact(np.atleast_2d(query_embs), rows, m)
+            if (idx.capacity * idx.dim) // idx.n_shards \
+                    <= cfg.int8_hbm_budget_bytes:
+                mask = self._routed_mask(idx.filter_mask(spec), spec)
+                q8 = idx.device_columns_int8()
+                over = min(max(4 * m, 64), idx.capacity)
+                s8, rows = sharded_topk_int8(self.mesh, q8["codes"],
+                                             q8["scales"], mask, q, over,
+                                             use_pallas=None if self.use_pallas else False)
+                # drop masked rows before re-rank — a filtered-out row can
+                # reach the candidate list (scoring NEG_INF+ε) and exact
+                # re-rank would resurrect it
+                rows = np.where(np.asarray(s8) <= NEG_INF / 2, -1,
+                                np.asarray(rows))
+                return self._rerank_exact(np.atleast_2d(query_embs), rows, m)
+            return self._sharded_pq_top_m(query_embs, q, spec, m)
+
+    def _sharded_pq_top_m(self, query_embs: np.ndarray, q, spec: FilterSpec,
+                          m: int):
+        """Sharded >HBM tier: per-shard fused PQ4 ADC scan + all-gather merge
+        + exact re-rank. The filter/routing mask is built host-side in sorted
+        order (a device gather of a row-sharded array would all-gather it)."""
+        from rassengine_tpu.ops.fused_pq4 import pq4_lutq
+        from rassengine_tpu.parallel.topk_merge import sharded_topk_pq4
+
+        idx, cfg = self.index, self.config
+        cols = idx.device_columns_pq4(cfg.pq_subvectors)
+        lutq = pq4_lutq(cols["codebooks"], cols["coarse"], q,
+                        cols["nlist_pad"])
+        add = np.where(idx.host_mask(spec), np.float32(0.0),
+                       np.float32(NEG_INF))
+        if self.router is not None and spec is not None and spec.patient_id:
+            shard = self.router.shard_of(spec.patient_id)
+            rs = idx.capacity // idx.n_shards
+            shard_of_row = np.arange(idx.capacity) // rs
+            add = np.where(shard_of_row == shard, add, np.float32(NEG_INF))
+        mask_sorted = idx._put_rows(add[cols["order"]].astype(np.float32))
+        nb = idx.capacity // cols["block_rows"]
+        wins = cols["win_starts"]
+        if wins is None:
+            wins = idx._put_rows(np.zeros(nb, np.int32))
+        over = min(max(cfg.pq_oversample * m, 512), idx.capacity, 2048)
+        interp = jax.default_backend() == "cpu"
+        _s, pos = sharded_topk_pq4(
+            self.mesh, cols["aug_sorted"], wins, mask_sorted, lutq, over,
+            cols["block_rows"], cols["win_width"],
+            lut_dtype="int8" if not interp else "bf16", interpret=interp)
+        pos = np.asarray(pos)
+        rows = np.where(pos >= 0, cols["order"][np.clip(pos, 0, None)], -1)
+        return self._rerank_exact(np.atleast_2d(query_embs), rows, m)
 
     def _sem_top_m_batch(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """Batched device top-M: query_embs [B, d] → (rows [B, m], scores [B, m]).

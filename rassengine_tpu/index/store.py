@@ -548,19 +548,35 @@ class TenantIndex:
         else:
             pq.packed, pq.assign = pq.encode(self._vecs, 0, self.capacity)
         nlist_pad = ((pq.coarse.shape[0] + 127) // 128) * 128
-        br = 1024 if self.capacity % 1024 == 0 else self.block_rows
-        br = min(br, self.capacity)
+        rs = self.capacity // self.n_shards
+        br = next((b for b in (1024, 512, 256, 128) if rs % b == 0),
+                  self.block_rows)
+        br = min(br, rs)
         win_width = min(512, nlist_pad)
-        order, wins = sort_for_window(pq.assign, br, nlist_pad, win_width)
+        # per-REGION cluster sort so row-shard partitioning is preserved:
+        # each shard's rows stay inside its region, just reordered
+        orders, wins_parts = [], []
+        windowed = True
+        for s in range(self.n_shards):
+            o_r, w_r = sort_for_window(pq.assign[s * rs:(s + 1) * rs], br,
+                                       nlist_pad, win_width)
+            orders.append(o_r + s * rs)
+            if w_r is None:
+                windowed = False
+            else:
+                wins_parts.append(w_r)
+        order = np.concatenate(orders)
+        wins = np.concatenate(wins_parts) if windowed else None
         aug = augment_packed(pq.packed[order], pq.assign[order])
+        put = self._put_rows
         self._device_pq4 = {
             "packed": jnp.asarray(pq.packed),
             "assign": jnp.asarray(pq.assign),
             "codebooks": jnp.asarray(pq.codebooks),
             "coarse": jnp.asarray(pq.coarse),
-            "aug_sorted": jnp.asarray(aug),
-            "order": jnp.asarray(order.astype(np.int32)),
-            "win_starts": jnp.asarray(wins) if wins is not None else None,
+            "aug_sorted": put(aug),
+            "order": order,  # host np: sorted position → original row
+            "win_starts": put(wins) if wins is not None else None,
             "win_width": win_width if wins is not None else 0,
             "nlist_pad": nlist_pad,
             "block_rows": br,
