@@ -312,7 +312,8 @@ class Retriever:
         scans run the fused Pallas kernels on TPU."""
         from rassengine_tpu.parallel.topk_merge import (sharded_topk,
                                                         sharded_topk_int8,
-                                                        sharded_topk_pq4)
+                                                        sharded_topk_pq4,
+                                                        to_host)
 
         idx, cfg = self.index, self.config
         with stage("semantic_scan_sharded"):
@@ -323,10 +324,10 @@ class Retriever:
                 s, r = sharded_topk(self.mesh, cols["vecs"], mask, q,
                                     min(m, idx.capacity),
                                     use_pallas=None if self.use_pallas else False)
-                s = np.asarray(s)
+                s = to_host(s)
                 # filter-masked rows (score NEG_INF+ε) must not surface as
                 # hits — under a patient filter they are other patients' docs
-                r = np.where(s <= NEG_INF / 2, -1, np.asarray(r))
+                r = np.where(s <= NEG_INF / 2, -1, to_host(r))
                 return r, s
             if (idx.capacity * idx.dim) // idx.n_shards \
                     <= cfg.int8_hbm_budget_bytes:
@@ -339,8 +340,8 @@ class Retriever:
                 # drop masked rows before re-rank — a filtered-out row can
                 # reach the candidate list (scoring NEG_INF+ε) and exact
                 # re-rank would resurrect it
-                rows = np.where(np.asarray(s8) <= NEG_INF / 2, -1,
-                                np.asarray(rows))
+                rows = np.where(to_host(s8) <= NEG_INF / 2, -1,
+                                to_host(rows))
                 return self._rerank_exact(np.atleast_2d(query_embs), rows, m)
             return self._sharded_pq_top_m(query_embs, q, spec, m)
 
@@ -374,7 +375,9 @@ class Retriever:
             self.mesh, cols["aug_sorted"], wins, mask_sorted, lutq, over,
             cols["block_rows"], cols["win_width"],
             lut_dtype="int8" if not interp else "bf16", interpret=interp)
-        pos = np.asarray(pos)
+        from rassengine_tpu.parallel.topk_merge import to_host
+
+        pos = to_host(pos)
         rows = np.where(pos >= 0, cols["order"][np.clip(pos, 0, None)], -1)
         return self._rerank_exact(np.atleast_2d(query_embs), rows, m)
 
@@ -407,8 +410,8 @@ class Retriever:
                 s8, rows = fused_topk_int8_pooled(qcols["codes"], qcols["scales"],
                                                   q, mask, over, idx.block_rows)
                 # masked rows (NEG_INF+ε) must not reach the exact re-rank
-                rows = np.where(np.asarray(s8) <= NEG_INF / 2, -1,
-                                np.asarray(rows))
+                rows = np.where(to_host(s8) <= NEG_INF / 2, -1,
+                                to_host(rows))
                 return self._rerank_exact(query_embs, rows, m)
         with stage("semantic_scan"):
             if self.use_pallas and idx.capacity >= idx.block_rows:
@@ -709,7 +712,9 @@ class Retriever:
                     s, r = self._xla_topk(idx.device_columns(), qd, add_dev, k)
             else:
                 s, r = self._xla_topk(idx.device_columns(), qd, add_dev, k)
-        s, r = np.asarray(s[0]), np.asarray(r[0])
+        from rassengine_tpu.parallel.topk_merge import to_host
+
+        s, r = to_host(s)[0], to_host(r)[0]
         out = []
         for sc, row in zip(s, r):
             if row < 0 or sc <= NEG_INF / 2:

@@ -62,6 +62,17 @@ class BertConfig:
         )
 
     @staticmethod
+    def production(vocab_size: int = 8192) -> "BertConfig":
+        """The shipped bi-encoder shape: native 1024-d hidden (the index
+        dimension — no projection head), BERT-base-class depth. Sized so the
+        checkpoint trains in-framework on one v5e in minutes and ships in
+        the repo as bf16 (~220 MB) while keeping mxbai-embed-large's
+        embedding width (reference app/main.py:67, EMBED_DIM=1024)."""
+        return BertConfig(vocab_size=vocab_size, hidden_size=1024,
+                          num_layers=8, num_heads=16, intermediate_size=4096,
+                          max_position=128)
+
+    @staticmethod
     def large() -> "BertConfig":
         return BertConfig()
 

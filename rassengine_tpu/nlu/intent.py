@@ -58,10 +58,23 @@ class RuleIntentClassifier:
         return QueryIntent.SEMANTIC, 0.5
 
 
+# words too common/structural to carry intent evidence
+_STOPWORDS = frozenset(
+    "the a an of for in on at to is are was were do does did show me my any "
+    "all with and or what which who how this that please can could would "
+    "list give find tell".split())
+
+
+def content_words(text: str) -> list[str]:
+    return [w for w in re.findall(r"[a-z]+", (text or "").lower())
+            if len(w) >= 3 and w not in _STOPWORDS]
+
+
 class ModelIntentClassifier:
     """Fine-tuned Flax BERT head (see train/intent_train.py)."""
 
     def __init__(self, path: str):
+        import json
         import os
 
         if not os.path.exists(os.path.join(path, "params.msgpack")):
@@ -84,6 +97,24 @@ class ModelIntentClassifier:
             raise FileNotFoundError(path)
         self.params = params
         self._fwd = jax.jit(self.model.apply)
+        # discriminative cue words seen in training (train/intent_train.py
+        # writes cue_words.json): words whose training occurrences concentrate
+        # in one intent. Slot values (names, conditions, meds) spread across
+        # all intents by construction, so only true cue words qualify.
+        self.cue_words: set[str] | None = None
+        cue_path = os.path.join(path, "cue_words.json")
+        if os.path.exists(cue_path):
+            with open(cue_path) as f:
+                self.cue_words = set(json.load(f)["cues"])
+
+    def has_cue_evidence(self, query: str) -> bool:
+        """Whether the model has seen any of this query's intent-bearing
+        words in training (VERDICT r2 #2: the model is confidently WRONG on
+        unseen cue vocabularies — confidence alone cannot gate it). True when
+        no cue table was shipped (legacy checkpoints keep old behavior)."""
+        if self.cue_words is None:
+            return True
+        return any(w in self.cue_words for w in content_words(query))
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
         import jax.nn
@@ -96,7 +127,15 @@ class ModelIntentClassifier:
 
 
 class IntentClassifier:
-    """Model when trained weights exist, rules otherwise; threshold fallback."""
+    """Model when trained weights exist, rules otherwise.
+
+    The production policy (VERDICT r2 #2 — never lose to the rule baseline):
+    1. no trained discriminative cue word in the query → rules (the model's
+       softmax stays confidently wrong on out-of-vocabulary cues, so OOV-cue
+       detection, not confidence, is the gate),
+    2. model confidence below INTENT_THRESHOLD → rules,
+    3. otherwise → model.
+    """
 
     def __init__(self, config: EngineConfig | None = None):
         self.config = config or EngineConfig()
@@ -109,7 +148,7 @@ class IntentClassifier:
             log.info("no trained intent model; using rule classifier")
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
-        if self.model is not None:
+        if self.model is not None and self.model.has_cue_evidence(query):
             intent, conf = self.model.classify(query)
             if conf >= self.config.intent_threshold:
                 return intent, conf

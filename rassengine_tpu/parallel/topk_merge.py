@@ -23,6 +23,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rassengine_tpu.index.store import NEG_INF
 
 
+def to_host(x) -> "np.ndarray":
+    """Replicated device array → host numpy, multi-host-safe.
+
+    In multi-process (DCN) mode a replicated output spans processes and is
+    not fully addressable, so ``np.asarray`` raises; every process holds an
+    identical copy on its own devices — read that one.
+    """
+    import numpy as np
+
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
 def _pick_block_rows(local_rows: int, cap_br: int = 2048) -> int | None:
     """Largest power-of-two block size ≤ cap_br dividing the local partition."""
     br = cap_br

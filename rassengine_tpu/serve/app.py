@@ -294,6 +294,12 @@ async def _checkpoint_loop(engine: RassEngine, cfg: EngineConfig) -> None:
 async def main() -> None:
     """Run both services (reference docker-compose topology, single process)."""
     logging.basicConfig(level=logging.INFO)
+    # multi-host fleets (DCN): RASS_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
+    # bootstrap jax.distributed BEFORE any backend touch, so SHARD_COUNT
+    # meshes span every host's chips (parallel/multihost.py)
+    from rassengine_tpu.parallel.multihost import maybe_init_distributed
+
+    maybe_init_distributed()
     cfg = EngineConfig.from_env()
     engine = RassEngine(cfg)
     service = AskService(engine)

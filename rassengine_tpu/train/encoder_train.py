@@ -116,7 +116,8 @@ def eval_recall(embed_fn, pairs: list[tuple[str, str]], ks=(1, 5)) -> dict:
 def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
          learning_rate: float = 5e-4, seed: int = 0, size: str = "small",
          init_from: str = "", n_pairs: int = 30_000,
-         n_eval: int = 1024, temperature: float = 0.05) -> dict:
+         n_eval: int = 1024, temperature: float = 0.05,
+         pooling: str | None = None, grad_clip: float = 1.0) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -129,10 +130,15 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
         copy_vocab(pre_vocab, out)
     else:
         cfg = {"tiny": BertConfig.tiny, "small": BertConfig.small,
-               "base": BertConfig.base, "large": BertConfig.large}[size]()
+               "base": BertConfig.base, "prod": BertConfig.production,
+               "large": BertConfig.large}[size]()
         params = None
         pre_vocab = None
 
+    if pooling is not None and pooling != cfg.pooling:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pooling=pooling)
     pairs = generate_pairs(n_pairs + n_eval, seed)
     train_pairs, eval_pairs = pairs[:n_pairs], pairs[n_pairs:]
     if pre_vocab is None:
@@ -158,10 +164,12 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
     q_ids, q_mask = encode_texts([p[0] for p in train_pairs])
     c_ids, c_mask = encode_texts([p[1] for p in train_pairs])
 
-    optimizer = optax.adamw(
-        optax.warmup_cosine_decay_schedule(0.0, learning_rate,
-                                           min(100, steps // 10), steps),
-        weight_decay=0.01)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(grad_clip),  # wide models collapse without
+        optax.adamw(
+            optax.warmup_cosine_decay_schedule(0.0, learning_rate,
+                                               min(100, steps // 10), steps),
+            weight_decay=0.01))
     opt_state = optimizer.init(params)
 
     def loss_fn(p, bqi, bqm, bci, bcm):
@@ -226,7 +234,7 @@ if __name__ == "__main__":
     p.add_argument("--out", default="./encoder_model")
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--size", default="small",
-                   choices=["tiny", "small", "base", "large"])
+                   choices=["tiny", "small", "base", "prod", "large"])
     p.add_argument("--init-from", default="")
     p.add_argument("--pairs", type=int, default=30_000)
     a = p.parse_args()

@@ -24,6 +24,52 @@ from rassengine_tpu.train.trainer import TrainConfig, Trainer, batch_iterator
 log = logging.getLogger("rassengine.train.intent")
 
 
+def save_cue_words(train_data, out: str, min_count: int = 3,
+                   min_purity: float = 0.6) -> str:
+    """Write the discriminative cue-word table consumed by
+    nlu.intent.ModelIntentClassifier.has_cue_evidence (VERDICT r2 #2).
+
+    A word is a cue when ≥``min_purity`` of its training occurrences fall in
+    one intent. Slot values (names, conditions, medications) appear across
+    all intents by construction and never qualify — so a query whose content
+    words are all slots/fillers carries no model-trusted evidence.
+    """
+    import json
+    import os
+    from collections import Counter, defaultdict
+
+    from rassengine_tpu.nlu.intent import content_words
+
+    by_word: dict[str, Counter] = defaultdict(Counter)
+    for text, lbl in train_data:
+        for w in set(content_words(text)):
+            by_word[w][lbl] += 1
+    cues = sorted(
+        w for w, c in by_word.items()
+        if sum(c.values()) >= min_count
+        and max(c.values()) / sum(c.values()) >= min_purity)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "cue_words.json")
+    with open(path, "w") as f:
+        json.dump({"cues": cues, "min_count": min_count,
+                   "min_purity": min_purity}, f)
+    log.info("saved %d cue words → %s", len(cues), path)
+    return path
+
+
+def eval_combined_policy(model_dir: str, eval_data, intent_threshold=0.75):
+    """Accuracy of the full production path (cue gate + threshold + rules)."""
+    from rassengine_tpu.core.config import EngineConfig
+    from rassengine_tpu.nlu.intent import IntentClassifier
+
+    clf = IntentClassifier(EngineConfig(intent_model_path=model_dir,
+                                        intent_threshold=intent_threshold,
+                                        ner_model_path="/none"))
+    assert clf.model is not None, model_dir
+    return float(np.mean([clf.classify(t)[0].value == ALL_INTENTS[lbl]
+                          for t, lbl in eval_data]))
+
+
 def evaluate(model, tokenizer):
     import jax
 
@@ -85,6 +131,7 @@ def main(samples: int = 2000, epochs: int = 5, size: str = "tiny",
     from rassengine_tpu.train.trainer import copy_vocab
 
     extra_files: list[str] = []
+    extra_files.append(save_cue_words(train_data, out))
     if pre_vocab:  # the pretrained embedding's vocab MUST be reused
         vocab_path = copy_vocab(pre_vocab, out)
         extra_files.append(vocab_path)
@@ -129,6 +176,12 @@ def main(samples: int = 2000, epochs: int = 5, size: str = "tiny",
             rules.classify(t)[0].value == _AI[lbl] for t, lbl in eval_data]))
         result["rule_baseline_accuracy"] = rule_acc
         log.info("rule-classifier baseline on this split: %.4f", rule_acc)
+        # the PRODUCTION path (cue-evidence gate + threshold + rules) on the
+        # same split — the number that must never fall below rule_acc
+        result["combined_accuracy"] = eval_combined_policy(
+            result["final_path"], eval_data)
+        log.info("combined model+cue-gate+rules on this split: %.4f",
+                 result["combined_accuracy"])
     log.info("intent training done → %s (family_split=%s, acc=%.4f)",
              result["final_path"], family_split,
              result["history"][-1].get("accuracy", -1))

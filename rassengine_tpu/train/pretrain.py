@@ -81,7 +81,8 @@ def main(out: str = "./nlu_pretrain", size: str = "small", steps: int = 2000,
     import optax
 
     cfg = {"tiny": BertConfig.tiny, "small": BertConfig.small,
-           "base": BertConfig.base, "large": BertConfig.large}[size]()
+           "base": BertConfig.base, "prod": BertConfig.production,
+           "large": BertConfig.large}[size]()
     corpus = build_corpus(n_sentences, seed)
     train_wordpiece_vocab(corpus, out, min(vocab_size, cfg.vocab_size))
     tokenizer = load_tokenizer(out, cfg.vocab_size, MAX_LEN)
@@ -144,7 +145,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="./nlu_pretrain")
     p.add_argument("--size", default="small",
-                   choices=["tiny", "small", "base", "large"])
+                   choices=["tiny", "small", "base", "prod", "large"])
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)

@@ -152,3 +152,52 @@ class TestLlmNer:
 
         ents = asyncio.run(llm_ner_extract("severe pain", FakeLlm()))
         assert ents[0]["label"] == "SEVERITY"
+
+
+class TestCueEvidenceGate:
+    """VERDICT r2 #2: the production intent path gates the model on trained
+    discriminative cue words so it never loses to its own rule fallback on
+    unseen cue vocabularies."""
+
+    def test_cue_words_saved_and_gate_routes(self, tmp_path):
+        from rassengine_tpu.train.intent_train import save_cue_words
+
+        train = [("compare the lipid panel against last visit", 6),
+                 ("compare cholesterol with prior result", 6),
+                 ("compare blood pressure readings", 6),
+                 ("how many patients have asthma", 5),
+                 ("how many encounters this year", 5),
+                 ("how many prescriptions exist", 5)]
+        path = save_cue_words(train, str(tmp_path))
+        import json
+
+        cues = set(json.load(open(path))["cues"])
+        assert "compare" in cues
+        # slot-like words spread across intents must not qualify
+        train2 = train + [("asthma note", 0), ("asthma history", 7),
+                          ("asthma meds", 4)]
+        cues2 = set(json.load(open(save_cue_words(train2, str(tmp_path / "b"))
+                                   ))["cues"])
+        assert "asthma" not in cues2
+
+    def test_classifier_routes_to_rules_without_evidence(self, tmp_path):
+        import json
+
+        from rassengine_tpu.nlu.intent import (IntentClassifier,
+                                               ModelIntentClassifier)
+
+        class FakeModel:
+            cue_words = {"compare"}
+            has_cue_evidence = ModelIntentClassifier.has_cue_evidence
+
+            def classify(self, q):
+                return QueryIntent.SEMANTIC, 0.99  # confidently wrong
+
+        cfg = EngineConfig(intent_model_path="/none", ner_model_path="/none")
+        clf = IntentClassifier(cfg)
+        clf.model = FakeModel()
+        # evidence present → (wrong but confident) model wins
+        assert clf.classify("compare the results")[0] == QueryIntent.SEMANTIC
+        # no trained cue in sight → rules decide (AGGREGATE pattern)
+        assert clf.classify("number of admissions recorded")[0] == \
+            QueryIntent.AGGREGATE
