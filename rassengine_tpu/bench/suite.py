@@ -224,13 +224,14 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
             aug = jnp.concatenate(
                 [packed, (a & 0xFF)[:, None].astype(jnp.uint8),
                  ((a >> 8) & 0xFF)[:, None].astype(jnp.uint8)], axis=1)
-            return aug, a
+            return aug, a, _pq4.decoded_residual_norms(codes, cent)
 
         nblocks6 = n6 // blk6
         t0 = time.perf_counter()
         parts = [_encode_block6(i, centers_z, u_proj) for i in range(nblocks6)]
-        aug6 = jnp.concatenate([p for p, _ in parts])
-        assign6 = jnp.concatenate([a for _, a in parts])
+        aug6 = jnp.concatenate([p for p, _a, _n in parts])
+        assign6 = jnp.concatenate([a for _p, a, _n in parts])
+        rnorm6 = jnp.concatenate([nn for _p, _a, nn in parts])
         np.asarray(assign6[:1])  # sync
         build_s6 = time.perf_counter() - t0
         del parts
@@ -238,7 +239,14 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
         br6, win6 = 1024, 512
         order6, wins6 = _fpq.sort_for_window(np.asarray(assign6), br6,
                                              nlist6, win_width=win6)
-        aug6 = jnp.take(aug6, jnp.asarray(order6.astype(np.int32)), axis=0)
+        od6 = jnp.asarray(order6.astype(np.int32))
+        aug6 = jnp.take(aug6, od6, axis=0)
+        a_sorted6 = np.asarray(assign6)[order6]
+        nb6 = n6 // br6
+        win_lo6 = jnp.asarray(
+            a_sorted6.reshape(nb6, br6).min(axis=1).astype(np.int32))
+        block_resid6 = jnp.asarray(np.asarray(rnorm6)[order6].reshape(
+            nb6, br6).max(axis=1).astype(np.float32))
         wd6 = jnp.asarray(wins6) if wins6 is not None else None
 
         q6 = np.asarray(gen_block(0)[:b6]) \
@@ -253,7 +261,9 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
             if wd6 is not None:
                 return _fpq.pq4_topk_fused(aug6, lq, mask6, m_cand,
                                            block_rows=br6, lut_dtype="int8",
-                                           win_starts=wd6, win_width=win6)
+                                           win_starts=wd6, win_width=win6,
+                                           win_lo=win_lo6,
+                                           block_resid=block_resid6)
             return _fpq.pq4_topk_fused(aug6, lq, mask6, m_cand,
                                        block_rows=br6, lut_dtype="int8")
 

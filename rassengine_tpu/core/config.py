@@ -68,6 +68,7 @@ class EngineConfig:
     ivf_rerank: int = 256               # exact re-rank depth after list scan
     ivf_tail_bound: int = 32768         # brute-forced fresh-tail rows before rebuild
     pq_subvectors: int = 64             # PQ bytes/vector (>int8-budget corpora)
+    probe_single_queries: bool = True   # B=1 on ≥1M corpora → bound-ordered PQ probe
     pq_oversample: int = 8              # ADC candidates = oversample × k
     int8_hbm_budget_bytes: int = 12 * 1024**3  # beyond this, codes go PQ
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
@@ -138,6 +139,7 @@ class EngineConfig:
             ivf_tail_bound=_env_int("IVF_TAIL_BOUND", 32768),
             pq_subvectors=_env_int("PQ_SUBVECTORS", 64),
             pq_oversample=_env_int("PQ_OVERSAMPLE", 8),
+            probe_single_queries=_env_bool("PROBE_SINGLE_QUERIES", True),
             int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),
             ner_model_path=os.getenv("NER_MODEL_PATH", "./ner_model/final"),
             intent_model_path=os.getenv("INTENT_MODEL_PATH", "./intent_model/final"),

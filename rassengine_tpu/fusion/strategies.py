@@ -158,11 +158,12 @@ class Retriever:
 
             def scan(over: int, escalated: bool):
                 # int8 LUTs are ~30% faster but add ~0.5% score noise — worth
-                # it only when the scan dominates latency (huge corpora) and
-                # the oversample absorbs the noise; escalation switches back
-                # to bf16 for accuracy
+                # it only when the batched scan dominates latency (huge
+                # corpora); escalation and the small-batch probe (whose
+                # branch-and-bound gate needs the tight bf16 slack) use bf16
+                small_batch = np.atleast_2d(query_embs).shape[0] <= 4
                 ldt = ("int8" if idx.capacity > 4 * 1024 * 1024
-                       and not escalated else "bf16")
+                       and not escalated and not small_batch else "bf16")
                 if self.use_pallas and jax.default_backend() != "cpu":
                     from rassengine_tpu.ops.fused_pq4 import (pq4_lutq,
                                                               pq4_topk_fused)
@@ -175,7 +176,13 @@ class Retriever:
                         cols["aug_sorted"], lutq, mask_sorted, over,
                         block_rows=cols["block_rows"], lut_dtype=ldt,
                         win_starts=cols["win_starts"],
-                        win_width=cols["win_width"])
+                        win_width=cols["win_width"],
+                        win_lo=cols["win_lo"],
+                        block_resid=cols["block_resid"],
+                        # small batches: best-bound-first block order → the
+                        # branch-and-bound gate prunes nearly every block
+                        # (the device IVF probe, VERDICT r2 #6)
+                        order_by_bound=small_batch)
                     rs = np.asarray(rows_sorted)
                     return np.where(rs >= 0,
                                     cols["order"][np.clip(rs, 0, None)], -1)
@@ -447,6 +454,16 @@ class Retriever:
             good = (r[0] >= 0) & (s[0] > NEG_INF / 2)
             return r[0][good], s[0][good]
         mask = idx.filter_mask(spec)
+        if (tier == "int8" and self.use_pallas
+                and self.config.probe_single_queries
+                and idx.capacity >= 1 << 20
+                and jax.default_backend() != "cpu"):
+            # single-query latency path on big corpora: the bound-ordered
+            # fused PQ4 probe scans ~a few blocks instead of the whole int8
+            # corpus (device IVF, VERDICT r2 #6); exact re-rank keeps recall
+            r, s = self._pq_top_m_batch(query_emb, mask, m)
+            good = (r[0] >= 0) & (s[0] > NEG_INF / 2)
+            return r[0][good], s[0][good]
         q = jnp.asarray(np.atleast_2d(query_emb))
         if tier == "int8" and self.use_pallas:
             # large corpus: int8 pooled scan (half the HBM traffic,

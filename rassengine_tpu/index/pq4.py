@@ -113,6 +113,21 @@ def _encode_block(x, cent):
     return jnp.argmax(2.0 * dots - c2[None, :, :], axis=2).astype(jnp.uint8)
 
 
+@jax.jit
+def decoded_residual_norms(codes, cent):
+    """codes [blk, m_sub] int → ‖decoded residual‖ per row, [blk] f32.
+
+    ‖r̂‖ bounds the ADC residual term exactly (|q·r̂| ≤ ‖q‖‖r̂‖ = ‖r̂‖ for
+    unit queries) and is ~3× tighter than the Σ-of-per-subspace-maxima LUT
+    bound, which is what makes the branch-and-bound block gate in
+    ops/fused_pq4.py actually prune (the loose bound exceeded every real
+    score spread)."""
+    cn2 = jnp.sum(cent * cent, axis=2)                     # [m_sub, 16]
+    m = cent.shape[0]
+    per = cn2[jnp.arange(m)[None, :], codes.astype(jnp.int32)]
+    return jnp.sqrt(jnp.sum(per, axis=1))
+
+
 def pack_codes(codes: np.ndarray) -> np.ndarray:
     """[N, m_sub] 4-bit values → [N, m_sub//2] bytes, SPLIT layout:
     byte j = code[j] | code[h + j] << 4 (h = m_sub//2).
@@ -243,6 +258,7 @@ class Pq4Index:
     m_sub: int
     ds: int
     trained_count: int      # rows seen when the codebooks were trained
+    resid_norm: np.ndarray = None  # [N] f32 ‖decoded residual‖ (block bounds)
 
     @staticmethod
     def subvectors_for(dim: int, bytes_per_vec: int) -> int:
@@ -281,26 +297,31 @@ class Pq4Index:
         idx = Pq4Index(np.asarray(coarse, np.float32), cent,
                        np.zeros((0, m_sub // 2), np.uint8),
                        np.zeros((0,), np.int32), m_sub, ds, n)
-        idx.packed, idx.assign = idx.encode(vecs, 0, vecs.shape[0])
+        idx.packed, idx.assign, idx.resid_norm = idx.encode(vecs, 0,
+                                                            vecs.shape[0])
         log.info("pq4 built: nlist=%d m_sub=%d ds=%d bytes/vec=%d trained_on=%d",
                  nlist, m_sub, ds, m_sub // 2 + 4, train.shape[0])
         return idx
 
     def encode(self, vecs: np.ndarray, start: int, stop: int,
-               block: int = 1 << 17) -> tuple[np.ndarray, np.ndarray]:
-        """Encode rows [start, stop) with the existing codebooks."""
+               block: int = 1 << 17
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Encode rows [start, stop) → (packed, assign, resid_norm)."""
         cent = jnp.asarray(self.codebooks)
         coarse = jnp.asarray(self.coarse)
-        packed_parts, assign_parts = [], []
+        packed_parts, assign_parts, norm_parts = [], [], []
         for s in range(start, stop, block):
             x = jnp.asarray(np.asarray(vecs[s: s + block], np.float32))
             a, resid = _assign_and_residual(x, coarse)
-            packed_parts.append(pack_codes(np.asarray(_encode_block(resid, cent))))
+            codes = _encode_block(resid, cent)
+            packed_parts.append(pack_codes(np.asarray(codes)))
             assign_parts.append(np.asarray(a))
+            norm_parts.append(np.asarray(decoded_residual_norms(codes, cent)))
         if not packed_parts:
             return (np.zeros((0, self.m_sub // 2), np.uint8),
-                    np.zeros((0,), np.int32))
-        return np.concatenate(packed_parts), np.concatenate(assign_parts)
+                    np.zeros((0,), np.int32), np.zeros((0,), np.float32))
+        return (np.concatenate(packed_parts), np.concatenate(assign_parts),
+                np.concatenate(norm_parts))
 
     @property
     def bytes_per_vector(self) -> int:

@@ -546,7 +546,8 @@ class TenantIndex:
             pq = Pq4Index.build(self._vecs, m_sub, count=self.count)
             self._pq4 = pq
         else:
-            pq.packed, pq.assign = pq.encode(self._vecs, 0, self.capacity)
+            pq.packed, pq.assign, pq.resid_norm = pq.encode(
+                self._vecs, 0, self.capacity)
         nlist_pad = ((pq.coarse.shape[0] + 127) // 128) * 128
         rs = self.capacity // self.n_shards
         br = next((b for b in (1024, 512, 256, 128) if rs % b == 0),
@@ -568,6 +569,14 @@ class TenantIndex:
         order = np.concatenate(orders)
         wins = np.concatenate(wins_parts) if windowed else None
         aug = augment_packed(pq.packed[order], pq.assign[order])
+        # tight per-block branch-and-bound inputs (ops/fused_pq4 docstring):
+        # exact window start (block's min cluster id) + max decoded-residual
+        # norm over the block's rows
+        a_sorted = pq.assign[order]
+        nb_total = self.capacity // br
+        win_lo = a_sorted.reshape(nb_total, br).min(axis=1).astype(np.int32)
+        block_resid = pq.resid_norm[order].reshape(nb_total, br).max(
+            axis=1).astype(np.float32)
         put = self._put_rows
         self._device_pq4 = {
             "packed": jnp.asarray(pq.packed),
@@ -577,6 +586,8 @@ class TenantIndex:
             "aug_sorted": put(aug),
             "order": order,  # host np: sorted position → original row
             "win_starts": put(wins) if wins is not None else None,
+            "win_lo": put(win_lo),
+            "block_resid": put(block_resid),
             "win_width": win_width if wins is not None else 0,
             "nlist_pad": nlist_pad,
             "block_rows": br,

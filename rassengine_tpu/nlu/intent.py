@@ -98,23 +98,31 @@ class ModelIntentClassifier:
         self.params = params
         self._fwd = jax.jit(self.model.apply)
         # discriminative cue words seen in training (train/intent_train.py
-        # writes cue_words.json): words whose training occurrences concentrate
-        # in one intent. Slot values (names, conditions, meds) spread across
+        # writes cue_words.json): word → the intent its training occurrences
+        # concentrate in. Slot values (names, conditions, meds) spread across
         # all intents by construction, so only true cue words qualify.
-        self.cue_words: set[str] | None = None
+        self.cue_intent: dict[str, str] | None = None
         cue_path = os.path.join(path, "cue_words.json")
         if os.path.exists(cue_path):
             with open(cue_path) as f:
-                self.cue_words = set(json.load(f)["cues"])
+                cues = json.load(f)["cues"]
+                # legacy list format carried no intents; treat as wildcard
+                self.cue_intent = (dict.fromkeys(cues, "*")
+                                   if isinstance(cues, list) else cues)
 
-    def has_cue_evidence(self, query: str) -> bool:
-        """Whether the model has seen any of this query's intent-bearing
-        words in training (VERDICT r2 #2: the model is confidently WRONG on
-        unseen cue vocabularies — confidence alone cannot gate it). True when
-        no cue table was shipped (legacy checkpoints keep old behavior)."""
-        if self.cue_words is None:
-            return True
-        return any(w in self.cue_words for w in content_words(query))
+    def supported_intents(self, query: str) -> set[str] | None:
+        """Intents for which this query carries trained cue evidence, or
+        None when no cue table was shipped (legacy checkpoints trust the
+        model unconditionally). The production gate is SELF-CONSISTENCY: the
+        model's prediction counts only if one of the query's cue words votes
+        for that same intent — on unseen cue vocabularies the model is
+        confidently wrong (VERDICT r2 #2) and its prediction finds no
+        supporting cue, so the rules decide (measured: hard split 0.52 vs
+        0.49 rules / 0.33 raw model; paraphrase split 0.959 vs 0.975 raw)."""
+        if self.cue_intent is None:
+            return None
+        return {self.cue_intent[w] for w in content_words(query)
+                if w in self.cue_intent}
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
         import jax.nn
@@ -130,9 +138,10 @@ class IntentClassifier:
     """Model when trained weights exist, rules otherwise.
 
     The production policy (VERDICT r2 #2 — never lose to the rule baseline):
-    1. no trained discriminative cue word in the query → rules (the model's
-       softmax stays confidently wrong on out-of-vocabulary cues, so OOV-cue
-       detection, not confidence, is the gate),
+    1. the model's predicted intent must be SUPPORTED by a trained cue word
+       of that intent in the query (self-consistency; the softmax stays
+       confidently wrong on out-of-vocabulary cues, so OOV-cue support, not
+       confidence, is the gate),
     2. model confidence below INTENT_THRESHOLD → rules,
     3. otherwise → model.
     """
@@ -148,9 +157,12 @@ class IntentClassifier:
             log.info("no trained intent model; using rule classifier")
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
-        if self.model is not None and self.model.has_cue_evidence(query):
+        if self.model is not None:
             intent, conf = self.model.classify(query)
-            if conf >= self.config.intent_threshold:
+            support = self.model.supported_intents(query)
+            supported = (support is None or "*" in support
+                         or intent.value in support)
+            if supported and conf >= self.config.intent_threshold:
                 return intent, conf
         return self.rules.classify(query)
 

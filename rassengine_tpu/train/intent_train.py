@@ -30,9 +30,10 @@ def save_cue_words(train_data, out: str, min_count: int = 3,
     nlu.intent.ModelIntentClassifier.has_cue_evidence (VERDICT r2 #2).
 
     A word is a cue when ≥``min_purity`` of its training occurrences fall in
-    one intent. Slot values (names, conditions, medications) appear across
-    all intents by construction and never qualify — so a query whose content
-    words are all slots/fillers carries no model-trusted evidence.
+    one intent — the mapping word → that intent is what ships. Slot values
+    (names, conditions, medications) appear across all intents by
+    construction and never qualify — so a model prediction unsupported by
+    any same-intent cue word in the query routes to the rules.
     """
     import json
     import os
@@ -44,10 +45,10 @@ def save_cue_words(train_data, out: str, min_count: int = 3,
     for text, lbl in train_data:
         for w in set(content_words(text)):
             by_word[w][lbl] += 1
-    cues = sorted(
-        w for w, c in by_word.items()
-        if sum(c.values()) >= min_count
-        and max(c.values()) / sum(c.values()) >= min_purity)
+    cues = {w: ALL_INTENTS[max(c, key=c.get)]
+            for w, c in sorted(by_word.items())
+            if sum(c.values()) >= min_count
+            and max(c.values()) / sum(c.values()) >= min_purity}
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "cue_words.json")
     with open(path, "w") as f:

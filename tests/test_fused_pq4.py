@@ -188,6 +188,27 @@ class TestFusedPq4:
         assert not r2._pq_escalated
         assert (rows[np.arange(4), 0] == np.arange(4)).all()  # self-hits
 
+    def test_order_by_bound_matches_sequential(self, built):
+        """Best-bound-first block ordering (the device IVF probe, VERDICT r2
+        #6) must return the same candidates as sequential order — pruning is
+        lossless branch-and-bound, not nprobe truncation."""
+        pq, v, q, n = built
+        nlist_pad = 128
+        lutq = pq4_lutq(jnp.asarray(pq.codebooks), jnp.asarray(pq.coarse),
+                        jnp.asarray(q[:1]), nlist_pad)
+        order, wins = sort_for_window(pq.assign, 128, nlist_pad, 128)
+        aug_s = jnp.asarray(augment_packed(pq.packed[order], pq.assign[order]))
+        mask = jnp.zeros(n, jnp.float32)
+        kw = dict(block_rows=128, win_starts=jnp.asarray(wins), win_width=128,
+                  interpret=True)
+        s_seq, r_seq = pq4_topk_fused(aug_s, lutq, mask, 16, **kw)
+        s_ord, r_ord = pq4_topk_fused(aug_s, lutq, mask, 16,
+                                      order_by_bound=True, **kw)
+        np.testing.assert_allclose(np.asarray(s_ord), np.asarray(s_seq),
+                                   rtol=1e-5, atol=1e-5)
+        assert set(np.asarray(r_ord)[0].tolist()) == \
+            set(np.asarray(r_seq)[0].tolist())
+
     def test_augment_roundtrip(self, built):
         pq, v, q, n = built
         aug = augment_packed(pq.packed, pq.assign)

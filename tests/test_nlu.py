@@ -171,13 +171,15 @@ class TestCueEvidenceGate:
         path = save_cue_words(train, str(tmp_path))
         import json
 
-        cues = set(json.load(open(path))["cues"])
-        assert "compare" in cues
+        from rassengine_tpu.core.schema import ALL_INTENTS
+
+        cues = json.load(open(path))["cues"]
+        assert cues.get("compare") == ALL_INTENTS[6]
         # slot-like words spread across intents must not qualify
         train2 = train + [("asthma note", 0), ("asthma history", 7),
                           ("asthma meds", 4)]
-        cues2 = set(json.load(open(save_cue_words(train2, str(tmp_path / "b"))
-                                   ))["cues"])
+        cues2 = json.load(open(save_cue_words(train2, str(tmp_path / "b"))
+                               ))["cues"]
         assert "asthma" not in cues2
 
     def test_classifier_routes_to_rules_without_evidence(self, tmp_path):
@@ -187,8 +189,8 @@ class TestCueEvidenceGate:
                                                ModelIntentClassifier)
 
         class FakeModel:
-            cue_words = {"compare"}
-            has_cue_evidence = ModelIntentClassifier.has_cue_evidence
+            cue_intent = {"compare": "SEMANTIC", "versus": "COMPARISON"}
+            supported_intents = ModelIntentClassifier.supported_intents
 
             def classify(self, q):
                 return QueryIntent.SEMANTIC, 0.99  # confidently wrong
@@ -196,8 +198,11 @@ class TestCueEvidenceGate:
         cfg = EngineConfig(intent_model_path="/none", ner_model_path="/none")
         clf = IntentClassifier(cfg)
         clf.model = FakeModel()
-        # evidence present → (wrong but confident) model wins
+        # a cue supporting the model's prediction → model wins
         assert clf.classify("compare the results")[0] == QueryIntent.SEMANTIC
-        # no trained cue in sight → rules decide (AGGREGATE pattern)
+        # cue present but for a DIFFERENT intent → unsupported → rules
+        assert clf.classify("alpha versus beta readings")[0] == \
+            QueryIntent.COMPARISON
+        # no trained cue at all → rules decide (AGGREGATE pattern)
         assert clf.classify("number of admissions recorded")[0] == \
             QueryIntent.AGGREGATE
