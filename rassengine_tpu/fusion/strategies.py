@@ -267,8 +267,29 @@ class Retriever:
             built, log_len, ivf = self._ivf_index()
             host_mask = idx.host_mask(spec)
             k_out = min(m, cfg.ivf_rerank)
-            s, r = ivf.search(idx._vecs, query_embs, k_out,
-                              nprobe=cfg.ivf_nprobe, host_mask=host_mask)
+            # device probe (VERDICT r2 #6, index/ivf.py:_probe_kernel): one
+            # dispatch per <=16-query slice gathers only the probed lists'
+            # rows from HBM instead of the reference's host per-query loop.
+            # Gather source: bf16 rows, or the int8 codes when bf16 residency
+            # would blow the HBM budget (the 10M-scale regime).
+            add_mask = idx.filter_mask(spec)
+            use_int8 = idx.capacity * idx.dim * 2 > cfg.int8_hbm_budget_bytes
+            if use_int8:
+                qcols = idx.device_columns_int8()
+                vecs_dev, scales = qcols["codes"], qcols["scales"]
+            else:
+                vecs_dev = idx.device_columns()["vecs"]
+                scales = None
+            q_all = np.atleast_2d(query_embs)
+            s_parts, r_parts = [], []
+            for b0 in range(0, q_all.shape[0], 16):
+                sb, rb = ivf.probe_device(
+                    vecs_dev, jnp.asarray(q_all[b0: b0 + 16]), add_mask,
+                    k_out, nprobe=cfg.ivf_nprobe, scales=scales)
+                s_parts.append(np.asarray(sb, np.float32))
+                r_parts.append(np.asarray(rb, np.int64))
+            s = np.concatenate(s_parts, axis=0)
+            r = np.concatenate(r_parts, axis=0)
             # fresh tail = rows added after the build + re-upserted rows whose
             # vector may have moved to a different centroid's list (they would
             # otherwise be unretrievable until the next rebuild)

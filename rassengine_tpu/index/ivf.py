@@ -17,7 +17,7 @@ default batch-serving path.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -25,6 +25,66 @@ import jax.numpy as jnp
 import numpy as np
 
 log = logging.getLogger("rassengine.ivf")
+
+NEG_INF = -1.0e30  # matches index.store.NEG_INF (additive filter masks)
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "budget", "quantized"))
+def _probe_kernel(vecs, scales, chunk_rows, chunk_offsets, centroids, q,
+                  add_mask, *, k: int, nprobe: int, budget: int,
+                  quantized: bool):
+    """One-dispatch device IVF probe (VERDICT r2 #6).
+
+    Replaces the per-query host loop (the reference's counterpart is the
+    OpenSearch HNSW traversal, app/main.py:563-572): pick the ``nprobe``
+    nearest coarse lists with one small matmul + ``lax.top_k``, assemble the
+    probed lists' chunk ids into a static ``budget``-chunk table with cumsum
+    segment math (no data-dependent shapes), row-gather only those candidates
+    from HBM, score them with one batched dot, and select top-k. The HBM read
+    is ``budget*chunk`` rows instead of the whole corpus — the win over the
+    full fused scan for single/low-batch queries.
+
+    ``chunk_rows``: [n_chunks, CHUNK] int32 row ids (-1 padding), lists laid
+    out contiguously; ``chunk_offsets``: [nlist+1] int32 in chunk units.
+    ``add_mask``: additive f32 [cap] filter mask (0 pass / -inf fail).
+    ``quantized``: vecs are int8 codes with per-row ``scales``.
+    """
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = jnp.dot(qn.astype(jnp.float32), centroids.T,
+                   preferred_element_type=jnp.float32)          # [B, nlist]
+    _, lists = jax.lax.top_k(sims, nprobe)                      # [B, P] desc
+    starts = chunk_offsets[lists]                               # [B, P]
+    counts = chunk_offsets[lists + 1] - starts                  # [B, P]
+    cum = jnp.cumsum(counts, axis=1)                            # [B, P]
+    pos = jnp.arange(budget, dtype=jnp.int32)                   # [T]
+    # seg[b, t] = which probed list chunk-slot t falls in (= #lists whose
+    # cumulative chunk count is <= t); slots past the total are invalid —
+    # truncation drops the LAST (least-similar) lists first by construction
+    seg = jnp.sum(cum[:, None, :] <= pos[None, :, None], axis=2)  # [B, T]
+    valid = seg < nprobe
+    seg_c = jnp.clip(seg, 0, nprobe - 1)
+    prev = jnp.where(seg_c > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(seg_c - 1, 0),
+                                         axis=1), 0)
+    chunk_id = (jnp.take_along_axis(starts, seg_c, axis=1)
+                + pos[None, :] - prev)
+    chunk_id = jnp.where(valid, chunk_id, 0)
+    rows = chunk_rows[chunk_id]                                 # [B, T, CHUNK]
+    rows = jnp.where(valid[:, :, None], rows, -1)
+    b = rows.shape[0]
+    rows = rows.reshape(b, -1)                                  # [B, T*CHUNK]
+    safe = jnp.maximum(rows, 0)
+    cand = vecs[safe]                                           # row gather
+    scores = jnp.einsum("bcd,bd->bc", cand.astype(jnp.bfloat16),
+                        qn.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    if quantized:
+        scores = scores * scales[safe]
+    scores = scores + add_mask[safe]
+    scores = jnp.where(rows >= 0, scores, NEG_INF)
+    s, ci = jax.lax.top_k(scores, k)
+    r = jnp.take_along_axis(rows, ci, axis=1)
+    return s, jnp.where(s <= NEG_INF / 2, -1, r)
 
 
 @partial(jax.jit, static_argnames=("nlist",), donate_argnums=(1,))
@@ -50,6 +110,7 @@ class IvfIndex:
     order: np.ndarray          # [N] row ids sorted by list
     offsets: np.ndarray        # [nlist + 1]
     nprobe: int = 8
+    _dev: tuple | None = field(default=None, repr=False, compare=False)
 
     @staticmethod
     def build(vecs: np.ndarray, nlist: int, iters: int = 10, nprobe: int = 8,
@@ -79,6 +140,67 @@ class IvfIndex:
         log.info("ivf built: nlist=%d avg_list=%.1f max_list=%d",
                  nlist, n / nlist, counts.max() if n else 0)
         return IvfIndex(np.asarray(centroids, np.float32), order, offsets, nprobe)
+
+    def device_tables(self, chunk: int = 128) -> dict:
+        """Chunk-padded device list tables for :func:`_probe_kernel`.
+
+        Each list is padded to a whole number of ``chunk``-row chunks (pad
+        row id -1); lists occupy contiguous chunk ranges, so a list is
+        addressed by ``chunk_offsets[l]:chunk_offsets[l+1]``. Built once per
+        IVF build (the index rebuilds the IvfIndex object itself on growth).
+        """
+        if self._dev is not None and self._dev[0] == chunk:
+            return self._dev[1]
+        nlist = len(self.offsets) - 1
+        counts = np.diff(self.offsets)
+        chunks_per = (counts + chunk - 1) // chunk
+        chunk_offsets = np.zeros(nlist + 1, np.int32)
+        np.cumsum(chunks_per, out=chunk_offsets[1:])
+        n_chunks = int(chunk_offsets[-1])
+        chunk_rows = np.full((max(n_chunks, 1) * chunk,), -1, np.int32)
+        for l in range(nlist):
+            rows = self.order[self.offsets[l]: self.offsets[l + 1]]
+            base = int(chunk_offsets[l]) * chunk
+            chunk_rows[base: base + rows.size] = rows
+        chunk_rows = chunk_rows.reshape(max(n_chunks, 1), chunk)
+        tables = {
+            "chunk_rows": jnp.asarray(chunk_rows),
+            "chunk_offsets": jnp.asarray(chunk_offsets),
+            "centroids": jnp.asarray(self.centroids, jnp.float32),
+            "n_chunks": n_chunks,
+            "avg_chunks": float(chunks_per.mean()) if nlist else 1.0,
+            "max_chunks": int(chunks_per.max()) if nlist else 1,
+            "chunk": chunk,
+        }
+        self._dev = (chunk, tables)
+        return tables
+
+    def probe_device(self, vecs_dev, q, add_mask, k: int,
+                     nprobe: int | None = None, chunk: int = 128,
+                     scales=None, budget_factor: float = 2.0):
+        """Batched one-dispatch probe on device arrays → (scores, rows) jax.
+
+        ``vecs_dev``: [cap, d] bf16 rows, or int8 codes with ``scales``
+        [cap] (the >HBM-for-bf16 regime). The per-query chunk budget is
+        ``nprobe * avg_chunks * budget_factor`` (clamped to the probe-order
+        lossless bound ``nprobe * max_chunks``): oversized lists truncate
+        least-similar-first, bounded recall cost reported by the bench.
+        """
+        nprobe = min(nprobe or self.nprobe, len(self.offsets) - 1)
+        t = self.device_tables(chunk)
+        budget = int(min(
+            t["n_chunks"],
+            nprobe * t["max_chunks"],
+            max(int(np.ceil(nprobe * t["avg_chunks"] * budget_factor)),
+                nprobe),
+        ))
+        q = jnp.atleast_2d(q)
+        return _probe_kernel(
+            vecs_dev,
+            scales if scales is not None else jnp.zeros((1,), jnp.float32),
+            t["chunk_rows"], t["chunk_offsets"], t["centroids"], q, add_mask,
+            k=k, nprobe=nprobe, budget=max(budget, 1),
+            quantized=scales is not None)
 
     def search(self, vecs: np.ndarray, query: np.ndarray, k: int,
                nprobe: int | None = None,
