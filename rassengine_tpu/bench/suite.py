@@ -167,6 +167,64 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                     "candidate_recall@5": round(float(rec4), 4),
                     "ms_batch": round(dt_int8 * 1e3, 3)})
 
+    # --- config 4c: device IVF probe — single-query latency (VERDICT r2 #6) ---
+    # The probe reads nprobe lists instead of the corpus; its win regime is
+    # low batch, where the full scan still streams every row per dispatch.
+    n5 = n3
+    v5 = clustered(n5, d, n_clusters=max(64, n5 // 1024))
+    nlist5 = max(16, n5 // 1024)
+    ivf5 = IvfIndex.build(v5, nlist=nlist5, iters=8)
+    vd5 = jnp.asarray(v5, jnp.bfloat16)
+    mask5 = jnp.zeros(n5, jnp.float32)
+    nprobe5 = max(8, nlist5 // 16)
+    probe_fn = lambda qq: ivf5.probe_device(vd5, qq, mask5, k,  # noqa: E731
+                                            nprobe=nprobe5)
+    if on_tpu:
+        exact5_fn = lambda qq: fused_topk_pooled(vd5, qq, mask5, k, 2048)  # noqa: E731
+    else:
+        exact5_fn = lambda qq: exact_topk_direct(vd5, qq, mask5, k)  # noqa: E731
+    q5 = v5[rng.integers(0, n5, 32)] + 0.02 * rng.normal(size=(32, d)).astype(np.float32)
+    q5 = jnp.asarray(q5 / np.linalg.norm(q5, axis=1, keepdims=True))
+    _sp, got5 = probe_fn(q5)
+    _se, want5 = exact5_fn(q5)
+    got5, want5 = np.asarray(got5), np.asarray(want5)
+    rec5 = float(np.mean([len(set(g) & set(w)) / k
+                          for g, w in zip(got5, want5)]))
+    q5_1 = q5[:1]
+    it5 = 40 if on_tpu else 2
+    dt_probe = _chain_time(probe_fn, q5_1, it5)
+    dt_exact1 = _chain_time(exact5_fn, q5_1, it5)
+    results.append({"config": f"ivf_probe_{n5 // 1000}k_b1",
+                    "metric": "ms_single_query",
+                    "value": round(dt_probe * 1e3, 3),
+                    "full_scan_ms": round(dt_exact1 * 1e3, 3),
+                    "speedup_vs_full_scan": round(dt_exact1 / dt_probe, 2),
+                    "recall@5_vs_full_scan": round(rec5, 4),
+                    "nprobe": nprobe5, "nlist": nlist5})
+    del v5
+
+    # --- config 4d: sharded local scan per-shard throughput (r2 #4) ----------
+    # One chip = one shard: shard_map + Pallas local scan + all-gather merge
+    # on a 1-device mesh measures the per-shard cost of the sharded serving
+    # path against the plain single-chip kernel (multi-chip correctness is
+    # proven on the virtual 8-device CPU mesh; per-shard throughput here).
+    if on_tpu:
+        from rassengine_tpu.core.meshes import shard_mesh
+        from rassengine_tpu.parallel.topk_merge import sharded_topk
+
+        mesh1 = shard_mesh(1)
+        qb5 = jnp.asarray(unit(b3, d))
+        sh_fn = lambda qq: sharded_topk(mesh1, vd5, mask5, qq, k)  # noqa: E731
+        dt_sh = _chain_time(sh_fn, qb5, 20)
+        dt_plain = _chain_time(exact5_fn, qb5, 20)
+        results.append({"config": f"sharded_local_{n5 // 1000}k_b{b3}",
+                        "metric": "qps_per_chip",
+                        "value": round(b3 / dt_sh, 1),
+                        "plain_kernel_qps": round(b3 / dt_plain, 1),
+                        "shard_map_overhead_pct":
+                            round(100.0 * (dt_sh - dt_plain) / dt_plain, 1)})
+    del vd5, mask5, ivf5
+
     # --- config 4b: 16M×1024-d residual PQ4 — rows never touch HBM -------------
     # Corpus generated and encoded ON DEVICE (shipping 64 GB of f32 rows
     # through the axon tunnel would take hours; a real TPU-VM ingests over
@@ -348,7 +406,15 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scale", default="small", choices=["small", "full"])
     p.add_argument("--out", default="")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu for smoke runs on a "
+                        "TPU-attached host; JAX_PLATFORMS is not honored "
+                        "when the axon plugin is installed)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     results = run_suite(args.scale)
     lines = ["# BENCH — measured suite results", "",
              f"scale: {args.scale}", "",

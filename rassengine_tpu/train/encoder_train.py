@@ -117,7 +117,8 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
          learning_rate: float = 5e-4, seed: int = 0, size: str = "small",
          init_from: str = "", n_pairs: int = 30_000,
          n_eval: int = 1024, temperature: float = 0.05,
-         pooling: str | None = None, grad_clip: float = 1.0) -> dict:
+         pooling: str | None = None, grad_clip: float = 1.0,
+         save_floor: float = 0.0) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -217,11 +218,20 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
 
     trained_m = eval_recall(embed_with(params), eval_pairs)
     random_m = eval_recall(embed_with(random_params), eval_pairs)
-    save_params(out, params)
-    save_model_meta(out, cfg)
+    # collapse guard: wide configs can collapse to a point (all cosines = 1,
+    # recall@k ≈ k/n — WORSE than random init); never overwrite a shipped
+    # checkpoint with one that fails the floor
+    saved = trained_m["recall@1"] >= save_floor
+    if saved:
+        save_params(out, params)
+        save_model_meta(out, cfg)
+    else:
+        log.error("NOT saving %s: trained recall@1 %.3f < floor %.3f "
+                  "(collapsed run? lower the lr)", out,
+                  trained_m["recall@1"], save_floor)
     result = {"out": out, "final_loss": float(np.mean(losses[-50:])),
               "trained": trained_m, "random_init": random_m,
-              "n_eval_pairs": len(eval_pairs)}
+              "saved": saved, "n_eval_pairs": len(eval_pairs)}
     log.info("encoder done → %s trained=%s random=%s", out, trained_m, random_m)
     return result
 
@@ -237,6 +247,11 @@ if __name__ == "__main__":
                    choices=["tiny", "small", "base", "prod", "large"])
     p.add_argument("--init-from", default="")
     p.add_argument("--pairs", type=int, default=30_000)
+    p.add_argument("--pooling", default=None, choices=[None, "cls", "mean"])
+    p.add_argument("--save-floor", type=float, default=0.0,
+                   help="refuse to save below this eval recall@1 "
+                        "(collapse guard)")
     a = p.parse_args()
     main(a.steps, a.batch_size, a.out, a.lr, size=a.size,
-         init_from=a.init_from, n_pairs=a.pairs)
+         init_from=a.init_from, n_pairs=a.pairs, pooling=a.pooling,
+         save_floor=a.save_floor)
