@@ -15,8 +15,14 @@ COPY pyproject.toml ./
 COPY rassengine_tpu ./rassengine_tpu
 RUN pip install --no-cache-dir --no-build-isolation -e .
 
+# shipped model checkpoints: production 1024-d bi-encoder (the reference
+# serves mxbai-embed-large via ollama, main.py:67) + NLU fine-tunes
+COPY encoder_model_prod ./encoder_model_prod
+COPY intent_model ./intent_model
+COPY ner_model ./ner_model
+
 ENV PORT=8000 UPLOAD_PORT=8001 DATABASE_PATH=/data/rass_chat.db \
-    UPLOAD_DIR=/data/uploads
+    UPLOAD_DIR=/data/uploads ENCODER_WEIGHTS_PATH=./encoder_model_prod
 VOLUME /data
 EXPOSE 8000 8001
 

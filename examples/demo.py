@@ -32,9 +32,16 @@ async def main() -> None:
         embed_dim=64, embed_batch_size=8, index_capacity=1024,
         database_path=":memory:", llm_backend="echo")
     bert_cfg = BertConfig.tiny()
-    if os.path.isdir("encoder_model") and not cfg.encoder_weights_path:
-        # the shipped contrastively-trained bi-encoder: semantically trusted
-        # embeddings, which also turns the semantic answer cache on
+    if os.path.isdir("encoder_model_prod") and (
+            not cfg.encoder_weights_path
+            or cfg.encoder_weights_path == "./encoder_model_prod"):
+        # the shipped production 1024-d contrastively-trained bi-encoder:
+        # semantically trusted embeddings → the semantic answer cache is on
+        cfg = cfg.replace(encoder_weights_path="encoder_model_prod",
+                          embed_dim=1024)
+        bert_cfg = None
+    elif os.path.isdir("encoder_model") and not cfg.encoder_weights_path:
+        # fallback: the small 128-d checkpoint (CI-sized)
         cfg = cfg.replace(encoder_weights_path="encoder_model", embed_dim=128)
         bert_cfg = None
     engine = RassEngine(cfg, bert_cfg=bert_cfg)
@@ -42,7 +49,10 @@ async def main() -> None:
     n = engine.ingest_directory("demo", "sample_dataset")
     print(f"ingested {n} documents from sample_dataset/\n")
     service = AskService(engine, db=ChatStore(":memory:"))
-    print(f"semantic cache enabled={service.cache is not None}")
+    print(f"semantic cache enabled={service.cache is not None}"
+          + (f" threshold={service.cache.sim_threshold:.3f}"
+             f" (suggested={engine.embedder.suggested_cache_threshold})"
+             if service.cache is not None else ""))
     for q in QUESTIONS:
         answer = await service.ask(q, "demo", "demo-chat")
         print(f"Q: {q}\nA: {answer[:300]}\n")

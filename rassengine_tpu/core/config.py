@@ -117,6 +117,10 @@ class EngineConfig:
     checkpoint_interval_s: float = 300.0
     # --- observability ---
     profile_dir: str = ""               # non-empty → jax.profiler traces per request
+    audit_log_path: str = ""            # non-empty → JSONL audit trail (serve/audit.py)
+    # --- serving protection (no reference counterpart; see serve/ratelimit.py) ---
+    upload_rate_limit_per_min: float = 0.0  # per-user uploads/min; 0 = off
+    admin_token: str = ""               # required header for /admin/* when set
 
     @staticmethod
     def from_env(**overrides) -> "EngineConfig":
@@ -124,7 +128,13 @@ class EngineConfig:
             embed_dim=_env_int("EMBED_DIM", 1024),
             embed_model=os.getenv("EMBED_MODEL", "mxbai-embed-large-tpu"),
             embed_batch_size=_env_int("BATCH_SIZE", 64),
-            encoder_weights_path=os.getenv("ENCODER_WEIGHTS_PATH", ""),
+            # serving default: the shipped production 1024-d bi-encoder
+            # (reference serves mxbai-embed-large, main.py:67; tests construct
+            # EngineConfig directly and stay weightless)
+            encoder_weights_path=os.getenv(
+                "ENCODER_WEIGHTS_PATH",
+                "./encoder_model_prod"
+                if os.path.isdir("./encoder_model_prod") else ""),
             chunk_size=_env_int("CHUNK_SIZE", 512),
             adaptive_chunking=_env_bool("ADAPTIVE_CHUNKING", True),
             top_k=_env_int("TOP_K", 3),
@@ -168,6 +178,10 @@ class EngineConfig:
             checkpoint_dir=os.getenv("CHECKPOINT_DIR", ""),
             checkpoint_interval_s=_env_float("CHECKPOINT_INTERVAL_S", 300.0),
             profile_dir=os.getenv("PROFILE_DIR", ""),
+            audit_log_path=os.getenv("AUDIT_LOG_PATH", ""),
+            upload_rate_limit_per_min=_env_float(
+                "UPLOAD_RATE_LIMIT_PER_MIN", 0.0),
+            admin_token=os.getenv("ADMIN_TOKEN", ""),
         )
         base.update(overrides)
         return EngineConfig(**base)

@@ -36,6 +36,22 @@ def shard_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("shard",))
 
 
+def replica_shard_mesh(replicas: int, shards: int, devices=None) -> Mesh:
+    """2-D (replica, shard) mesh: index rows sharded over ``shard`` and
+    replicated over ``replica``; query batches split over ``replica``.
+
+    The TPU-native meaning of the reference's REPLICA_COUNT (an OpenSearch
+    index setting, main.py:90): the corpus scan is HBM-bandwidth-bound, so
+    replicating the (sharded) corpus across replica groups multiplies
+    aggregate scan bandwidth — QPS scales ~linearly with replicas at constant
+    per-query latency, paid in HBM capacity."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= replicas * shards, (len(devices), replicas, shards)
+    arr = np.array(devices[: replicas * shards]).reshape(replicas, shards)
+    return Mesh(arr, axis_names=("replica", "shard"))
+
+
 def train_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     """2-D (dp, tp) mesh for encoder/NLU training and batched inference."""
     if devices is None:

@@ -75,22 +75,32 @@ class RassEngine:
         # (reference shard distribution, main.py:89-90 / _routing main.py:1230)
         self.mesh = None
         self.router = None
-        if self.config.shard_count > 1:
+        if self.config.shard_count > 1 or self.config.replica_count > 1:
             import jax
 
-            from rassengine_tpu.core.meshes import shard_mesh
+            from rassengine_tpu.core.meshes import (replica_shard_mesh,
+                                                    shard_mesh)
             from rassengine_tpu.parallel.topk_merge import ShardRouter
 
-            n = self.config.shard_count
-            if len(jax.devices()) >= n:
-                self.mesh = shard_mesh(n)
-                self.router = ShardRouter(n)
+            n = max(self.config.shard_count, 1)
+            r = max(self.config.replica_count, 1)
+            if len(jax.devices()) >= n * r:
+                # REPLICA_COUNT > 1 → (replica, shard) mesh: corpus sharded
+                # within each replica group and replicated across groups;
+                # query batches split over replicas (reference REPLICA_COUNT
+                # is an OpenSearch availability setting, main.py:90 — here it
+                # buys aggregate scan bandwidth, i.e. QPS)
+                self.mesh = (replica_shard_mesh(r, n) if r > 1
+                             else shard_mesh(n))
+                if n > 1:
+                    self.router = ShardRouter(n)
                 # use_pallas stays platform-based: the shard_map local scans
                 # run the fused Pallas kernels per shard on TPU (VERDICT r2
                 # weak #2 — sharded serving no longer abandons the kernels)
             else:
-                log.warning("SHARD_COUNT=%d but only %d devices; single-chip",
-                            n, len(jax.devices()))
+                log.warning(
+                    "SHARD_COUNT=%d × REPLICA_COUNT=%d but only %d devices; "
+                    "single-chip", n, r, len(jax.devices()))
 
     # --- tenancy --------------------------------------------------------------
 
@@ -115,6 +125,23 @@ class RassEngine:
             index.remap_hooks.append(lambda mv, _t=t: _t.lexical.shift_rows(mv))
             self._tenants[name] = t
         return t
+
+    def reload_nlu(self) -> dict:
+        """Hot-swap the intent/NER checkpoints from their configured paths.
+
+        The reference loads NLU models once at module import (app/main.py:
+        109-134) and a retrain requires a service restart; here a freshly
+        written checkpoint directory (train/intent_train.py, train/ner_train.py
+        write atomically into ``final/``) can be picked up live. New model
+        objects are built first and swapped in one reference assignment each,
+        so in-flight requests keep a coherent pipeline.
+        """
+        intent = IntentClassifier(self.config)
+        ner = NerPipeline(self.config)
+        self.intent_classifier = intent
+        self.ner = ner
+        return {"intent_model": intent.model is not None,
+                "ner_model": ner.model is not None}
 
     # --- ingestion ------------------------------------------------------------
 

@@ -29,10 +29,11 @@ log = logging.getLogger("rassengine.ivf")
 NEG_INF = -1.0e30  # matches index.store.NEG_INF (additive filter masks)
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "budget", "quantized"))
+@partial(jax.jit,
+         static_argnames=("k", "nprobe", "budget", "quantized", "slab"))
 def _probe_kernel(vecs, scales, chunk_rows, chunk_offsets, centroids, q,
                   add_mask, *, k: int, nprobe: int, budget: int,
-                  quantized: bool):
+                  quantized: bool, slab: int):
     """One-dispatch device IVF probe (VERDICT r2 #6).
 
     Replaces the per-query host loop (the reference's counterpart is the
@@ -69,21 +70,41 @@ def _probe_kernel(vecs, scales, chunk_rows, chunk_offsets, centroids, q,
     chunk_id = (jnp.take_along_axis(starts, seg_c, axis=1)
                 + pos[None, :] - prev)
     chunk_id = jnp.where(valid, chunk_id, 0)
-    rows = chunk_rows[chunk_id]                                 # [B, T, CHUNK]
-    rows = jnp.where(valid[:, :, None], rows, -1)
-    b = rows.shape[0]
-    rows = rows.reshape(b, -1)                                  # [B, T*CHUNK]
-    safe = jnp.maximum(rows, 0)
-    cand = vecs[safe]                                           # row gather
-    scores = jnp.einsum("bcd,bd->bc", cand.astype(jnp.bfloat16),
-                        qn.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-    if quantized:
-        scores = scores * scales[safe]
-    scores = scores + add_mask[safe]
-    scores = jnp.where(rows >= 0, scores, NEG_INF)
-    s, ci = jax.lax.top_k(scores, k)
-    r = jnp.take_along_axis(rows, ci, axis=1)
+    b = q.shape[0]
+    qb = qn.astype(jnp.bfloat16)
+    # slab the candidate gather+score with a scan carrying a running top-k:
+    # the working set is b·slab·CHUNK·d instead of b·budget·CHUNK·d, which at
+    # corpus scale (nprobe·avg_list rows/query) otherwise exceeds HBM (an
+    # 18 GB gather at 5M×1024-d, batch 16, nprobe 64)
+    n_slabs = -(-budget // slab)
+    pad = n_slabs * slab - budget
+    chunk_id = jnp.pad(chunk_id, ((0, 0), (0, pad)))
+    valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    cid_s = chunk_id.reshape(b, n_slabs, slab).transpose(1, 0, 2)
+    val_s = valid.reshape(b, n_slabs, slab).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        top_s, top_i = carry
+        cid, val = xs                                           # [B, slab]
+        rows = chunk_rows[cid]                                  # [B, s, CHUNK]
+        rows = jnp.where(val[:, :, None], rows, -1).reshape(b, -1)
+        safe = jnp.maximum(rows, 0)
+        cand = vecs[safe]                                       # row gather
+        scores = jnp.einsum("bcd,bd->bc", cand.astype(jnp.bfloat16), qb,
+                            preferred_element_type=jnp.float32)
+        if quantized:
+            scores = scores * scales[safe]
+        scores = scores + add_mask[safe]
+        scores = jnp.where(rows >= 0, scores, NEG_INF)
+        cat_s = jnp.concatenate([top_s, scores], axis=1)
+        cat_i = jnp.concatenate([top_i, rows], axis=1)
+        s, pos2 = jax.lax.top_k(cat_s, k)
+        i = jnp.take_along_axis(cat_i, pos2, axis=1)
+        return (s, i), None
+
+    init = (jnp.full((b, k), NEG_INF, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32))
+    (s, r), _ = jax.lax.scan(body, init, (cid_s, val_s))
     return s, jnp.where(s <= NEG_INF / 2, -1, r)
 
 
@@ -195,12 +216,16 @@ class IvfIndex:
                 nprobe),
         ))
         q = jnp.atleast_2d(q)
+        # cap the per-scan-step gather at ~256 MB of bf16 candidates
+        per_chunk = q.shape[0] * chunk * vecs_dev.shape[1] * 2
+        slab = int(min(max(1, (256 << 20) // max(per_chunk, 1)),
+                       max(budget, 1)))
         return _probe_kernel(
             vecs_dev,
             scales if scales is not None else jnp.zeros((1,), jnp.float32),
             t["chunk_rows"], t["chunk_offsets"], t["centroids"], q, add_mask,
             k=k, nprobe=nprobe, budget=max(budget, 1),
-            quantized=scales is not None)
+            quantized=scales is not None, slab=slab)
 
     def search(self, vecs: np.ndarray, query: np.ndarray, k: int,
                nprobe: int | None = None,

@@ -142,6 +142,12 @@ class LexicalIndex:
         # bumped on every mutation: invalidates device views (device_bm25),
         # the per-group avgdl cache, and the sorted-vocab prefix cache
         self.generation = 0
+        # bumped only on removals/remaps: while unchanged, existing postings
+        # entries are immutable and device views can flush append-only deltas
+        # (device_bm25.DeviceLexical._flush_delta) instead of rebuilding
+        self.destructive_generation = 0
+        # term → generation of its last append (the delta-flush worklist)
+        self._touched: dict[str, int] = {}
         self._stats_cache: dict[int, tuple[float, float]] = {}
         self._sorted_terms: list[str] | None = None
         self._del_map: dict[str, list[str]] | None = None
@@ -189,6 +195,8 @@ class LexicalIndex:
         self._doc_len[row] = length
         self._row_terms[row] = list(bag)
         self._mutated()
+        for t in bag:
+            self._touched[t] = self.generation
 
     def remove_doc(self, row: int) -> None:
         """Drop a document's postings (delete-by-doc_id support)."""
@@ -216,6 +224,7 @@ class LexicalIndex:
         for o, nn, u in moves:
             new_len[nn: nn + u] = self._doc_len[o: o + u]
         self._doc_len = new_len
+        self.destructive_generation += 1
         self._mutated()
 
     def _remove_row(self, row: int) -> None:
@@ -235,6 +244,7 @@ class LexicalIndex:
         if np.any(self._doc_len[row]):
             self._n_docs -= 1
         self._doc_len[row] = 0.0
+        self.destructive_generation += 1
         self._mutated()
 
     # --- scoring --------------------------------------------------------------

@@ -9,13 +9,19 @@ query) and shipped to HBM as **chunk-aligned** CSR arrays:
     rows2d    int32 [NC, C]   document row per posting (SENTINEL = pad)
     contrib2d f32   [NC, C]   that posting's BM25 contribution (0 = pad)
 
-with a host dict ``(group, term) → (chunk_start, n_postings)``. Each term's
-slice starts on a chunk boundary and is **impact-ordered** (contribution
-descending), so truncating a query's posting budget keeps the highest-scoring
-docs, and the device never needs per-element index arithmetic: a query's
-postings are a *row gather of whole chunks* — the memory shape TPUs are fast
-at (an element gather measured 16 ms for a 256×1024 expand; the chunk gather
-is ~0.1 ms).
+with a host dict ``(group, term) → ((chunk_start, n_postings), …)`` segments.
+Each segment starts on a chunk boundary and is **impact-ordered**
+(contribution descending), so truncating a query's posting budget keeps the
+highest-scoring docs, and the device never needs per-element index
+arithmetic: a query's postings are a *row gather of whole chunks* — the
+memory shape TPUs are fast at (an element gather measured 16 ms for a
+256×1024 expand; the chunk gather is ~0.1 ms).
+
+Mutations: pure appends flush **incrementally** — only the new postings ship
+as appended chunks (an extra segment per touched term; O(touched) host work,
+O(delta) upload, one HBM-side concatenate), with a stats-drift guard that
+falls back to a full rebuild when idf/avgdl move >10% or anything was
+deleted/remapped (``_flush_delta`` / ``_delta_ok``).
 
 A query batch costs O(#terms) host dict lookups; the batch then runs as ONE
 jitted dispatch (``hybrid_topk_batch``) — per-dispatch overhead on remote-TPU
@@ -58,17 +64,30 @@ class GroupView:
     """Flushed device postings for one tuple of field groups."""
 
     __slots__ = ("rows2d", "contrib2d", "terms", "generation", "chunk_group",
-                 "_wvecs")
+                 "_wvecs", "flushed_len", "destructive_gen", "n_docs0",
+                 "avgdl0")
 
     def __init__(self, rows2d: jax.Array, contrib2d: jax.Array,
-                 terms: dict[tuple[str, str], tuple[int, int]], generation: int,
-                 chunk_group: np.ndarray):
+                 terms: dict[tuple[str, str], tuple[tuple[int, int], ...]],
+                 generation: int, chunk_group: np.ndarray,
+                 flushed_len: dict[str, int], destructive_gen: int,
+                 n_docs0: int, avgdl0: dict[str, float]):
         self.rows2d = rows2d
         self.contrib2d = contrib2d
-        self.terms = terms          # (group, term) → (chunk_start, n_postings)
+        # (group, term) → ((chunk_start, n_postings), ...) segments: one from
+        # the full flush plus one per delta flush since (impact order holds
+        # within a segment; plan() walks them in append order)
+        self.terms = terms
         self.generation = generation
         self.chunk_group = chunk_group  # [NC] group index per chunk (host)
         self._wvecs: dict[tuple[float, ...], jax.Array] = {}
+        # delta-flush baseline: raw postings length per term at last flush,
+        # the destructive generation this table is valid for, and the corpus
+        # stats the flushed contributions were computed with (drift guard)
+        self.flushed_len = flushed_len
+        self.destructive_gen = destructive_gen
+        self.n_docs0 = n_docs0
+        self.avgdl0 = avgdl0
 
     def weight_vector(self, groups: tuple[str, ...],
                       group_weights: dict[str, float]) -> jax.Array:
@@ -102,13 +121,59 @@ class DeviceLexical:
         self._plan_cache: dict[tuple, list[int]] = {}
         self._plan_gen = -1
 
+    # full rebuild triggers for an append-only delta: corpus stats baked into
+    # the flushed contributions may drift this far before the table rebuilds
+    # (BM25 idf/avgdl are corpus-global, so appends leave old chunks computed
+    # with slightly stale stats — bounded-error by construction)
+    STATS_DRIFT = 0.10
+
     def view(self, groups: tuple[str, ...]) -> GroupView:
         v = self._views.get(groups)
         if v is not None and v.generation == self.lexical.generation:
             return v
-        v = self._flush(groups)
+        if v is not None and self._delta_ok(v):
+            v = self._flush_delta(groups, v)
+        else:
+            v = self._flush(groups)
         self._views[groups] = v
         return v
+
+    def _delta_ok(self, v: GroupView) -> bool:
+        """Append-only since last flush AND corpus stats within drift bound."""
+        lex = self.lexical
+        if v.destructive_gen != lex.destructive_generation:
+            return False
+        n0 = max(v.n_docs0, 1)
+        if abs(lex._n_docs - v.n_docs0) > self.STATS_DRIFT * n0:
+            return False
+        for gname, a0 in v.avgdl0.items():
+            _n, a1 = lex._group_stats(_G[gname])
+            if a0 > 0 and abs(a1 - a0) > self.STATS_DRIFT * a0:
+                return False
+        return True
+
+    @staticmethod
+    def _term_chunks(rows: np.ndarray, wtf: np.ndarray, dl_col: np.ndarray,
+                     n: int, avgdl: float,
+                     df: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """One term-group's postings → impact-ordered chunk-padded arrays.
+
+        ``df`` overrides the document frequency for the idf term — a delta
+        flush passes the term's TOTAL live count (its ``rows`` hold only the
+        appended postings)."""
+        df = rows.size if df is None else df
+        idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+        dl = dl_col[rows]
+        denom = wtf + K1 * (1.0 - B + B * dl / avgdl)
+        contrib = (idf * (wtf * (K1 + 1.0)) / np.maximum(denom, 1e-9)
+                   ).astype(np.float32)
+        order = np.argsort(-contrib, kind="stable")  # impact order
+        pad = (-rows.size) % CHUNK
+        r = np.full(rows.size + pad, SENTINEL, np.int32)
+        c = np.zeros(rows.size + pad, np.float32)
+        r[: rows.size] = rows[order]
+        c[: rows.size] = contrib[order]
+        return r, c
 
     def _flush(self, groups: tuple[str, ...]) -> GroupView:
         lex = self.lexical
@@ -116,16 +181,20 @@ class DeviceLexical:
         # chunk 0 is the all-pad chunk unused query slots point at
         rows_parts: list[np.ndarray] = [np.full(CHUNK, SENTINEL, np.int32)]
         contrib_parts: list[np.ndarray] = [np.zeros(CHUNK, np.float32)]
-        terms: dict[tuple[str, str], tuple[int, int]] = {}
+        terms: dict[tuple[str, str], tuple[tuple[int, int], ...]] = {}
         chunk_groups: list[int] = [0]  # chunk 0 = pad
         chunk_off = 1
+        flushed_len: dict[str, int] = {}
+        avgdl0: dict[str, float] = {}
         for gi, gname in enumerate(groups, start=1):
             g = _G[gname]
             _n, avgdl = lex._group_stats(g)
+            avgdl0[gname] = avgdl
             dl_col = lex._doc_len[:, g]
             for t, p in lex._postings.items():
                 if "_" in t:  # bigram postings: host phrase scoring only
                     continue
+                flushed_len[t] = len(p.rows)
                 if p.fin is None:
                     p.fin = (np.asarray(p.rows, np.int32),
                              np.stack(p.wtf).astype(np.float32))
@@ -134,22 +203,11 @@ class DeviceLexical:
                 live = wtf > 0
                 if not live.any():
                     continue
-                rows = rows_all[live]
-                wtf = wtf[live]
-                idf = float(np.log(1.0 + (n - rows.size + 0.5) / (rows.size + 0.5)))
-                dl = dl_col[rows]
-                denom = wtf + K1 * (1.0 - B + B * dl / avgdl)
-                contrib = (idf * (wtf * (K1 + 1.0)) / np.maximum(denom, 1e-9)
-                           ).astype(np.float32)
-                order = np.argsort(-contrib, kind="stable")  # impact order
-                pad = (-rows.size) % CHUNK
-                r = np.full(rows.size + pad, SENTINEL, np.int32)
-                c = np.zeros(rows.size + pad, np.float32)
-                r[: rows.size] = rows[order]
-                c[: rows.size] = contrib[order]
+                r, c = self._term_chunks(rows_all[live], wtf[live], dl_col,
+                                         n, avgdl)
                 rows_parts.append(r)
                 contrib_parts.append(c)
-                terms[(gname, t)] = (chunk_off, rows.size)
+                terms[(gname, t)] = ((chunk_off, int(live.sum())),)
                 n_ch = r.size // CHUNK
                 chunk_groups.extend([gi] * n_ch)
                 chunk_off += n_ch
@@ -157,7 +215,75 @@ class DeviceLexical:
         contrib2d = np.concatenate(contrib_parts).reshape(-1, CHUNK)
         return GroupView(jnp.asarray(rows2d), jnp.asarray(contrib2d),
                          terms, lex.generation,
-                         np.asarray(chunk_groups, np.int32))
+                         np.asarray(chunk_groups, np.int32),
+                         flushed_len, lex.destructive_generation,
+                         lex._n_docs, avgdl0)
+
+    def _flush_delta(self, groups: tuple[str, ...], v: GroupView) -> GroupView:
+        """Append-only incremental flush (ROADMAP #4): ship ONLY the postings
+        added since ``v`` was built as new chunks appended to the device CSR.
+
+        Host work is O(touched terms) instead of O(vocab) and the H2D upload
+        is O(delta); the device-side concatenate copies HBM→HBM at memory
+        bandwidth (~µs/MB), orders of magnitude cheaper than re-uploading the
+        table through the tunnel. New chunks use CURRENT idf/dl stats while
+        old chunks keep the stats they were flushed with — the error is
+        bounded by the ``STATS_DRIFT`` rebuild guard in ``_delta_ok``.
+        """
+        lex = self.lexical
+        n = max(1, lex._n_docs)
+        touched = [t for t, gen in lex._touched.items()
+                   if gen > v.generation and "_" not in t]
+        rows_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
+        chunk_groups: list[int] = []
+        terms = dict(v.terms)
+        flushed_len = dict(v.flushed_len)
+        chunk_off = int(v.chunk_group.shape[0])
+        for gi, gname in enumerate(groups, start=1):
+            g = _G[gname]
+            _n, avgdl = lex._group_stats(g)
+            dl_col = lex._doc_len[:, g]
+            for t in touched:
+                p = lex._postings.get(t)
+                if p is None:
+                    continue
+                start = v.flushed_len.get(t, 0)
+                rows_new = np.asarray(p.rows[start:], np.int32)
+                if rows_new.size == 0:
+                    continue
+                wtf_all = np.stack(p.wtf).astype(np.float32)[:, g]
+                wtf = wtf_all[start:]
+                live = wtf > 0
+                if not live.any():
+                    continue
+                r, c = self._term_chunks(rows_new[live], wtf[live], dl_col,
+                                         n, avgdl,
+                                         df=int((wtf_all > 0).sum()))
+                rows_parts.append(r)
+                contrib_parts.append(c)
+                terms[(gname, t)] = terms.get((gname, t), ()) + (
+                    (chunk_off, int(live.sum())),)
+                n_ch = r.size // CHUNK
+                chunk_groups.extend([gi] * n_ch)
+                chunk_off += n_ch
+        for t in touched:
+            p = lex._postings.get(t)
+            if p is not None:
+                flushed_len[t] = len(p.rows)
+        if not rows_parts:  # touched terms had no live postings for groups
+            return GroupView(v.rows2d, v.contrib2d, terms, lex.generation,
+                             v.chunk_group, flushed_len, v.destructive_gen,
+                             v.n_docs0, v.avgdl0)
+        new_rows = np.concatenate(rows_parts).reshape(-1, CHUNK)
+        new_contrib = np.concatenate(contrib_parts).reshape(-1, CHUNK)
+        rows2d = jnp.concatenate([v.rows2d, jnp.asarray(new_rows)])
+        contrib2d = jnp.concatenate([v.contrib2d, jnp.asarray(new_contrib)])
+        chunk_group = np.concatenate([v.chunk_group,
+                                      np.asarray(chunk_groups, np.int32)])
+        return GroupView(rows2d, contrib2d, terms, lex.generation,
+                         chunk_group, flushed_len, v.destructive_gen,
+                         v.n_docs0, v.avgdl0)
 
     # --- host query planning ---------------------------------------------------
 
@@ -195,12 +321,9 @@ class DeviceLexical:
                 chunks = []
                 for gname in groups:
                     for t in dict.fromkeys(terms):
-                        sl = view.terms.get((gname, t))
-                        if sl is None:
-                            continue
-                        start, n_post = sl
-                        chunks.extend(range(
-                            start, start + (n_post + CHUNK - 1) // CHUNK))
+                        for start, n_post in view.terms.get((gname, t), ()):
+                            chunks.extend(range(
+                                start, start + (n_post + CHUNK - 1) // CHUNK))
                 chunks = chunks[:SMAX]
                 self._plan_cache[key] = chunks
             max_s = max(max_s, len(chunks))

@@ -32,11 +32,13 @@ class Embedder:
                  bert_cfg: BertConfig | None = None,
                  params=None, mesh=None, seed: int = 0):
         self.config = config or EngineConfig()
+        meta = None
+        if self.config.encoder_weights_path:
+            from rassengine_tpu.train.serialization import load_model_meta
+
+            meta = load_model_meta(self.config.encoder_weights_path)
         if bert_cfg is None:
             if self.config.encoder_weights_path:
-                from rassengine_tpu.train.serialization import load_model_meta
-
-                meta = load_model_meta(self.config.encoder_weights_path)
                 # our trained checkpoints carry their config; bare HF dirs
                 # (mxbai-embed-large class) default to BERT-large
                 bert_cfg = (BertConfig(**meta["bert_config"]) if meta
@@ -44,6 +46,12 @@ class Embedder:
             else:
                 # weightless mode: tiny deterministic encoder (tests/benches)
                 bert_cfg = BertConfig.tiny()
+        # train-time paraphrase calibration (encoder_train
+        # .calibrate_cache_threshold): the similarity scale is a property of
+        # the ENCODER (mean-pooled models sit lower than cls-pooled), so a
+        # fixed cache threshold silently disables the semantic cache
+        self.suggested_cache_threshold = (
+            meta.get("cache_sim_threshold") if meta else None)
         # the embedding dim is the hidden size unless a projection is added;
         # weightless tiny mode projects up to config.embed_dim with a fixed
         # random matrix so the index dimension matches production.

@@ -37,6 +37,29 @@ def to_host(x) -> "np.ndarray":
     return np.asarray(x)
 
 
+def _batch_spec(mesh: Mesh) -> P:
+    """Query-batch partition spec: split over ``replica`` when the mesh has
+    one (core.meshes.replica_shard_mesh), replicated otherwise. Row-sharded
+    data keeps P("shard") either way — unmentioned mesh axes replicate, so
+    each replica group holds a full copy of the sharded corpus."""
+    return P("replica") if "replica" in mesh.axis_names else P()
+
+
+def _pad_to_replicas(mesh: Mesh, *batched):
+    """Pad dim 0 of each array to a multiple of the replica count.
+
+    shard_map needs the batch to split evenly over ``replica``; pad queries
+    score garbage that the caller slices off. → (padded arrays, orig_B)."""
+    r = dict(mesh.shape).get("replica", 1)
+    b = batched[0].shape[0]
+    pad = (-b) % r
+    if pad == 0:
+        return batched, b
+    out = tuple(jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) for x in batched)
+    return out, b
+
+
 def _pick_block_rows(local_rows: int, cap_br: int = 2048) -> int | None:
     """Largest power-of-two block size ≤ cap_br dividing the local partition."""
     br = cap_br
@@ -101,10 +124,11 @@ def _sharded_topk_fn(mesh: Mesh, k: int, local_rows: int, use_pallas: bool,
         top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
         return top_s, top_i
 
+    qs = _batch_spec(mesh)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P()),
-        out_specs=(P(), P()),
+        in_specs=(P("shard"), P("shard"), qs),
+        out_specs=(qs, qs),
         check_vma=False,  # outputs are replicated by the all_gather+top_k,
                           # which the varying-manual-axes checker can't infer
     ))
@@ -126,8 +150,10 @@ def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int,
     local = cap // n_shards
     if use_pallas is None:
         use_pallas = _use_pallas_local(k, local)
-    return _sharded_topk_fn(mesh, k, local, use_pallas,
+    (queries,), b = _pad_to_replicas(mesh, queries)
+    s, i = _sharded_topk_fn(mesh, k, local, use_pallas,
                             interpret)(vecs, mask, queries)
+    return s[:b], i[:b]
 
 
 @functools.lru_cache(maxsize=64)
@@ -163,10 +189,11 @@ def _sharded_topk_int8_fn(mesh: Mesh, k: int, local_rows: int, use_int8: bool,
         top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
         return top_s, top_i
 
+    qs = _batch_spec(mesh)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P("shard"), P()),
-        out_specs=(P(), P()),
+        in_specs=(P("shard"), P("shard"), P("shard"), qs),
+        out_specs=(qs, qs),
         check_vma=False,
     ))
 
@@ -191,8 +218,10 @@ def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int,
     use_int8 = jax.default_backend() != "cpu"
     if use_pallas is None:
         use_pallas = _use_pallas_local(k, local)
-    return _sharded_topk_int8_fn(mesh, k, local, use_int8, use_pallas,
+    (queries,), b = _pad_to_replicas(mesh, queries)
+    s, i = _sharded_topk_int8_fn(mesh, k, local, use_int8, use_pallas,
                                  interpret)(codes, scales, mask, queries)
+    return s[:b], i[:b]
 
 
 @functools.lru_cache(maxsize=64)
@@ -215,10 +244,11 @@ def _sharded_topk_pq4_fn(mesh: Mesh, m: int, local_rows: int,
         top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
         return top_s, top_i
 
+    qs = _batch_spec(mesh)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P("shard"), P()),
-        out_specs=(P(), P()),
+        in_specs=(P("shard"), P("shard"), P("shard"), qs),
+        out_specs=(qs, qs),
         check_vma=False,
     ))
 
@@ -243,9 +273,11 @@ def sharded_topk_pq4(mesh: Mesh, aug_sorted, win_starts, mask_sorted, lutq,
     assert cap % n_shards == 0, (cap, n_shards)
     local = cap // n_shards
     assert local % block_rows == 0, (local, block_rows)
-    return _sharded_topk_pq4_fn(mesh, m, local, block_rows, win_width,
+    (lutq,), b = _pad_to_replicas(mesh, lutq)
+    s, i = _sharded_topk_pq4_fn(mesh, m, local, block_rows, win_width,
                                 lut_dtype, interpret)(
         aug_sorted, win_starts, mask_sorted, lutq)
+    return s[:b], i[:b]
 
 
 def shard_index_to_mesh(mesh: Mesh, cols: dict) -> dict:

@@ -29,7 +29,9 @@ from rassengine_tpu.engine import RassEngine
 from rassengine_tpu.ingest.fhir import parse_fhir_bundle_with_path
 from rassengine_tpu.ingest.textfile import parse_markdown_file, parse_text_file
 from rassengine_tpu.serve.ask import AskService, AuthorizationError, ValidationError
+from rassengine_tpu.serve.audit import AuditLog, null_audit
 from rassengine_tpu.serve.http import App, Request, Response, WebSocket
+from rassengine_tpu.serve.ratelimit import RateLimiter
 
 log = logging.getLogger("rassengine.app")
 
@@ -43,10 +45,17 @@ def secure_filename(name: str) -> str:
     return name[:128]
 
 
-def build_app(engine: RassEngine, service: AskService | None = None) -> App:
+def _make_audit(engine: RassEngine) -> AuditLog:
+    path = engine.config.audit_log_path
+    return AuditLog(path) if path else null_audit()
+
+
+def build_app(engine: RassEngine, service: AskService | None = None,
+              audit: AuditLog | None = None) -> App:
     """The query service (reference app/main.py, port 8000)."""
     app = App("rass-query")
     service = service or AskService(engine)
+    audit = audit if audit is not None else _make_audit(engine)
     app.state = {"engine": engine, "service": service}  # type: ignore[attr-defined]
 
     @app.route("GET", "/health")
@@ -90,6 +99,7 @@ def build_app(engine: RassEngine, service: AskService | None = None) -> App:
             return Response.error(400, "invalid user_id")
         uid = service.db.create_user(user_id, payload.get("email"),
                                      payload.get("name"))
+        audit.emit("user.create", user_id)
         return Response.json_response({"user_id": uid}, 201)
 
     @app.route("POST", "/ask")
@@ -107,9 +117,11 @@ def build_app(engine: RassEngine, service: AskService | None = None) -> App:
         try:
             answer = await service.ask(query, user_id, chat_id, top_k)
         except AuthorizationError as e:
+            audit.emit("ask", user_id, status="denied", chat_id=chat_id)
             return Response.error(403, str(e))
         except ValidationError as e:
             return Response.error(400, str(e))
+        audit.emit("ask", user_id, chat_id=chat_id, query_len=len(query))
         return Response.json_response({"query": query, "answer": answer})
 
     @app.websocket("/ws/ask")
@@ -143,13 +155,34 @@ def build_app(engine: RassEngine, service: AskService | None = None) -> App:
     return app
 
 
-def build_upload_app(engine: RassEngine, service: AskService | None = None) -> App:
+def build_upload_app(engine: RassEngine, service: AskService | None = None,
+                     audit: AuditLog | None = None) -> App:
     """The upload/ingestion service (reference app/embedding_gen.py, port 8001)."""
     app = App("rass-upload")
     cfg = engine.config
     service = service or AskService(engine)
+    audit = audit if audit is not None else _make_audit(engine)
     db = service.db
     sem = asyncio.Semaphore(cfg.max_concurrent_files)
+    limiter = RateLimiter(cfg.upload_rate_limit_per_min)
+
+    def _admin_denied(req: Request) -> Response | None:
+        if cfg.admin_token and req.headers.get("x-admin-token") != cfg.admin_token:
+            return Response.error(403, "admin token required")
+        return None
+
+    @app.route("POST", "/admin/reload_nlu")
+    async def reload_nlu(req: Request) -> Response:
+        """Hot-reload the intent/NER checkpoints (engine.reload_nlu): a
+        retrain's freshly written ``final/`` dirs go live without a restart.
+        Guarded by ADMIN_TOKEN when configured."""
+        denied = _admin_denied(req)
+        if denied:
+            audit.emit("admin.reload_nlu", status="denied")
+            return denied
+        state = await asyncio.to_thread(engine.reload_nlu)
+        audit.emit("admin.reload_nlu", **state)
+        return Response.json_response({"reloaded": state})
 
     @app.route("GET", "/health")
     async def health(req: Request) -> Response:
@@ -173,6 +206,7 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None) -> A
             return Response.error(400, "doc_ids must be a non-empty list")
         n = await asyncio.to_thread(engine.delete_docs, user_id,
                                     [str(d) for d in doc_ids])
+        audit.emit("docs.delete", user_id, requested=len(doc_ids), deleted=n)
         return Response.json_response({"deleted": n})
 
     @app.route("POST", "/upload_data", streaming=True)
@@ -226,9 +260,17 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None) -> A
             if not user_id or not _USER_ID_RE.match(user_id):
                 return Response.error(400, "invalid user_id")
             if not await db.a_user_exists(user_id):
+                audit.emit("upload", user_id, status="denied")
                 return Response.error(403, "user not authorized")
             if not saved:
                 return Response.error(400, "no files provided")
+            if not limiter.allow(user_id):
+                audit.emit("upload", user_id, status="rate_limited")
+                retry = limiter.retry_after(user_id)
+                return Response(429, json.dumps(
+                    {"detail": "upload rate limit exceeded"}).encode(),
+                    "application/json",
+                    {"Retry-After": str(max(1, int(retry + 0.5)))})
 
             user_dir = os.path.join(cfg.upload_dir, user_id)
             os.makedirs(user_dir, exist_ok=True)
@@ -274,6 +316,8 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None) -> A
         msg = f"indexed {n} documents from {len(saved)} file(s)"
         if errors:
             msg += f"; errors: {'; '.join(errors)}"
+        audit.emit("upload", user_id, files=len(saved), indexed=n,
+                   errors=len(errors))
         return Response.json_response({"message": msg})
 
     return app
@@ -303,8 +347,9 @@ async def main() -> None:
     cfg = EngineConfig.from_env()
     engine = RassEngine(cfg)
     service = AskService(engine)
-    app = build_app(engine, service)
-    upload = build_upload_app(engine, service)
+    audit = _make_audit(engine)  # one writer for both services (rotation lock)
+    app = build_app(engine, service, audit)
+    upload = build_upload_app(engine, service, audit)
     tasks = []
     if cfg.checkpoint_dir:
         from rassengine_tpu.index.checkpoint import load_engine, save_engine

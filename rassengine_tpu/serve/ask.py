@@ -83,8 +83,18 @@ class AskService:
         self.llm = llm or make_llm(self.config)
         use_cache = self.config.cache_enabled and getattr(
             engine.embedder, "trusted_semantics", True)
+        # the similarity scale is an encoder property: prefer the checkpoint's
+        # train-time paraphrase calibration (encoder_train
+        # .calibrate_cache_threshold) over the reference's fixed 0.88
+        # (.env.example:21) unless the operator overrode CACHE_SIM_THRESHOLD
+        thr = self.config.cache_sim_threshold
+        suggested = getattr(engine.embedder, "suggested_cache_threshold", None)
+        default_thr = EngineConfig.__dataclass_fields__[
+            "cache_sim_threshold"].default
+        if suggested and thr == default_thr:
+            thr = float(suggested)
         self.cache = (
-            SemanticCache(self.config.cache_max_items, self.config.cache_sim_threshold,
+            SemanticCache(self.config.cache_max_items, thr,
                           self.config.cache_ttl_seconds)
             if use_cache else None
         )

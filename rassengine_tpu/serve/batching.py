@@ -28,9 +28,24 @@ class MicroBatcher:
         self._queue: list[tuple[str, str, int | None, asyncio.Future]] = []
         self._wakeup: asyncio.Event | None = None
         self._runner: asyncio.Task | None = None
+        self._loop: asyncio.AbstractEventLoop | None = None
 
     async def retrieve(self, user_id: str, query: str, top_k: int | None = None):
         loop = asyncio.get_running_loop()
+        if self._loop is not loop:
+            # wakeup events and runner tasks are loop-bound; after an event
+            # loop restart (tests/benches run one asyncio.run per scenario)
+            # the old ones would raise "bound to a different event loop",
+            # killing the runner and stranding queued futures forever —
+            # rebind, failing over any old-loop futures (their awaiters died
+            # with their loop)
+            for *_rest, stale in self._queue:
+                if not stale.done():
+                    stale.cancel()
+            self._queue = []
+            self._loop = loop
+            self._wakeup = asyncio.Event()
+            self._runner = None
         if self._wakeup is None:
             self._wakeup = asyncio.Event()
         fut: asyncio.Future = loop.create_future()

@@ -102,6 +102,51 @@ def generate_pairs(n: int, seed: int = 0) -> list[tuple[str, str]]:
     return out
 
 
+def generate_query_paraphrases(n: int, seed: int = 0
+                               ) -> list[tuple[str, str]]:
+    """→ [(query, paraphrase)]: same patient + condition, different template
+    AND (where available) different lay synonym — the semantic cache's hit
+    case (serve/cache.py)."""
+    from rassengine_tpu.train.data import FIRST_NAMES, LAST_NAMES
+
+    rng = random.Random(seed)
+    conds = list(SYNONYMS)
+    out = []
+    for _ in range(n):
+        person = f"{rng.choice(FIRST_NAMES)} {rng.choice(LAST_NAMES)}"
+        cond = rng.choice(conds)
+        t1, t2 = rng.sample(_QUERY_TEMPLATES, 2)
+        alts = SYNONYMS[cond]
+        a1 = rng.choice(alts)
+        a2 = rng.choice([a for a in alts if a != a1] or alts)
+        out.append((t1.format(PERSON=person, ALT=a1),
+                    t2.format(PERSON=person, ALT=a2)))
+    return out
+
+
+def calibrate_cache_threshold(embed_fn, n: int = 256, seed: int = 7) -> dict:
+    """Paraphrase-separation calibration for the semantic answer cache.
+
+    The cache hits when cos(new query, cached query) ≥ threshold; the right
+    threshold is a property of the encoder (mean-pooled similarity scales sit
+    well below cls-pooled ones — the fixed reference default 0.88,
+    .env.example:21, silently disables the cache for such encoders).
+    Threshold = midpoint of p10(related) and p90(unrelated), clamped.
+    """
+    pairs = generate_query_paraphrases(n, seed)
+    a = embed_fn([p[0] for p in pairs])
+    b = embed_fn([p[1] for p in pairs])
+    a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    related = np.sum(a * b, axis=1)
+    unrelated = np.sum(a * np.roll(b, 1, axis=0), axis=1)
+    lo, hi = float(np.percentile(unrelated, 90)), float(np.percentile(related, 10))
+    thr = float(np.clip((lo + hi) / 2.0, 0.5, 0.95))
+    return {"cache_sim_threshold": round(thr, 4),
+            "related_p10": round(hi, 4), "unrelated_p90": round(lo, 4),
+            "separated": hi > lo}
+
+
 def eval_recall(embed_fn, pairs: list[tuple[str, str]], ks=(1, 5)) -> dict:
     """Retrieve each query's own chunk among all eval chunks → recall@k."""
     q = embed_fn([p[0] for p in pairs])
@@ -222,16 +267,19 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
     # recall@k ≈ k/n — WORSE than random init); never overwrite a shipped
     # checkpoint with one that fails the floor
     saved = trained_m["recall@1"] >= save_floor
+    calib = None
     if saved:
+        calib = calibrate_cache_threshold(embed_with(params))
         save_params(out, params)
-        save_model_meta(out, cfg)
+        save_model_meta(out, cfg, extra=calib)
     else:
         log.error("NOT saving %s: trained recall@1 %.3f < floor %.3f "
                   "(collapsed run? lower the lr)", out,
                   trained_m["recall@1"], save_floor)
     result = {"out": out, "final_loss": float(np.mean(losses[-50:])),
               "trained": trained_m, "random_init": random_m,
-              "saved": saved, "n_eval_pairs": len(eval_pairs)}
+              "saved": saved, "n_eval_pairs": len(eval_pairs),
+              "cache_calibration": calib}
     log.info("encoder done → %s trained=%s random=%s", out, trained_m, random_m)
     return result
 

@@ -152,7 +152,112 @@ def test_truncation_keeps_highest_impact(rng):
         lex.index_doc(i, {"unstructuredText": "common " * (1 + i % 5)})
     dl = DeviceLexical(lex)
     view = dl.view(("text",))
-    start_chunk, ln = view.terms[("text", "common")]
+    (start_chunk, ln), = view.terms[("text", "common")]
     flat = np.asarray(view.contrib2d).reshape(-1)
     contrib = flat[start_chunk * 128 : start_chunk * 128 + ln]
     assert (np.diff(contrib) <= 1e-6).all()  # descending
+
+
+class TestDeltaFlush:
+    """Append-only incremental flush (ROADMAP #4, device_bm25._flush_delta)."""
+
+    def _mk(self, rng, n=60):
+        lex = LexicalIndex()
+        for i in range(n):
+            lex.index_doc(i, {"doc_id": f"d{i}", "doc_type": "unstructured",
+                              "unstructuredText":
+                                  " ".join(rng.choice(VOCAB, 10))})
+        return lex
+
+    def _spy(self, dl, monkeypatch):
+        calls = {"full": 0, "delta": 0}
+        full, delta = dl._flush, dl._flush_delta
+        monkeypatch.setattr(dl, "_flush", lambda g: (
+            calls.__setitem__("full", calls["full"] + 1) or full(g)))
+        monkeypatch.setattr(dl, "_flush_delta", lambda g, v: (
+            calls.__setitem__("delta", calls["delta"] + 1) or delta(g, v)))
+        return calls
+
+    def _dense(self, dl, lex, queries, gw, cap):
+        chunk_ids, view, wvec = dl.plan(queries, gw)
+        rows, scores = lexical_sparse_scores(
+            view.rows2d, view.contrib2d, jnp.asarray(chunk_ids), wvec)
+        rows, scores = np.asarray(rows), np.asarray(scores)
+        dense = np.zeros((len(queries), cap), np.float32)
+        for b in range(len(queries)):
+            ok = (rows[b] < SENTINEL) & (scores[b] > NEG_INF / 2)
+            dense[b, rows[b][ok]] = scores[b][ok]
+        return dense
+
+    def test_append_uses_delta_and_matches_full_rebuild(self, rng, monkeypatch):
+        lex = self._mk(rng)
+        dl = DeviceLexical(lex)
+        gw = {"text": 1.0}
+        dl.plan(["w000"], gw)                      # initial full flush
+        calls = self._spy(dl, monkeypatch)
+        for i in range(60, 63):                    # append-only: fresh rows
+            lex.index_doc(i, {"doc_id": f"d{i}", "doc_type": "unstructured",
+                              "unstructuredText":
+                                  " ".join(rng.choice(VOCAB, 10))})
+        queries = ["w000 w001 w002", "w010 w011"]
+        got = self._dense(dl, lex, queries, gw, 128)
+        assert calls == {"full": 0, "delta": 1}
+        fresh = self._dense(DeviceLexical(lex), lex, queries, gw, 128)
+        # new chunks use current stats; old chunks keep flush-time stats —
+        # identical here up to the tiny idf/avgdl motion of 3 appended docs
+        np.testing.assert_allclose(got, fresh, rtol=0.05, atol=1e-3)
+        # appended rows are retrievable through the new segments
+        view = dl.view(("text",))
+        assert any(len(segs) > 1 for segs in view.terms.values())
+
+    def test_delete_forces_full_rebuild(self, rng, monkeypatch):
+        lex = self._mk(rng)
+        dl = DeviceLexical(lex)
+        dl.plan(["w000"], {"text": 1.0})
+        calls = self._spy(dl, monkeypatch)
+        lex.remove_doc(5)
+        got = self._dense(dl, lex, ["w000 w001"], {"text": 1.0}, 128)
+        assert calls["full"] == 1 and calls["delta"] == 0
+        want = self._dense(DeviceLexical(lex), lex, ["w000 w001"],
+                           {"text": 1.0}, 128)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_large_growth_forces_full_rebuild(self, rng, monkeypatch):
+        lex = self._mk(rng, n=20)
+        dl = DeviceLexical(lex)
+        dl.plan(["w000"], {"text": 1.0})
+        calls = self._spy(dl, monkeypatch)
+        for i in range(20, 30):                    # +50% docs: stats drifted
+            lex.index_doc(i, {"doc_id": f"d{i}", "doc_type": "unstructured",
+                              "unstructuredText":
+                                  " ".join(rng.choice(VOCAB, 10))})
+        dl.plan(["w000"], {"text": 1.0})
+        assert calls["full"] == 1 and calls["delta"] == 0
+
+    def test_exact_after_rebuild_threshold(self, rng):
+        # end-to-end: many small appends stay correct, and scores agree with
+        # the host oracle exactly after any full rebuild
+        lex = self._mk(rng)
+        dl = DeviceLexical(lex)
+        gw = {"text": 1.0}
+        for step in range(4):
+            base = 60 + 3 * step
+            for i in range(base, base + 3):
+                lex.index_doc(i, {"doc_id": f"d{i}",
+                                  "doc_type": "unstructured",
+                                  "unstructuredText":
+                                      " ".join(rng.choice(VOCAB, 10))})
+            got = self._dense(dl, lex, ["w000 w001 w002"], gw, 128)
+            want = np.zeros(128, np.float32)
+            rows, vals = lex.score_sparse("w000 w001 w002", 128, "text")
+            want[rows] += vals
+            # stale chunks may carry up to STATS_DRIFT (10%) old idf/avgdl;
+            # observed error stays within ~2x that bound
+            np.testing.assert_allclose(got[0], want, rtol=0.2, atol=1e-3)
+        # a destructive op forces the full rebuild → exact parity again
+        lex.remove_doc(0)
+        got = self._dense(dl, lex, ["w000 w001 w002"], gw, 128)
+        want = np.zeros(128, np.float32)
+        rows, vals = lex.score_sparse("w000 w001 w002", 128, "text")
+        want[rows] += vals
+        np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-5)

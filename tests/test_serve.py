@@ -434,6 +434,22 @@ class TestMicroBatching:
 
         run(scenario())
 
+    def test_batcher_survives_event_loop_restart(self, engine):
+        # regression: the wakeup Event/runner task are loop-bound; a second
+        # asyncio.run over the same service used to strand the request future
+        # forever (found hanging the e2e anatomy bench's concurrent phase)
+        from rassengine_tpu.serve.batching import MicroBatcher
+
+        mb = MicroBatcher(engine, window_ms=1)
+
+        async def one_ask():
+            return await asyncio.wait_for(
+                mb.retrieve("u1", "hypertension note"), timeout=30)
+
+        first = asyncio.run(one_ask())
+        second = asyncio.run(one_ask())   # fresh loop, same batcher
+        assert first is not None and second is not None
+
 
 class TestKeepAlive:
     def test_two_requests_one_connection(self, engine):

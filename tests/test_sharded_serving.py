@@ -238,3 +238,64 @@ class TestShardedServing:
             assert all(s >= kth - 5e-3 for _h, s in b.hits), (pid, a.hits, b.hits)
             if pid:
                 assert all(h["patientId"] == pid for h, _ in b.hits)
+
+
+class TestReplicaServing:
+    """REPLICA_COUNT > 1 → (replica, shard) mesh: query batches split over
+    replica groups, each holding a full copy of the sharded corpus
+    (core.meshes.replica_shard_mesh; reference REPLICA_COUNT main.py:90)."""
+
+    def mk_replica_engine(self, replicas, shards):
+        cfg = EngineConfig(embed_dim=32, embed_batch_size=4,
+                           index_capacity=2048, index_block_rows=256,
+                           shard_count=shards, replica_count=replicas,
+                           database_path=":memory:", llm_backend="echo",
+                           intent_model_path="/none", ner_model_path="/none")
+        return RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+
+    @pytest.fixture(scope="class")
+    def rep_engines(self, engines):
+        single, _ = engines
+        rep = self.mk_replica_engine(2, 4)
+        assert rep.mesh is not None and "replica" in rep.mesh.axis_names
+        rep.ingest_docs("u", [], corpus_docs())
+        return single, rep
+
+    def test_mesh_shape(self, rep_engines):
+        _, rep = rep_engines
+        assert dict(rep.mesh.shape) == {"replica": 2, "shard": 4}
+        assert rep.tenant("u").index.n_shards == 4
+
+    def test_single_query_matches_single_device(self, rep_engines):
+        single, rep = rep_engines
+        for q in ("tell me about diabetes", "asthma management note"):
+            assert hit_ids(rep.retrieve("u", q, top_k=5)) == \
+                hit_ids(single.retrieve("u", q, top_k=5))
+
+    def test_batch_not_divisible_by_replicas(self, rep_engines):
+        # B=3 over 2 replicas: the wrapper pads the batch and slices it back
+        single, rep = rep_engines
+        qs = ["tell me about diabetes", "hypertension note",
+              "bronchitis patient"]
+        got = rep.retrieve_batch("u", qs, 5)
+        want = single.retrieve_batch("u", qs, 5)
+        assert [hit_ids(g) for g in got] == [hit_ids(w) for w in want]
+
+    def test_routed_query_on_replica_mesh(self, rep_engines):
+        single, rep = rep_engines
+        a = single.retrieve("u", "asthma note", top_k=5, patient_id="p2")
+        b = rep.retrieve("u", "asthma note", top_k=5, patient_id="p2")
+        assert hit_ids(a) == hit_ids(b)
+        assert all(h["patientId"] == "p2" for h, _ in b.hits)
+
+    def test_replica_only_mesh(self, engines):
+        # shard_count=1, replica_count=8: pure query-data-parallel serving
+        single, _ = engines
+        rep = self.mk_replica_engine(8, 1)
+        assert dict(rep.mesh.shape) == {"replica": 8, "shard": 1}
+        rep.ingest_docs("u", [], corpus_docs())
+        qs = [f"note about {c}" for c in
+              ("diabetes", "asthma", "hypertension", "bronchitis", "diabetes")]
+        got = rep.retrieve_batch("u", qs, 5)
+        want = single.retrieve_batch("u", qs, 5)
+        assert [hit_ids(g) for g in got] == [hit_ids(w) for w in want]
