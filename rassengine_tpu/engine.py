@@ -56,6 +56,10 @@ class RetrievalResult:
     entities: list[dict] = field(default_factory=list)
     patient_name: str | None = None
     patient_ids: list[str] = field(default_factory=list)
+    # the query embedding used for retrieval (embedding intents) — carried so
+    # downstream consumers (serve/ask.py's semantic answer cache) never pay a
+    # second embed forward + tunnel round-trip per request
+    query_emb: "np.ndarray | None" = None
 
 
 class RassEngine:
@@ -250,11 +254,16 @@ class RassEngine:
     def retrieve(self, user_id: str, query: str, top_k: int | None = None,
                  intent: QueryIntent | None = None,
                  patient_id: str | None = None,
-                 entities: list[dict] | None = None) -> RetrievalResult:
+                 entities: list[dict] | None = None,
+                 query_emb: np.ndarray | None = None) -> RetrievalResult:
         """NLU → intent dispatch → strategy (reference ask() retrieval half).
 
         ``entities`` lets the caller inject externally-extracted entities
-        (e.g. the opt-in LLM NER path, serve/ask.py).
+        (e.g. the opt-in LLM NER path, serve/ask.py); ``query_emb`` a
+        precomputed query embedding (retrieve_batch embeds every
+        embedding-intent query of a batch in ONE forward and passes them
+        down here, so non-batchable intents still skip the per-query
+        embed round-trip).
         """
         t = self.tenant(user_id)
         k = top_k or self.config.top_k
@@ -301,11 +310,13 @@ class RassEngine:
         over_k = 4 * k if text_match else k
         with stage("retrieve"):
             if intent in EMBEDDING_INTENTS:
-                with stage("embed_query"):
-                    q_emb = self.embedder.embed_query(query)
+                if query_emb is None:
+                    with stage("embed_query"):
+                        query_emb = self.embedder.embed_query(query)
+                result.query_emb = query_emb
                 with t.lock:
-                    hits = method(query, q_emb, k=over_k, filter_clause=spec,
-                                  patient_id=patient_id)
+                    hits = method(query, query_emb, k=over_k,
+                                  filter_clause=spec, patient_id=patient_id)
             else:
                 with t.lock:
                     hits = method(query, k=over_k, filter_clause=spec,
@@ -317,8 +328,11 @@ class RassEngine:
 
 
 def _batchable(result_spec) -> bool:
-    spec, text_match, patient_id = result_spec
-    return (not text_match and patient_id is None
+    # text_match is a HOST post-filter (_apply_text_match) — batchable with a
+    # widened per-query candidate list; only device-side spec filters (their
+    # add-masks are per query) and patient routing force the single path
+    spec, _text_match, patient_id = result_spec
+    return (patient_id is None
             and not spec.keyword_terms and not spec.date_ranges
             and spec.patient_id is None)
 
@@ -326,43 +340,67 @@ def _batchable(result_spec) -> bool:
 def _retrieve_batch(self, user_id: str, queries: list[str],
                     top_k: int | None = None) -> list[RetrievalResult]:
     """Batched retrieval: one embed forward + one scan for the batch's
-    filter-free SEMANTIC/HYBRID queries — the serving shape where the corpus
-    read amortizes across the batch. Everything else (entity filters, patient
-    routing, the other ten intents) falls back to the single-query path."""
+    SEMANTIC/HYBRID queries — the serving shape where the corpus read
+    amortizes across the batch. Entity text-match constraints post-filter a
+    4k-deep candidate list per query on host (same as the single path).
+    Device-filtered specs / patient routing / the other ten intents fall back
+    to the single-query path, but with their embeds precomputed here (one
+    forward for the whole batch), so no fallback pays a per-query
+    embed round-trip."""
     t = self.tenant(user_id)
     k = top_k or self.config.top_k
+    # batched NLU: one NER forward + one intent forward for every query
+    # (per-query forwards would each pay a device round-trip)
+    with stage("ner"):
+        ents_list = self.ner.extract_batch(queries)
+    with stage("intent"):
+        intents = self.intent_classifier.classify_batch(queries)
     plans = []
-    for q in queries:
-        entities = self.ner.extract(q)
-        intent, _ = self.intent_classifier.classify(q)
+    for q, entities, (intent, _conf) in zip(queries, ents_list, intents):
         spec, text_match = entities_to_filter(entities)
         plans.append((q, intent, entities, spec, text_match))
+
+    # ONE forward embeds every embedding-intent query — batched AND fallback
+    emb_idx = [i for i, (_q, intent, *_r) in enumerate(plans)
+               if intent in EMBEDDING_INTENTS]
+    embs_by_i: dict[int, np.ndarray] = {}
+    if emb_idx:
+        with stage("embed_batch"):
+            embs = self.embedder.embed_texts_in_batches(
+                [plans[i][0] for i in emb_idx])
+        # [1, dim] slices — the shape embed_query returns, so every
+        # downstream consumer (retrieve, serve/ask.py's cache) sees one shape
+        embs_by_i = {i: embs[j: j + 1] for j, i in enumerate(emb_idx)}
 
     results: list[RetrievalResult | None] = [None] * len(queries)
     batch_idx = [i for i, (_q, intent, _e, spec, tm) in enumerate(plans)
                  if intent in (QueryIntent.SEMANTIC, QueryIntent.HYBRID)
                  and _batchable((spec, tm, None))]
     if len(batch_idx) >= 2:
-        with stage("embed_batch"):
-            embs = self.embedder.embed_texts_in_batches(
-                [plans[i][0] for i in batch_idx])
         sem_ids = [i for i in batch_idx if plans[i][1] == QueryIntent.SEMANTIC]
         hyb_ids = [i for i in batch_idx if plans[i][1] == QueryIntent.HYBRID]
+        # one candidate depth for the group: 4k covers any text-match query
+        over_k = 4 * k if any(plans[i][4] for i in batch_idx) else k
         for ids, method in ((sem_ids, t.retriever.semantic_search_batch),
                             (hyb_ids, t.retriever.hybrid_search_batch)):
             if not ids:
                 continue
-            sub_embs = embs[[batch_idx.index(i) for i in ids]]
+            sub_embs = np.concatenate([embs_by_i[i] for i in ids])
             with t.lock:
-                hit_lists = method([plans[i][0] for i in ids], sub_embs, k=k)
+                hit_lists = method([plans[i][0] for i in ids], sub_embs,
+                                   k=over_k)
             for i, hits in zip(ids, hit_lists):
-                q, intent, entities, _s, _tm = plans[i]
-                results[i] = RetrievalResult(intent=intent, hits=hits,
-                                             entities=entities)
+                q, intent, entities, _s, tm = plans[i]
+                if tm:
+                    hits = _apply_text_match(hits, tm)[:k] or hits[:k]
+                results[i] = RetrievalResult(intent=intent, hits=hits[:k],
+                                             entities=entities,
+                                             query_emb=embs_by_i[i])
     for i, (q, intent, entities, _s, _tm) in enumerate(plans):
         if results[i] is None:
             results[i] = self.retrieve(user_id, q, top_k=k, intent=intent,
-                                       entities=entities)
+                                       entities=entities,
+                                       query_emb=embs_by_i.get(i))
     return results  # type: ignore[return-value]
 
 

@@ -89,6 +89,9 @@ class Retriever:
         self._device_lexical = None
         # (built_count, update_log_len_at_build, IvfIndex)
         self._ivf_cache: tuple[int, int, object] | None = None
+        # (index generation, IvfIndex-from-PQ-assignments) — the PQ4-source
+        # probe's inverted file (rebuilt with the codes, no k-means of its own)
+        self._ivf_pq_cache: tuple[int, object] | None = None
         # sticky per-tenant PQ escalation (VERDICT r2 #8): set when ADC
         # candidate order disagrees with the exact re-rank — widens the
         # oversample and switches to bf16 LUTs for subsequent queries
@@ -264,15 +267,19 @@ class Retriever:
         """
         idx, cfg = self.index, self.config
         with stage("semantic_scan_ivf"):
-            built, log_len, ivf = self._ivf_index()
-            host_mask = idx.host_mask(spec)
             k_out = min(m, cfg.ivf_rerank)
             # device probe (VERDICT r2 #6, index/ivf.py:_probe_kernel): one
             # dispatch per <=16-query slice gathers only the probed lists'
             # rows from HBM instead of the reference's host per-query loop.
-            # Gather source: bf16 rows, or the int8 codes when bf16 residency
-            # would blow the HBM budget (the 10M-scale regime).
+            # Gather source: bf16 rows; the int8 codes when bf16 residency
+            # would blow the HBM budget (the 10M-scale regime); the packed
+            # PQ4 codes when even int8 busts it (16M+ — ROADMAP r3 #3, which
+            # needs no k-means of its own: the PQ coarse stage IS the IVF)
             add_mask = idx.filter_mask(spec)
+            if idx.capacity * idx.dim > cfg.int8_hbm_budget_bytes:
+                return self._ivf_probe_pq(query_embs, add_mask, k_out)
+            built, log_len, ivf = self._ivf_index()
+            host_mask = idx.host_mask(spec)
             use_int8 = idx.capacity * idx.dim * 2 > cfg.int8_hbm_budget_bytes
             if use_int8:
                 qcols = idx.device_columns_int8()
@@ -314,6 +321,41 @@ class Retriever:
                     s[b] = np.pad(scores_cat[order], (0, pad),
                                   constant_values=NEG_INF)
             return r.astype(np.int64), s
+
+    def _ivf_probe_pq(self, query_embs: np.ndarray, add_mask, k_out: int):
+        """IVF probe sourced from packed PQ4 codes (>int8-budget corpora).
+
+        The PQ coarse stage doubles as the inverted file
+        (index/ivf.py:IvfIndex.from_assignments — one argsort, no k-means),
+        so freshness is inherited from device_columns_pq4: codes re-encode
+        per index generation, leaving no stale tail to brute-force. ADC
+        candidate scores are approximate → exact re-rank against the host
+        f32 rows before returning (same contract as _pq_top_m_batch).
+        """
+        from rassengine_tpu.index.ivf import IvfIndex
+
+        idx, cfg = self.index, self.config
+        cols = idx.device_columns_pq4(cfg.pq_subvectors)
+        cached = self._ivf_pq_cache
+        if cached is None or cached[0] != idx.generation:
+            assign = np.asarray(cols["assign"])[: idx.count]
+            ivf = IvfIndex.from_assignments(
+                np.asarray(cols["coarse"]), assign, nprobe=cfg.ivf_nprobe)
+            cached = (idx.generation, ivf)
+            self._ivf_pq_cache = cached
+        ivf = cached[1]
+        over = min(max(cfg.pq_oversample * k_out, 128), 512)
+        q_all = np.atleast_2d(query_embs)
+        r_parts = []
+        for b0 in range(0, q_all.shape[0], 16):
+            _sb, rb = ivf.probe_device_pq(
+                cols["packed"], cols["codebooks"],
+                jnp.asarray(q_all[b0: b0 + 16]), add_mask, over,
+                nprobe=cfg.ivf_nprobe)
+            r_parts.append(np.asarray(rb, np.int64))
+        rows = np.concatenate(r_parts, axis=0)
+        r, s = self._rerank_exact(q_all, rows, k_out)
+        return r.astype(np.int64), s
 
     def _routed_mask(self, mask, spec: FilterSpec):
         """Compose the shard-routing mask for patient-routed queries

@@ -23,12 +23,21 @@ log = logging.getLogger("rassengine.checkpoint")
 FORMAT_VERSION = 2
 
 
-def save_tenant(index: TenantIndex, path: str) -> None:
+def save_tenant(index: TenantIndex, path: str,
+                row_range: tuple[int, int] | None = None) -> None:
     """Persist the LIVE rows (tombstones drop — a checkpoint is an implicit
     compaction point); rows are gathered so sharded region layouts serialize
-    the same as contiguous ones."""
+    the same as contiguous ones.
+
+    ``row_range=(start, stop)`` saves only that slice of the global row space
+    — the per-host checkpoint partition (ROADMAP r3 #2): on a multi-host
+    fleet each process persists exactly the shard regions it owns
+    (parallel/multihost.host_local_rows), so checkpoint IO scales with
+    per-host corpus share instead of every host serializing everything."""
     os.makedirs(path, exist_ok=True)
     rows = np.nonzero(index._allocated)[0]
+    if row_range is not None:
+        rows = rows[(rows >= row_range[0]) & (rows < row_range[1])]
     np.savez_compressed(
         os.path.join(path, "arrays.npz"),
         vecs=index._vecs[rows],
@@ -50,6 +59,42 @@ def save_tenant(index: TenantIndex, path: str) -> None:
 
 
 def load_tenant(path: str, mesh=None) -> tuple[TenantIndex, LexicalIndex]:
+    """Restore one tenant. A directory of ``part*/`` subdirs (per-host
+    partitioned save) loads every partition through the re-placement path:
+    each doc re-upserts into ITS patient's shard region under the CURRENT
+    mesh — so a checkpoint taken on N hosts/shards restores onto M ≠ N
+    (elastic re-sharding; the partition layout on disk never constrains the
+    serving topology)."""
+    parts = sorted(
+        d for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if d.startswith("part")
+        and os.path.exists(os.path.join(path, d, "meta.json")))
+    if parts:
+        metas = []
+        for p in parts:
+            with open(os.path.join(path, p, "meta.json")) as f:
+                metas.append(json.load(f))
+        total = sum(m["count"] for m in metas)
+        index = TenantIndex(metas[0]["name"], metas[0]["dim"],
+                            capacity=max(total, 1024),
+                            block_rows=metas[0]["block_rows"], mesh=mesh)
+        lexical = LexicalIndex()
+        index.remap_hooks.append(lexical.shift_rows)
+        for p, m in zip(parts, metas):
+            data = np.load(os.path.join(path, p, "arrays.npz"))
+            with open(os.path.join(path, p, "docs.jsonl"),
+                      encoding="utf-8") as f:
+                docs = [json.loads(line) for line in f]
+            for i, doc in enumerate(docs):
+                if doc is None:
+                    continue
+                emb = data["vecs"][i] if data["has_embedding"][i] else None
+                row = index.upsert(doc, emb)
+                lexical.index_doc(row, doc)
+        log.info("loaded %s (%d docs from %d partitions%s) from %s",
+                 index.name, index.count, len(parts),
+                 ", re-sharded" if mesh is not None else "", path)
+        return index, lexical
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     index = TenantIndex(meta["name"], meta["dim"], capacity=max(meta["count"], 1024),
@@ -92,35 +137,74 @@ def load_tenant(path: str, mesh=None) -> tuple[TenantIndex, LexicalIndex]:
     return index, lexical
 
 
-def save_engine(engine, root: str) -> None:
+def save_engine(engine, root: str,
+                partition: tuple[int, int] | None = None) -> None:
     """Persist every tenant of a RassEngine.
 
     Runs concurrently with ingestion/retrieval (serve/app.py checkpoint loop):
     snapshot the tenants dict first (a live ``tenant()`` insert would raise
     mid-iteration) and hold each tenant's mutation lock while serializing so a
     concurrent upsert can't leave a half-written row in the checkpoint.
+
+    Multi-host fleets partition the save (ROADMAP r3 #2): each process writes
+    only its host-local shard regions into ``<tenant>/part<pid>/`` plus a
+    per-process manifest, so no host serializes (or even holds fresh copies
+    of) rows it doesn't own. ``partition=(pid, n_procs)`` overrides the jax
+    process topology (tests simulate a fleet single-process with it).
     """
     os.makedirs(root, exist_ok=True)
+    if partition is not None:
+        pid, n_procs = partition
+    else:
+        import jax
+
+        pid, n_procs = jax.process_index(), jax.process_count()
     names = []
     for name, tenant in list(engine._tenants.items()):
         safe = name.replace("/", "_")
         with tenant.lock:
-            save_tenant(tenant.index, os.path.join(root, safe))
+            if n_procs > 1:
+                idx = tenant.index
+                rs = idx.capacity // idx.n_shards
+                per_proc = max(idx.n_shards // n_procs, 1)
+                s0 = min(pid * per_proc, idx.n_shards)
+                # the last process owns any remainder shards (n_shards need
+                # not divide n_procs) so no row goes unsaved
+                stop = (idx.capacity if pid == n_procs - 1
+                        else min((s0 + per_proc) * rs, idx.capacity))
+                rr = (s0 * rs, stop)
+                save_tenant(idx, os.path.join(root, safe, f"part{pid}"),
+                            row_range=rr)
+            else:
+                save_tenant(tenant.index, os.path.join(root, safe))
         names.append(safe)
-    with open(os.path.join(root, "tenants.json"), "w") as f:
+    manifest = (os.path.join(root, f"tenants.p{pid}.json") if n_procs > 1
+                else os.path.join(root, "tenants.json"))
+    with open(manifest, "w") as f:
         json.dump(names, f)
 
 
 def load_engine(engine, root: str) -> int:
-    """Restore tenants into a RassEngine; → number of tenants loaded."""
+    """Restore tenants into a RassEngine; → number of tenants loaded.
+
+    Unions the single-process manifest with any per-process partition
+    manifests, so a checkpoint written by an N-host fleet restores on any
+    topology (each tenant's partitions re-shard at load, see load_tenant)."""
     from rassengine_tpu.engine import Tenant
     from rassengine_tpu.fusion.strategies import Retriever
 
+    names: list[str] = []
     manifest = os.path.join(root, "tenants.json")
-    if not os.path.exists(manifest):
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            names = json.load(f)
+    if os.path.isdir(root):
+        for fn in sorted(os.listdir(root)):
+            if fn.startswith("tenants.p") and fn.endswith(".json"):
+                with open(os.path.join(root, fn)) as f:
+                    names.extend(n for n in json.load(f) if n not in names)
+    if not names:
         return 0
-    with open(manifest) as f:
-        names = json.load(f)
     mesh = getattr(engine, "mesh", None)
     router = getattr(engine, "router", None)
     for safe in names:

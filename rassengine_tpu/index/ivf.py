@@ -108,6 +108,94 @@ def _probe_kernel(vecs, scales, chunk_rows, chunk_offsets, centroids, q,
     return s, jnp.where(s <= NEG_INF / 2, -1, r)
 
 
+@partial(jax.jit,
+         static_argnames=("k", "nprobe", "budget", "slab"))
+def _probe_kernel_pq(packed, chunk_rows, chunk_offsets, coarse, cent, q,
+                     add_mask, *, k: int, nprobe: int, budget: int,
+                     slab: int):
+    """PQ4-source device IVF probe (ROADMAP r3 #3).
+
+    Same list-selection + segment math as :func:`_probe_kernel`, but the
+    gather source is the packed 4-bit PQ codes (index/pq4.py) instead of
+    bf16/int8 rows — the single/low-batch latency path for corpora where
+    even int8 codes bust the HBM budget (16M+×1024-d). The PQ coarse stage
+    doubles as the IVF structure (lists = coarse clusters), so scoring is
+    pure ADC:
+
+    - candidates score as ``one_hot(codes) @ lut_b`` — one batched MXU
+      matmul per slab ([B, sC, m_sub·16] × [B, m_sub·16, 1]); no per-lane
+      gathers (no Mosaic lowering for those).
+    - the coarse term ``q·c(list)`` is constant per chunk (chunk-aligned
+      lists belong to exactly one cluster), so it reuses the list-selection
+      sims — no [.., nlist] one-hot.
+
+    Scores are ADC approximations: callers must exact-re-rank the returned
+    candidate rows (fusion/strategies._rerank_exact), so ``k`` here is the
+    oversampled candidate count, not the serving k.
+    """
+    b = q.shape[0]
+    qn = (q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+          ).astype(jnp.float32)
+    sims = jnp.dot(qn, coarse.T, preferred_element_type=jnp.float32)
+    top_sims, lists = jax.lax.top_k(sims, nprobe)               # [B, P] desc
+    m_sub, _, ds = cent.shape
+    dot_dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    qs = qn.reshape(b, m_sub, ds)
+    luts = jnp.einsum("bmd,mcd->bmc", qs, cent,
+                      preferred_element_type=jnp.float32)       # [B, m, 16]
+    luts_col = luts.reshape(b, m_sub * 16, 1).astype(dot_dt)
+    starts = chunk_offsets[lists]
+    counts = chunk_offsets[lists + 1] - starts
+    cum = jnp.cumsum(counts, axis=1)
+    pos = jnp.arange(budget, dtype=jnp.int32)
+    seg = jnp.sum(cum[:, None, :] <= pos[None, :, None], axis=2)  # [B, T]
+    valid = seg < nprobe
+    seg_c = jnp.clip(seg, 0, nprobe - 1)
+    prev = jnp.where(seg_c > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(seg_c - 1, 0),
+                                         axis=1), 0)
+    chunk_id = (jnp.take_along_axis(starts, seg_c, axis=1)
+                + pos[None, :] - prev)
+    chunk_id = jnp.where(valid, chunk_id, 0)
+    csc = jnp.take_along_axis(top_sims, seg_c, axis=1)          # [B, T]
+    n_slabs = -(-budget // slab)
+    pad = n_slabs * slab - budget
+    chunk_id = jnp.pad(chunk_id, ((0, 0), (0, pad)))
+    valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    csc = jnp.pad(csc, ((0, 0), (0, pad)))
+    cid_s = chunk_id.reshape(b, n_slabs, slab).transpose(1, 0, 2)
+    val_s = valid.reshape(b, n_slabs, slab).transpose(1, 0, 2)
+    csc_s = csc.reshape(b, n_slabs, slab).transpose(1, 0, 2)
+    chunk = chunk_rows.shape[1]
+    iota16 = jnp.arange(16, dtype=jnp.int32)
+
+    def body(carry, xs):
+        top_s, top_i = carry
+        cid, val, cs = xs                                       # [B, slab]
+        rows = chunk_rows[cid]                                  # [B, s, CHUNK]
+        rows = jnp.where(val[:, :, None], rows, -1).reshape(b, -1)
+        safe = jnp.maximum(rows, 0)
+        pb = packed[safe]                                       # [B, sC, h]
+        codes = jnp.concatenate([(pb & 0xF), (pb >> 4)],
+                                axis=2).astype(jnp.int32)       # split layout
+        oh = (codes[:, :, :, None] == iota16).astype(dot_dt)
+        oh = oh.reshape(b, rows.shape[1], m_sub * 16)
+        adc = jnp.matmul(oh, luts_col,
+                         preferred_element_type=jnp.float32)[..., 0]
+        scores = adc + jnp.repeat(cs, chunk, axis=1) + add_mask[safe]
+        scores = jnp.where(rows >= 0, scores, NEG_INF)
+        cat_s = jnp.concatenate([top_s, scores], axis=1)
+        cat_i = jnp.concatenate([top_i, rows], axis=1)
+        s, pos2 = jax.lax.top_k(cat_s, k)
+        i = jnp.take_along_axis(cat_i, pos2, axis=1)
+        return (s, i), None
+
+    init = (jnp.full((b, k), NEG_INF, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32))
+    (s, r), _ = jax.lax.scan(body, init, (cid_s, val_s, csc_s))
+    return s, jnp.where(s <= NEG_INF / 2, -1, r)
+
+
 @partial(jax.jit, static_argnames=("nlist",), donate_argnums=(1,))
 def _assign_and_update(vecs, centroids, nlist: int):
     """One Lloyd iteration: assign rows to nearest centroid, recompute means."""
@@ -161,6 +249,25 @@ class IvfIndex:
         log.info("ivf built: nlist=%d avg_list=%.1f max_list=%d",
                  nlist, n / nlist, counts.max() if n else 0)
         return IvfIndex(np.asarray(centroids, np.float32), order, offsets, nprobe)
+
+    @staticmethod
+    def from_assignments(centroids: np.ndarray, assign: np.ndarray,
+                         nprobe: int = 8) -> "IvfIndex":
+        """IVF structure from precomputed assignments — no k-means.
+
+        The PQ4 coarse stage (index/pq4.py) already clusters every row; its
+        (coarse centroids, assignment) pair IS an inverted file. Building
+        from it costs one argsort instead of Lloyd iterations, and the probe
+        lists agree exactly with the quantizer's own geometry.
+        """
+        nlist = centroids.shape[0]
+        assign = np.asarray(assign)
+        order = np.argsort(assign, kind="stable")
+        counts = np.bincount(assign, minlength=nlist)
+        offsets = np.zeros(nlist + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return IvfIndex(np.asarray(centroids, np.float32), order, offsets,
+                        nprobe)
 
     def device_tables(self, chunk: int = 128) -> dict:
         """Chunk-padded device list tables for :func:`_probe_kernel`.
@@ -226,6 +333,37 @@ class IvfIndex:
             t["chunk_rows"], t["chunk_offsets"], t["centroids"], q, add_mask,
             k=k, nprobe=nprobe, budget=max(budget, 1),
             quantized=scales is not None, slab=slab)
+
+    def probe_device_pq(self, packed_dev, codebooks, q, add_mask, m: int,
+                        nprobe: int | None = None, chunk: int = 128,
+                        budget_factor: float = 2.0):
+        """PQ4-source batched probe → (adc_scores, rows) jax (ROADMAP r3 #3).
+
+        ``packed_dev``: [cap, m_sub/2] uint8 packed codes in ROW order (the
+        ``packed`` column of store.device_columns_pq4); ``codebooks``:
+        [m_sub, 16, ds]. ``self.centroids`` must be the PQ coarse centroids
+        (build via :meth:`from_assignments` on the Pq4Index). Returned rows
+        are ADC-ranked candidates — exact-re-rank before serving.
+        """
+        nprobe = min(nprobe or self.nprobe, len(self.offsets) - 1)
+        t = self.device_tables(chunk)
+        budget = int(min(
+            t["n_chunks"],
+            nprobe * t["max_chunks"],
+            max(int(np.ceil(nprobe * t["avg_chunks"] * budget_factor)),
+                nprobe),
+        ))
+        q = jnp.atleast_2d(q)
+        m_sub = codebooks.shape[0]
+        # the one-hot is the big intermediate: b·CHUNK·(m_sub·16) per chunk
+        el = 4 if jax.default_backend() == "cpu" else 2
+        per_chunk = q.shape[0] * chunk * m_sub * 16 * el
+        slab = int(min(max(1, (128 << 20) // max(per_chunk, 1)),
+                       max(budget, 1)))
+        return _probe_kernel_pq(
+            packed_dev, t["chunk_rows"], t["chunk_offsets"], t["centroids"],
+            codebooks, q, add_mask, k=min(m, budget * chunk),
+            nprobe=nprobe, budget=max(budget, 1), slab=slab)
 
     def search(self, vecs: np.ndarray, query: np.ndarray, k: int,
                nprobe: int | None = None,

@@ -125,13 +125,30 @@ class ModelIntentClassifier:
                 if w in self.cue_intent}
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
+        return self.classify_batch([query])[0]
+
+    def classify_batch(self, queries: list[str]
+                       ) -> list[tuple[QueryIntent, float]]:
+        """One forward for the whole batch (engine.retrieve_batch skips the
+        per-query device round-trip). Batch dim pads to the next power of two
+        to bound the jit cache."""
         import jax.nn
 
-        ids, mask = self.tokenizer.encode_batch([query], 128)
+        ids, mask = self.tokenizer.encode_batch(queries, 128)
+        nb = 1 << (len(queries) - 1).bit_length()
+        if nb != ids.shape[0]:
+            ids = np.concatenate(
+                [ids, np.zeros((nb - ids.shape[0], ids.shape[1]), ids.dtype)])
+            mask = np.concatenate(
+                [mask, np.zeros((nb - mask.shape[0], mask.shape[1]),
+                                mask.dtype)])
         logits = self._fwd(self.params, ids, mask)
-        probs = np.asarray(jax.nn.softmax(logits[0]))
-        i = int(np.argmax(probs))
-        return QueryIntent(ALL_INTENTS[i]), float(probs[i])
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))[: len(queries)]
+        out = []
+        for b in range(len(queries)):
+            i = int(np.argmax(probs[b]))
+            out.append((QueryIntent(ALL_INTENTS[i]), float(probs[b, i])))
+        return out
 
 
 class IntentClassifier:
@@ -157,14 +174,26 @@ class IntentClassifier:
             log.info("no trained intent model; using rule classifier")
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
-        if self.model is not None:
-            intent, conf = self.model.classify(query)
-            support = self.model.supported_intents(query)
+        return self.classify_batch([query])[0]
+
+    def classify_batch(self, queries: list[str]
+                       ) -> list[tuple[QueryIntent, float]]:
+        """Batch form: one model forward, then the per-query production gate."""
+        if self.model is None:
+            return [self.rules.classify(q) for q in queries]
+        batch_fn = getattr(self.model, "classify_batch", None)
+        preds = (batch_fn(queries) if batch_fn is not None
+                 else [self.model.classify(q) for q in queries])
+        out = []
+        for q, (intent, conf) in zip(queries, preds):
+            support = self.model.supported_intents(q)
             supported = (support is None or "*" in support
                          or intent.value in support)
             if supported and conf >= self.config.intent_threshold:
-                return intent, conf
-        return self.rules.classify(query)
+                out.append((intent, conf))
+            else:
+                out.append(self.rules.classify(q))
+        return out
 
 
 def classify_intent(query: str, classifier: IntentClassifier | None = None) -> str:

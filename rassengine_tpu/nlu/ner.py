@@ -194,8 +194,41 @@ class ModelNER:
         ids, mask, word_ids = self.tokenizer.encode_words(words, 128)
         logits = self._fwd(self.params, ids, mask)
         probs = np.asarray(jax.nn.softmax(logits[0]))  # [L, num_labels]
+        return self._decode(words, probs, word_ids[0])
+
+    def extract_batch(self, queries: list[str]) -> list[list[Entity]]:
+        """All queries in ONE forward (engine.retrieve_batch): per-query
+        forwards each pay a device round-trip (~30 ms on a tunneled chip);
+        the batch pays one. Batch dim pads to the next power of two so the
+        jit cache stays bounded."""
+        import jax.nn
+
+        words_list = [q.split() for q in queries]
+        out: list[list[Entity]] = [[] for _ in queries]
+        idxs = [i for i, w in enumerate(words_list) if w]
+        if not idxs:
+            return out
+        encs = [self.tokenizer.encode_words(words_list[i], 128) for i in idxs]
+        length = max(e[0].shape[1] for e in encs)
+        nb = 1 << (len(idxs) - 1).bit_length()
+        ids = np.zeros((nb, length), np.int32)
+        mask = np.zeros((nb, length), np.int32)
+        wids = np.full((nb, length), -1, np.int32)
+        for j, (eid, em, ew) in enumerate(encs):
+            ids[j, : eid.shape[1]] = eid[0]
+            mask[j, : em.shape[1]] = em[0]
+            wids[j, : ew.shape[1]] = ew[0]
+        logits = self._fwd(self.params, ids, mask)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        for j, i in enumerate(idxs):
+            out[i] = self._decode(words_list[i], probs[j], wids[j])
+        return out
+
+    def _decode(self, words: list[str], probs: np.ndarray,
+                word_ids) -> list[Entity]:
+        """BIO-decode one query's [L, num_labels] probs (threshold 0.80)."""
         first_pos: dict[int, int] = {}
-        for j, wi in enumerate(word_ids[0].tolist()):
+        for j, wi in enumerate(np.asarray(word_ids).tolist()):
             if wi >= 0 and wi not in first_pos:
                 first_pos[wi] = j
         ents: list[Entity] = []
@@ -249,6 +282,17 @@ class NerPipeline:
 
     def extract(self, query: str) -> list[Entity]:
         ents = self.model.extract(query) if self.model is not None else []
+        return self._merge_rules(query, ents)
+
+    def extract_batch(self, queries: list[str]) -> list[list[Entity]]:
+        """One model forward for the whole batch (engine.retrieve_batch)."""
+        if self.model is not None:
+            model_ents = self.model.extract_batch(queries)
+        else:
+            model_ents = [[] for _ in queries]
+        return [self._merge_rules(q, e) for q, e in zip(queries, model_ents)]
+
+    def _merge_rules(self, query: str, ents: list[Entity]) -> list[Entity]:
         rule_ents = self.rules.extract(query)
         seen = {e["text"].lower() for e in ents}
         ents.extend(e for e in rule_ents if e["text"].lower() not in seen)

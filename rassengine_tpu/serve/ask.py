@@ -16,6 +16,7 @@ Differences by design:
 
 from __future__ import annotations
 
+import asyncio
 import json
 import logging
 import os
@@ -142,8 +143,12 @@ class AskService:
         if self.batcher is not None and entities is None:
             result = await self.batcher.retrieve(user_id, query, top_k)
         else:
-            result = self.engine.retrieve(user_id, query, top_k=top_k,
-                                          entities=entities)
+            # worker thread (like the batcher's engine calls): device waits
+            # release the GIL, so concurrent asks overlap instead of
+            # serializing behind one retrieve on the event loop
+            result = await asyncio.to_thread(
+                self.engine.retrieve, user_id, query, top_k=top_k,
+                entities=entities)
         history = await self.db.a_history(chat_id, self.config.max_chat_history)
 
         # --- early-return branches (reference main.py:2804-2876) -------------
@@ -160,9 +165,17 @@ class AskService:
             return
 
         # --- cache lookup -----------------------------------------------------
-        q_emb = self.engine.embedder.embed_query(query)
+        # reuse the retrieval-path embedding (RetrievalResult.query_emb) —
+        # re-embedding here would serialize an extra forward + device
+        # round-trip per request ON THE EVENT LOOP (measured ~30 ms each on
+        # the tunneled chip); non-embedding intents embed lazily off-loop,
+        # and only when the cache is actually on
+        q_emb = result.query_emb
         scope = f"{user_id}:{result.patient_ids[0] if result.patient_ids else '*'}"
         if self.cache is not None:
+            if q_emb is None:
+                q_emb = await asyncio.to_thread(
+                    self.engine.embedder.embed_query, query)
             cached = self.cache.get(scope, q_emb)
             if cached is not None:
                 METRICS.incr("cache_hits")

@@ -183,3 +183,97 @@ class TestIvfDeviceProbe:
         _s, r = ivf.probe_device(jnp.asarray(v, jnp.bfloat16),
                                  jnp.asarray(v[123:124]), mask, 1, nprobe=1)
         assert np.asarray(r)[0, 0] == 123
+
+
+def clustered(rng, n, d, n_clusters=32):
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    v = centers[rng.integers(0, n_clusters, size=n)] \
+        + 0.25 * rng.normal(size=(n, d)).astype(np.float32)
+    return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+
+
+class TestIvfPqProbe:
+    """PQ4-source device probe (index/ivf.py:_probe_kernel_pq, ROADMAP r3 #3):
+    the gather source is packed 4-bit codes, scored by ADC — the single-query
+    path for corpora where even int8 codes bust HBM."""
+
+    def _build(self, rng, n=2048, d=64, m_sub=16):
+        from rassengine_tpu.index.pq4 import Pq4Index
+
+        v = clustered(rng, n, d)
+        pq = Pq4Index.build(v, m_sub, nlist=32)
+        ivf = IvfIndex.from_assignments(pq.coarse, pq.assign)
+        return v, pq, ivf
+
+    def _rerank(self, v, q, rows, k):
+        out = np.full((rows.shape[0], k), -1, np.int64)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        for b in range(rows.shape[0]):
+            rb = rows[b][rows[b] >= 0]
+            s = v[rb] @ qn[b]
+            out[b, : min(k, rb.size)] = rb[np.argsort(-s)[:k]]
+        return out
+
+    def test_from_assignments_partitions_all_rows(self, rng):
+        _v, pq, ivf = self._build(rng)
+        assert sorted(ivf.order.tolist()) == list(range(2048))
+        assert ivf.offsets[-1] == 2048
+        # lists agree with the quantizer's own assignment
+        for lst in (0, 7, 31):
+            rows = ivf.order[ivf.offsets[lst]: ivf.offsets[lst + 1]]
+            assert np.all(pq.assign[rows] == lst)
+
+    def test_full_probe_rerank_recall(self, rng):
+        v, pq, ivf = self._build(rng)
+        q = v[:8] + 0.02 * rng.normal(size=(8, 64)).astype(np.float32)
+        mask = jnp.zeros(2048, jnp.float32)
+        _s, r = ivf.probe_device_pq(jnp.asarray(pq.packed),
+                                    jnp.asarray(pq.codebooks),
+                                    jnp.asarray(q), mask, 256, nprobe=32)
+        got = self._rerank(v, q, np.asarray(r), 10)
+        want = oracle_topk(v, q, 10)
+        # all lists probed + wide candidate set + exact re-rank ≈ exact
+        assert recall(got, want) >= 0.95
+
+    def test_narrow_probe_still_finds_self(self, rng):
+        v, pq, ivf = self._build(rng)
+        mask = jnp.zeros(2048, jnp.float32)
+        _s, r = ivf.probe_device_pq(jnp.asarray(pq.packed),
+                                    jnp.asarray(pq.codebooks),
+                                    jnp.asarray(v[123:124]), mask, 64,
+                                    nprobe=2)
+        assert 123 in np.asarray(r)[0].tolist()
+
+    def test_additive_mask_respected(self, rng):
+        v, pq, ivf = self._build(rng, n=1024)
+        mask = np.zeros(1024, np.float32)
+        mask[:600] = -1e30
+        _s, r = ivf.probe_device_pq(jnp.asarray(pq.packed),
+                                    jnp.asarray(pq.codebooks),
+                                    jnp.asarray(v[10:11]),
+                                    jnp.asarray(mask), 32, nprobe=32)
+        live = np.asarray(r)[np.asarray(r) >= 0]
+        assert live.size and np.all(live >= 600)
+
+    def test_adc_scores_match_numpy_oracle(self, rng):
+        """Probe at nprobe=all is an EXACT top-k over the ADC scores: compare
+        against a numpy decode-and-dot oracle (q·c(aᵢ) + Σⱼ lut[j, codeᵢⱼ])."""
+        from rassengine_tpu.index.pq4 import unpack_codes
+
+        v, pq, ivf = self._build(rng, n=1024)
+        q = v[:4]
+        mask = jnp.zeros(1024, jnp.float32)
+        s_probe, _r = ivf.probe_device_pq(
+            jnp.asarray(pq.packed), jnp.asarray(pq.codebooks),
+            jnp.asarray(q), mask, 16, nprobe=32)
+        codes = unpack_codes(pq.packed)                       # [N, m_sub]
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        m_sub, _, ds = pq.codebooks.shape
+        luts = np.einsum("bmd,mcd->bmc",
+                         qn.reshape(4, m_sub, ds), pq.codebooks)  # [B, m, 16]
+        adc = np.stack([luts[b, np.arange(m_sub), codes].sum(axis=1)
+                        for b in range(4)])                    # [B, N]
+        coarse = (qn @ pq.coarse.T)[np.arange(4)[:, None],
+                                    pq.assign[None, :]]        # [B, N]
+        oracle = np.sort(adc + coarse, axis=1)[:, ::-1][:, :16]
+        np.testing.assert_allclose(np.asarray(s_probe), oracle, atol=2e-3)

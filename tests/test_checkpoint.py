@@ -39,6 +39,100 @@ def test_round_trip_preserves_search(rng, tmp_path):
     assert idx2.count == 50
 
 
+def _mk_sharded(rng, n_shards, n_docs=60, dim=32, cap=512):
+    """A sharded tenant: rows place into per-shard regions by patient hash."""
+    from rassengine_tpu.core.meshes import shard_mesh
+
+    mesh = shard_mesh(n_shards)
+    idx = TenantIndex("rass-part-ck", dim, capacity=cap, block_rows=128,
+                      mesh=mesh)
+    lex = LexicalIndex()
+    vecs = rng.normal(size=(n_docs, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i in range(n_docs):
+        doc = {"doc_id": f"d{i}", "doc_type": "unstructured",
+               "patientId": f"p{i % 7}",
+               "unstructuredText": f"note {i} about diabetes"}
+        row = idx.upsert(doc, vecs[i])
+        lex.index_doc(row, doc)
+    return idx, lex, vecs, mesh
+
+
+class TestPartitionedCheckpoint:
+    """Per-host checkpoint partitioning + elastic re-sharding (ROADMAP r3 #2):
+    each process saves only its shard regions; a partitioned checkpoint
+    restores onto ANY shard/host count via patient-hash re-placement."""
+
+    def test_row_range_saves_only_slice(self, rng, tmp_path):
+        idx, lex, vecs, _ = _mk_sharded(rng, 4)
+        rs = idx.capacity // 4
+        save_tenant(idx, str(tmp_path / "p0"), row_range=(0, 2 * rs))
+        save_tenant(idx, str(tmp_path / "p1"), row_range=(2 * rs, idx.capacity))
+        import json
+        with open(tmp_path / "p0" / "meta.json") as f:
+            c0 = json.load(f)["count"]
+        with open(tmp_path / "p1" / "meta.json") as f:
+            c1 = json.load(f)["count"]
+        assert c0 + c1 == 60 and c0 > 0 and c1 > 0
+
+    def test_partitioned_load_reshards_elastically(self, rng, tmp_path):
+        from rassengine_tpu.core.meshes import shard_mesh
+
+        idx, lex, vecs, _ = _mk_sharded(rng, 4)
+        rs = idx.capacity // 4
+        root = tmp_path / "ck"
+        # simulate a 2-host fleet: each saves its two shard regions
+        save_tenant(idx, str(root / "part0"), row_range=(0, 2 * rs))
+        save_tenant(idx, str(root / "part1"), row_range=(2 * rs, idx.capacity))
+        # restore onto a DIFFERENT topology (2 shards) and unsharded
+        for mesh2 in (shard_mesh(2), None):
+            idx2, lex2 = load_tenant(str(root), mesh=mesh2)
+            assert idx2.count == 60
+            q = vecs[7:8]
+            h1 = [d["doc_id"] for d, _ in search(idx, q, k=5)[0]]
+            h2 = [d["doc_id"] for d, _ in search(idx2, q, k=5)[0]]
+            assert h1 == h2
+            hits = search(idx2, q, k=10, spec=FilterSpec(patient_id="p2"))[0]
+            assert hits and all(d["patientId"] == "p2" for d, _ in hits)
+            # lexical postings rebuilt against the re-placed rows
+            got = lex2.score("diabetes", idx2.capacity)
+            assert (got > 0).sum() == 60
+
+    def test_engine_partitioned_save_and_union_load(self, rng, tmp_path):
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.engine import RassEngine
+        from rassengine_tpu.index.checkpoint import load_engine, save_engine
+        from rassengine_tpu.models.bert import BertConfig
+
+        cfg = EngineConfig(embed_dim=32, embed_batch_size=4,
+                           index_capacity=512, index_block_rows=128,
+                           shard_count=4, intent_model_path="/none",
+                           ner_model_path="/none")
+        eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        docs = [{"doc_id": f"x{i}", "doc_type": "unstructured",
+                 "patientId": f"p{i % 5}",
+                 "unstructuredText": f"note {i} metformin dosage"}
+                for i in range(24)]
+        eng.ingest_docs("alice", [], docs)
+        # simulate each host's save_engine call
+        save_engine(eng, str(tmp_path / "fleet"), partition=(0, 2))
+        save_engine(eng, str(tmp_path / "fleet"), partition=(1, 2))
+
+        cfg2 = EngineConfig(embed_dim=32, embed_batch_size=4,
+                            index_capacity=512, index_block_rows=128,
+                            shard_count=2, intent_model_path="/none",
+                            ner_model_path="/none")
+        eng2 = RassEngine(cfg2, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        n = load_engine(eng2, str(tmp_path / "fleet"))
+        assert n == 1
+        t = eng2.tenant("alice")
+        assert t.index.count == 24
+        a = eng.retrieve("alice", "metformin dosage", top_k=5)
+        b = eng2.retrieve("alice", "metformin dosage", top_k=5)
+        assert ([h["doc_id"] for h, _ in a.hits]
+                == [h["doc_id"] for h, _ in b.hits])
+
+
 def test_engine_save_load(rng, tmp_path):
     from rassengine_tpu.core.config import EngineConfig
     from rassengine_tpu.engine import RassEngine

@@ -125,3 +125,43 @@ class TestRetrieveBatch:
         batch = engine.retrieve_batch("alice", queries, top_k=2)
         assert batch[0].aggregations is not None
         assert batch[1].hits or batch[2].hits
+
+    def test_batch_text_match_queries_batch_and_match_single(self, engine):
+        """Entity text-match constraints no longer force the single path:
+        the batch scans once at 4k depth and post-filters per query on host
+        (engine._retrieve_batch), with results identical to the single path."""
+        queries = ["asthma wheezing exercise history",
+                   "albuterol inhaler for asthma patient"]
+        batch = engine.retrieve_batch("alice", queries, top_k=2)
+        for q, res in zip(queries, batch):
+            single = engine.retrieve("alice", q, top_k=2, intent=res.intent,
+                                     entities=res.entities)
+            assert [h["doc_id"] for h, _ in res.hits] == \
+                   [h["doc_id"] for h, _ in single.hits], q
+
+    def test_batch_carries_query_emb(self, engine):
+        """RetrievalResult.query_emb rides along so serve/ask.py's cache
+        never re-embeds (a second forward + device round-trip per request)."""
+        res = engine.retrieve("alice", "asthma treatment options", top_k=2)
+        assert res.query_emb is not None
+        batch = engine.retrieve_batch(
+            "alice", ["asthma treatment options", "wheezing at night"],
+            top_k=2)
+        for r in batch:
+            assert r.query_emb is not None
+            np.testing.assert_allclose(
+                r.query_emb,
+                engine.embedder.embed_query(
+                    "asthma treatment options" if r is batch[0]
+                    else "wheezing at night"), atol=1e-5)
+
+    def test_nlu_batch_matches_single(self, engine):
+        queries = ["how many patients have asthma?",
+                   "compare asthma and bronchitis",
+                   "asthma treatment options", ""]
+        ib = engine.intent_classifier.classify_batch(queries)
+        for q, got in zip(queries, ib):
+            assert got == engine.intent_classifier.classify(q), q
+        eb = engine.ner.extract_batch(queries)
+        for q, got in zip(queries, eb):
+            assert got == engine.ner.extract(q), q

@@ -141,6 +141,37 @@ class TestServingAutoSelect:
         assert hits[0][0]["doc_id"] == "fresh"
         assert r._ivf_cache[0] == built0  # tail-merged, not rebuilt
 
+    def test_ivf_pq_source_serving(self, rng):
+        """ann_mode=ivf on a >int8-budget corpus routes to the PQ4-source
+        probe (strategies._ivf_probe_pq, ROADMAP r3 #3) — recall survives,
+        scores are exact re-ranked cosines."""
+        r, v = self._mk(rng, ann_mode="ivf", int8_hbm_budget_bytes=1,
+                        pq_subvectors=8, pq_oversample=16, ivf_nprobe=8)
+        hits = r.semantic_search("q", v[7], k=3)
+        assert hits and hits[0][0]["doc_id"] == "d7"
+        assert hits[0][1] > 0.99
+        assert r._ivf_pq_cache is not None        # PQ path, not k-means IVF
+        assert r._ivf_cache is None
+
+    def test_ivf_pq_source_respects_filter(self, rng):
+        r, v = self._mk(rng, ann_mode="ivf", int8_hbm_budget_bytes=1,
+                        pq_subvectors=8, pq_oversample=16, ivf_nprobe=16)
+        hits = r.semantic_search("q", v[7], k=5, patient_id="p1")
+        assert hits and all(h[0]["patientId"] == "p1" for h in hits)
+
+    def test_ivf_pq_source_fresh_after_upsert(self, rng):
+        """PQ codes re-encode per generation: a row upserted after the first
+        probe must be findable (no stale inverted file)."""
+        r, v = self._mk(rng, ann_mode="ivf", int8_hbm_budget_bytes=1,
+                        pq_subvectors=8, pq_oversample=16, ivf_nprobe=16)
+        r.semantic_search("q", v[0], k=1)
+        rng2 = np.random.default_rng(321)
+        nv = clustered(rng2, 1, r.index.dim)[0]
+        r.index.upsert({"doc_id": "fresh-pq", "doc_type": "unstructured",
+                        "patientId": "p9", "unstructuredText": "fresh"}, nv)
+        hits = r.semantic_search("q", nv, k=1)
+        assert hits and hits[0][0]["doc_id"] == "fresh-pq"
+
     def test_pq_view_not_stale_after_upsert(self, rng):
         """Generation-tracked device views: a filter_mask() call between a
         mutation and the quantized-view fetch must not mark codes fresh."""
