@@ -72,7 +72,7 @@ def main() -> None:
     assert len({bt[2].shape[1] for bt in batches}) == 1  # one jit variant
 
     def hybrid(qq, ci, vw, w):
-        return hybrid_topk_batch(vd, mask, qq, vw.rows2d, vw.contrib2d, ci, w,
+        return hybrid_topk_batch(vd, mask, qq, vw.tables, ci, w,
                                  2.0, k, top_m_lex=64)
 
     # correctness gate: tie-aware recall@5 vs a host f32 fused oracle — a

@@ -135,7 +135,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     scan_mode = "pallas" if on_tpu else ("xla_direct" if n3 <= 65536 else "xla_scan")
 
     def hybrid_fn(qq):
-        return hybrid_topk_batch(vd3, mask3, qq, view.rows2d, view.contrib2d,
+        return hybrid_topk_batch(vd3, mask3, qq, view.tables,
                                  ci3, wvec, 2.0, k, top_m_lex=64,
                                  scan_mode=scan_mode)
 

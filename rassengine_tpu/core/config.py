@@ -71,6 +71,7 @@ class EngineConfig:
     probe_single_queries: bool = True   # B=1 on ≥1M corpora → bound-ordered PQ probe
     pq_oversample: int = 8              # ADC candidates = oversample × k
     int8_hbm_budget_bytes: int = 12 * 1024**3  # beyond this, codes go PQ
+    lexical_packed_min_rows: int = 1 << 20  # ≥this, 4 B/posting packed CSR
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
     ner_model_path: str = "./ner_model/final"
     intent_model_path: str = "./intent_model/final"
@@ -151,6 +152,7 @@ class EngineConfig:
             pq_oversample=_env_int("PQ_OVERSAMPLE", 8),
             probe_single_queries=_env_bool("PROBE_SINGLE_QUERIES", True),
             int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),
+            lexical_packed_min_rows=_env_int("LEXICAL_PACKED_MIN_ROWS", 1 << 20),
             ner_model_path=os.getenv("NER_MODEL_PATH", "./ner_model/final"),
             intent_model_path=os.getenv("INTENT_MODEL_PATH", "./intent_model/final"),
             intent_threshold=_env_float("INTENT_THRESHOLD", 0.75),

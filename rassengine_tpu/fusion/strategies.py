@@ -102,7 +102,14 @@ class Retriever:
         if self._device_lexical is None:
             from rassengine_tpu.lexical.device_bm25 import DeviceLexical
 
-            self._device_lexical = DeviceLexical(self.lexical)
+            # big corpora flush the 4 B/posting packed layout (half the HBM
+            # residency AND half the per-query gather bandwidth; ~0.2%
+            # bounded score quantization — device_bm25.GroupView); small
+            # corpora keep the exact dense layout
+            packed = (self.index.capacity
+                      >= getattr(self.config, "lexical_packed_min_rows",
+                                 1 << 20))
+            self._device_lexical = DeviceLexical(self.lexical, packed=packed)
         return self._device_lexical
 
     # --- shared building blocks ----------------------------------------------
@@ -683,8 +690,8 @@ class Retriever:
         def run(mode):
             with stage("hybrid_batch"):
                 return hybrid_topk_batch(
-                    cols["vecs"], mask, jnp.asarray(q), view.rows2d,
-                    view.contrib2d, jnp.asarray(chunk_ids), wvec,
+                    cols["vecs"], mask, jnp.asarray(q), view.tables,
+                    jnp.asarray(chunk_ids), wvec,
                     sem_weight, min(k, 256), m=m,
                     block_rows=min(idx.block_rows, idx.capacity),
                     scan_mode=mode)

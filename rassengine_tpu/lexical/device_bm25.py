@@ -58,22 +58,42 @@ SENTINEL = np.int32(2**30)  # "no row": sorts after every real doc row
 
 CHUNK = 128                  # postings per chunk (one gather row)
 SMIN, SMAX = 4, 128          # chunks-per-query buckets: maxp = S*CHUNK
+PACK_SENTINEL = np.uint32(0xFFFFFF)  # 24-bit pad row in the packed layout
 
 
 class GroupView:
-    """Flushed device postings for one tuple of field groups."""
+    """Flushed device postings for one tuple of field groups.
 
-    __slots__ = ("rows2d", "contrib2d", "terms", "generation", "chunk_group",
-                 "_wvecs", "flushed_len", "destructive_gen", "n_docs0",
-                 "avgdl0")
+    Two HBM layouts (``tables`` abstracts over them for the device stage):
+
+    - dense: ``rows2d`` int32 + ``contrib2d`` f32 — 8 B/posting, exact.
+    - packed (ROADMAP r3 "compressed postings"): ``packed2d`` uint32 holding
+      ``row (24 bits) | contrib-code (8 bits)`` + per-chunk affine decode
+      arrays ``base``/``step`` f32 [NC] — 4 B/posting, halving both HBM
+      residency and per-query gather bandwidth. Chunks are impact-ordered
+      (contribution descending within a segment), so each chunk spans a
+      narrow contribution range and the 8-bit affine code's error is bounded
+      by (chunk max − chunk min)/510 — ~0.2% of a term's score in practice.
+      Rows must fit 24 bits (<16.7M; the flush falls back to dense beyond).
+    """
+
+    __slots__ = ("rows2d", "contrib2d", "packed2d", "base", "step", "terms",
+                 "generation", "chunk_group", "_wvecs", "flushed_len",
+                 "destructive_gen", "n_docs0", "avgdl0")
 
     def __init__(self, rows2d: jax.Array, contrib2d: jax.Array,
                  terms: dict[tuple[str, str], tuple[tuple[int, int], ...]],
                  generation: int, chunk_group: np.ndarray,
                  flushed_len: dict[str, int], destructive_gen: int,
-                 n_docs0: int, avgdl0: dict[str, float]):
+                 n_docs0: int, avgdl0: dict[str, float],
+                 packed2d: jax.Array | None = None,
+                 base: jax.Array | None = None,
+                 step: jax.Array | None = None):
         self.rows2d = rows2d
         self.contrib2d = contrib2d
+        self.packed2d = packed2d
+        self.base = base
+        self.step = step
         # (group, term) → ((chunk_start, n_postings), ...) segments: one from
         # the full flush plus one per delta flush since (impact order holds
         # within a segment; plan() walks them in append order)
@@ -88,6 +108,15 @@ class GroupView:
         self.destructive_gen = destructive_gen
         self.n_docs0 = n_docs0
         self.avgdl0 = avgdl0
+
+    @property
+    def tables(self) -> tuple:
+        """Device arrays for the sparse-score stage: ``(rows2d, contrib2d)``
+        dense or ``(packed2d, base, step)`` packed — the tuple *structure*
+        selects the jit variant (no static flag needed)."""
+        if self.packed2d is not None:
+            return (self.packed2d, self.base, self.step)
+        return (self.rows2d, self.contrib2d)
 
     def weight_vector(self, groups: tuple[str, ...],
                       group_weights: dict[str, float]) -> jax.Array:
@@ -113,8 +142,11 @@ class DeviceLexical:
     phrase strategies stay on the host scorer.
     """
 
-    def __init__(self, lexical: LexicalIndex):
+    def __init__(self, lexical: LexicalIndex, packed: bool = False):
         self.lexical = lexical
+        # request the 4 B/posting packed layout (GroupView docstring); each
+        # flush still falls back to dense when any row exceeds 24 bits
+        self.packed = packed
         self._views: dict[tuple[str, ...], GroupView] = {}
         # per-query chunk-list cache (generation-keyed): repeated queries skip
         # tokenization + dict walks on the hot path
@@ -175,6 +207,24 @@ class DeviceLexical:
         c[: rows.size] = contrib[order]
         return r, c
 
+    @staticmethod
+    def _pack_chunks(rows2d: np.ndarray, contrib2d: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """[NC, C] dense host chunks → (packed2d uint32, base f32, step f32).
+
+        Per-chunk affine 8-bit code over the REAL entries' range (pads carry
+        row 0xFFFFFF and decode to exactly 0 on device)."""
+        real = rows2d != SENTINEL
+        c = np.where(real, contrib2d, np.inf)
+        lo = np.where(real.any(axis=1), c.min(axis=1), 0.0).astype(np.float32)
+        c = np.where(real, contrib2d, -np.inf)
+        hi = np.where(real.any(axis=1), c.max(axis=1), 0.0).astype(np.float32)
+        step = np.maximum((hi - lo) / 255.0, 1e-12).astype(np.float32)
+        code = np.clip(np.rint((contrib2d - lo[:, None]) / step[:, None]),
+                       0, 255).astype(np.uint32)
+        rows_u = np.where(real, rows2d, PACK_SENTINEL).astype(np.uint32)
+        return rows_u | (code << 24), lo, step
+
     def _flush(self, groups: tuple[str, ...]) -> GroupView:
         lex = self.lexical
         n = max(1, lex._n_docs)
@@ -213,6 +263,15 @@ class DeviceLexical:
                 chunk_off += n_ch
         rows2d = np.concatenate(rows_parts).reshape(-1, CHUNK)
         contrib2d = np.concatenate(contrib_parts).reshape(-1, CHUNK)
+        real_rows = rows2d[rows2d != SENTINEL]
+        if self.packed and (real_rows < int(PACK_SENTINEL)).all():
+            packed2d, base, step = self._pack_chunks(rows2d, contrib2d)
+            return GroupView(None, None, terms, lex.generation,
+                             np.asarray(chunk_groups, np.int32),
+                             flushed_len, lex.destructive_generation,
+                             lex._n_docs, avgdl0,
+                             packed2d=jnp.asarray(packed2d),
+                             base=jnp.asarray(base), step=jnp.asarray(step))
         return GroupView(jnp.asarray(rows2d), jnp.asarray(contrib2d),
                          terms, lex.generation,
                          np.asarray(chunk_groups, np.int32),
@@ -274,13 +333,29 @@ class DeviceLexical:
         if not rows_parts:  # touched terms had no live postings for groups
             return GroupView(v.rows2d, v.contrib2d, terms, lex.generation,
                              v.chunk_group, flushed_len, v.destructive_gen,
-                             v.n_docs0, v.avgdl0)
+                             v.n_docs0, v.avgdl0, packed2d=v.packed2d,
+                             base=v.base, step=v.step)
         new_rows = np.concatenate(rows_parts).reshape(-1, CHUNK)
         new_contrib = np.concatenate(contrib_parts).reshape(-1, CHUNK)
-        rows2d = jnp.concatenate([v.rows2d, jnp.asarray(new_rows)])
-        contrib2d = jnp.concatenate([v.contrib2d, jnp.asarray(new_contrib)])
         chunk_group = np.concatenate([v.chunk_group,
                                       np.asarray(chunk_groups, np.int32)])
+        real_rows = new_rows[new_rows != SENTINEL]
+        if (v.packed2d is not None
+                and (real_rows < int(PACK_SENTINEL)).all()):
+            p, lo, st = self._pack_chunks(new_rows, new_contrib)
+            return GroupView(None, None, terms, lex.generation, chunk_group,
+                             flushed_len, v.destructive_gen, v.n_docs0,
+                             v.avgdl0,
+                             packed2d=jnp.concatenate([v.packed2d,
+                                                       jnp.asarray(p)]),
+                             base=jnp.concatenate([v.base, jnp.asarray(lo)]),
+                             step=jnp.concatenate([v.step, jnp.asarray(st)]))
+        if v.packed2d is not None:
+            # a delta row outgrew 24 bits: full reflush (its own row check
+            # falls back to the dense layout)
+            return self._flush(groups)
+        rows2d = jnp.concatenate([v.rows2d, jnp.asarray(new_rows)])
+        contrib2d = jnp.concatenate([v.contrib2d, jnp.asarray(new_contrib)])
         return GroupView(rows2d, contrib2d, terms, lex.generation,
                          chunk_group, flushed_len, v.destructive_gen,
                          v.n_docs0, v.avgdl0)
@@ -360,6 +435,32 @@ def _lex_scores_body(rows2d, contrib2d, chunk_ids, wvec):
     drow = rows2d[flat].reshape(bn, s * CHUNK)
     val = (contrib2d[flat].reshape(bn, s, CHUNK)
            * chunk_w[:, :, None]).reshape(bn, s * CHUNK)
+    return _sort_run_sum(drow, val, bn)
+
+
+def _lex_scores_body_packed(packed2d, base, step, chunk_ids, wvec):
+    """Packed-layout sparse BM25: gather 4 B/posting chunks, affine-decode
+    AFTER the gather (GroupView docstring), then the same sort + run-sum.
+    Pads (24-bit row 0xFFFFFF) decode to row SENTINEL and value exactly 0."""
+    bn, s = chunk_ids.shape
+    flat = chunk_ids.reshape(-1)
+    chunk_w = wvec[flat].reshape(bn, s)
+    pv = packed2d[flat]                                     # [B·S, C] uint32
+    row_u = pv & jnp.uint32(0xFFFFFF)
+    is_pad = row_u == jnp.uint32(0xFFFFFF)
+    drow = jnp.where(is_pad, SENTINEL,
+                     row_u.astype(jnp.int32)).reshape(bn, s * CHUNK)
+    code = (pv >> 24).astype(jnp.float32)
+    dec = base[flat][:, None] + code * step[flat][:, None]
+    dec = jnp.where(is_pad, 0.0, dec)
+    val = (dec.reshape(bn, s, CHUNK)
+           * chunk_w[:, :, None]).reshape(bn, s * CHUNK)
+    return _sort_run_sum(drow, val, bn)
+
+
+def _sort_run_sum(drow, val, bn):
+    """Shared tail of the sparse-score stage: sort postings by doc row, then
+    run-sum duplicates with cumsum + prefix-max (log-depth VPU scans)."""
     drow_s, val_s = jax.lax.sort_key_val(drow, val, dimension=1)
     c = jnp.cumsum(val_s, axis=1)
     c_excl = c - val_s
@@ -374,6 +475,14 @@ def _lex_scores_body(rows2d, contrib2d, chunk_ids, wvec):
 
 
 lexical_sparse_scores = jax.jit(_lex_scores_body)
+lexical_sparse_scores_packed = jax.jit(_lex_scores_body_packed)
+
+
+def _lex_scores_dispatch(lex_tables, chunk_ids, wvec):
+    """Select the sparse-score body by table structure (GroupView.tables)."""
+    if len(lex_tables) == 3:
+        return _lex_scores_body_packed(*lex_tables, chunk_ids, wvec)
+    return _lex_scores_body(*lex_tables, chunk_ids, wvec)
 
 
 def _fuse_body(vecs, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
@@ -426,15 +535,18 @@ fused_hybrid_topk = jax.jit(partial(_fuse_body), static_argnames=(
 
 @partial(jax.jit, static_argnames=("k", "m", "top_m_lex", "block_rows",
                                    "scan_mode"))
-def hybrid_topk_batch(vecs, add_mask, queries, rows2d, contrib2d, chunk_ids,
+def hybrid_topk_batch(vecs, add_mask, queries, lex_tables, chunk_ids,
                       wvec, sem_weight, k: int, m: int = 64,
                       top_m_lex: int = 128, block_rows: int = 2048,
                       scan_mode: str = "pallas"):
     """The whole batched hybrid in ONE dispatch: scan + sparse BM25 + fusion.
 
-    queries [B, d] raw embeddings (normalized here). ``scan_mode``:
-    "pallas" (fused pooled kernel), "xla_scan" (lax.scan blocks, large CPU
-    corpora), "xla_direct" (single matmul, small corpora / tests).
+    queries [B, d] raw embeddings (normalized here). ``lex_tables`` is
+    GroupView.tables — (rows2d, contrib2d) dense or (packed2d, base, step)
+    packed; the tuple structure picks the sparse stage under this jit.
+    ``scan_mode``: "pallas" (fused pooled kernel), "xla_scan" (lax.scan
+    blocks, large CPU corpora), "xla_direct" (single matmul, small corpora /
+    tests).
     """
     q32 = queries.astype(jnp.float32)
     qn = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
@@ -450,7 +562,6 @@ def hybrid_topk_batch(vecs, add_mask, queries, rows2d, contrib2d, chunk_ids,
         from rassengine_tpu.index.exact import exact_topk_direct
 
         sem_s, sem_r = exact_topk_direct(vecs, qn, add_mask, m)
-    lex_rows, lex_scores = _lex_scores_body(rows2d, contrib2d, chunk_ids,
-                                            wvec)
+    lex_rows, lex_scores = _lex_scores_dispatch(lex_tables, chunk_ids, wvec)
     return _fuse_body(vecs, add_mask, qn, lex_rows, lex_scores, sem_r, sem_s,
                       sem_weight, k=k, top_m_lex=top_m_lex)

@@ -261,3 +261,103 @@ class TestDeltaFlush:
         rows, vals = lex.score_sparse("w000 w001 w002", 128, "text")
         want[rows] += vals
         np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-5)
+
+
+class TestPackedPostings:
+    """4 B/posting packed CSR (ROADMAP r3 "compressed postings"):
+    row (24b) | 8-bit affine contribution code, per-chunk base/step decode
+    (device_bm25.GroupView docstring). Half the HBM residency and gather
+    bandwidth; score error bounded by (chunk range)/510."""
+
+    def _scores(self, lex, queries, gw, cap, packed):
+        from rassengine_tpu.lexical.device_bm25 import _lex_scores_dispatch
+
+        dl = DeviceLexical(lex, packed=packed)
+        chunk_ids, view, wvec = dl.plan(queries, gw)
+        rows, scores = _lex_scores_dispatch(view.tables,
+                                            jnp.asarray(chunk_ids), wvec)
+        rows, scores = np.asarray(rows), np.asarray(scores)
+        dense = np.zeros((len(queries), cap), np.float32)
+        for b in range(len(queries)):
+            ok = (rows[b] < SENTINEL) & (scores[b] > NEG_INF / 2)
+            dense[b, rows[b][ok]] = scores[b][ok]
+        return dense
+
+    def test_packed_matches_dense_within_quantization(self, small_corpus):
+        idx, lex = small_corpus
+        queries = [" ".join(VOCAB[i : i + 3]) for i in range(0, 12, 3)]
+        gw = {"text": 1.5, "keyword": 1.0}
+        want = self._scores(lex, queries, gw, idx.capacity, packed=False)
+        got = self._scores(lex, queries, gw, idx.capacity, packed=True)
+        # pads and zero-score docs must be EXACTLY zero in both
+        np.testing.assert_array_equal(got == 0.0, want == 0.0)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_packed_view_halves_posting_bytes(self, small_corpus):
+        _idx, lex = small_corpus
+        dense_v = DeviceLexical(lex, packed=False).view(("text",))
+        packed_v = DeviceLexical(lex, packed=True).view(("text",))
+        assert packed_v.packed2d is not None and packed_v.rows2d is None
+        dense_bytes = (np.asarray(dense_v.rows2d).nbytes
+                       + np.asarray(dense_v.contrib2d).nbytes)
+        packed_bytes = (np.asarray(packed_v.packed2d).nbytes
+                        + np.asarray(packed_v.base).nbytes
+                        + np.asarray(packed_v.step).nbytes)
+        assert packed_bytes <= dense_bytes / 2 + 8 * packed_v.packed2d.shape[0]
+
+    def test_packed_delta_flush_appends_packed(self, rng):
+        lex = LexicalIndex()
+        for i in range(60):
+            lex.index_doc(i, {"doc_id": f"d{i}", "doc_type": "unstructured",
+                              "unstructuredText":
+                                  " ".join(rng.choice(VOCAB, 10))})
+        dl = DeviceLexical(lex, packed=True)
+        gw = {"text": 1.0}
+        v1 = dl.view(("text",))
+        assert v1.packed2d is not None
+        for i in range(60, 63):
+            lex.index_doc(i, {"doc_id": f"d{i}", "doc_type": "unstructured",
+                              "unstructuredText": "w000 w001"})
+        v2 = dl.view(("text",))
+        assert v2.packed2d is not None
+        assert v2.packed2d.shape[0] > v1.packed2d.shape[0]  # chunks appended
+        got = self._scores(lex, ["w000 w001"], gw, 128, packed=True)
+        want = np.zeros(128, np.float32)
+        rows, vals = lex.score_sparse("w000 w001", 128, "text")
+        want[rows] += vals
+        # delta chunks use current stats; old chunks stale within drift bound
+        np.testing.assert_allclose(got[0], want, rtol=0.2, atol=2e-2)
+
+    def test_hybrid_batch_packed_agrees_with_dense(self, small_corpus, rng):
+        """End-to-end hybrid_topk_batch on the packed tables returns the same
+        top-k docs (scores within quantization tolerance)."""
+        from rassengine_tpu.lexical.device_bm25 import hybrid_topk_batch
+
+        idx, lex = small_corpus
+        queries = [" ".join(VOCAB[i : i + 3]) for i in range(0, 12, 3)]
+        gw = {"text": 1.5, "keyword": 1.0}
+        embs = rng.normal(size=(len(queries), DIM)).astype(np.float32)
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        vd = jnp.asarray(idx._vecs[: idx.capacity], jnp.bfloat16)
+        mask = jnp.zeros(idx.capacity, jnp.float32)
+        outs = {}
+        for packed in (False, True):
+            dl = DeviceLexical(lex, packed=packed)
+            chunk_ids, view, wvec = dl.plan(queries, gw)
+            s, r = hybrid_topk_batch(vd, mask, jnp.asarray(embs), view.tables,
+                                     jnp.asarray(chunk_ids), wvec, 2.0, 5,
+                                     scan_mode="xla_direct")
+            outs[packed] = (np.asarray(s), np.asarray(r))
+        s0, r0 = outs[False]
+        s1, r1 = outs[True]
+        np.testing.assert_allclose(s1, s0, rtol=2e-2, atol=3e-2)
+        # membership flips only among near-ties: a doc swapped in/out must
+        # score within the quantization band of the dense k-th score
+        for b in range(len(queries)):
+            kth = s0[b, -1]
+            flip = set(r0[b].tolist()) ^ set(r1[b].tolist())
+            for row in flip:
+                in_dense = np.nonzero(r0[b] == row)[0]
+                sc = (s0[b, in_dense[0]] if in_dense.size
+                      else s1[b, np.nonzero(r1[b] == row)[0][0]])
+                assert abs(sc - kth) <= 6e-2, (b, row, sc, kth)
