@@ -145,6 +145,31 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                     "value": round(b3 / dt_hyb, 1),
                     "ms_batch_one_dispatch": round(dt_hyb * 1e3, 3)})
 
+    # --- config 3p: packed 4 B/posting lexical tables (ROADMAP r3) ------------
+    # Same hybrid dispatch over the compressed CSR layout: half the postings
+    # HBM + gather bandwidth; decode after the chunk gather on device.
+    dlp = DeviceLexical(lex, packed=True)
+    chunk_ids_p, view_p, wvec_p = dlp.plan(queries3, gw)
+    ci3p = jnp.asarray(chunk_ids_p)
+
+    def hybrid_packed_fn(qq):
+        return hybrid_topk_batch(vd3, mask3, qq, view_p.tables,
+                                 ci3p, wvec_p, 2.0, k, top_m_lex=64,
+                                 scan_mode=scan_mode)
+
+    dt_hp = _chain_time(hybrid_packed_fn, q3, 40 if on_tpu else 2)
+    dense_mb = (np.asarray(view.rows2d).nbytes
+                + np.asarray(view.contrib2d).nbytes) / 2**20
+    packed_mb = (np.asarray(view_p.packed2d).nbytes
+                 + np.asarray(view_p.base).nbytes
+                 + np.asarray(view_p.step).nbytes) / 2**20
+    results.append({"config": f"hybrid_packed_{n3 // 1000}k_b{b3}",
+                    "metric": "qps_per_chip",
+                    "value": round(b3 / dt_hp, 1),
+                    "ms_batch_one_dispatch": round(dt_hp * 1e3, 3),
+                    "postings_mb": round(packed_mb, 2),
+                    "dense_postings_mb": round(dense_mb, 2)})
+
     # --- config 4: int8 + re-rank ---------------------------------------------
     codes, scales = quantize_int8(v3)
     cd = jnp.asarray(codes)
@@ -201,6 +226,38 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                     "speedup_vs_full_scan": round(dt_exact1 / dt_probe, 2),
                     "recall@5_vs_full_scan": round(rec5, 4),
                     "nprobe": nprobe5, "nlist": nlist5})
+
+    # --- config 4c2: PQ4-source device IVF probe (ROADMAP r3) -----------------
+    # Gather source = packed 4-bit codes, list structure = the PQ coarse
+    # stage itself (IvfIndex.from_assignments — no extra k-means). The
+    # single/low-batch path for corpora where even int8 codes bust HBM;
+    # candidates are ADC-ranked (serving exact-re-ranks, tests/test_ann.py).
+    from rassengine_tpu.index.pq4 import Pq4Index
+
+    m_sub5 = Pq4Index.subvectors_for(d, 64)
+    pq5 = Pq4Index.build(v5, m_sub=m_sub5)
+    nprobe_pq = max(8, pq5.coarse.shape[0] // 16)
+    ivfpq5 = IvfIndex.from_assignments(np.asarray(pq5.coarse),
+                                       np.asarray(pq5.assign),
+                                       nprobe=nprobe_pq)
+    packed5 = jnp.asarray(pq5.packed)
+    cb5 = jnp.asarray(pq5.codebooks)
+    m_cand5 = 64
+    ppq_fn = lambda qq: ivfpq5.probe_device_pq(  # noqa: E731
+        packed5, cb5, qq, mask5, m_cand5, nprobe=nprobe_pq)
+    _spq, gotpq = ppq_fn(q5)
+    gotpq = np.asarray(gotpq)
+    recpq = float(np.mean([len(set(g) & set(w)) / k
+                           for g, w in zip(gotpq, want5)]))
+    dt_ppq = _chain_time(ppq_fn, q5_1, it5)
+    results.append({"config": f"ivf_probe_pq_{n5 // 1000}k_b1",
+                    "metric": "ms_single_query",
+                    "value": round(dt_ppq * 1e3, 3),
+                    "speedup_vs_full_scan": round(dt_exact1 / dt_ppq, 2),
+                    f"candidate_recall@5_in_{m_cand5}": round(recpq, 4),
+                    "bytes_per_vec": int(pq5.packed.shape[1]) + 4,
+                    "nprobe": nprobe_pq, "nlist": int(pq5.coarse.shape[0])})
+    del pq5, packed5, cb5, ivfpq5
     del v5
 
     # --- config 4d: sharded local scan per-shard throughput (r2 #4) ----------
