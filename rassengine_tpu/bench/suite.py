@@ -242,7 +242,10 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                                        nprobe=nprobe_pq)
     packed5 = jnp.asarray(pq5.packed)
     cb5 = jnp.asarray(pq5.codebooks)
-    m_cand5 = 64
+    # serving gathers pq_oversample·k (128-512) ADC candidates then
+    # exact-re-ranks (strategies._ivf_probe_pq); measure at the escalated
+    # contract (512 — costs ~0.1 ms over 256, recovers hard-corpus recall)
+    m_cand5 = 512
     ppq_fn = lambda qq: ivfpq5.probe_device_pq(  # noqa: E731
         packed5, cb5, qq, mask5, m_cand5, nprobe=nprobe_pq)
     _spq, gotpq = ppq_fn(q5)

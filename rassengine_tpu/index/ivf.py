@@ -109,10 +109,10 @@ def _probe_kernel(vecs, scales, chunk_rows, chunk_offsets, centroids, q,
 
 
 @partial(jax.jit,
-         static_argnames=("k", "nprobe", "budget", "slab"))
+         static_argnames=("k", "nprobe", "budget", "slab", "precise_lut"))
 def _probe_kernel_pq(packed, chunk_rows, chunk_offsets, coarse, cent, q,
                      add_mask, *, k: int, nprobe: int, budget: int,
-                     slab: int):
+                     slab: int, precise_lut: bool = True):
     """PQ4-source device IVF probe (ROADMAP r3 #3).
 
     Same list-selection + segment math as :func:`_probe_kernel`, but the
@@ -139,7 +139,14 @@ def _probe_kernel_pq(packed, chunk_rows, chunk_offsets, coarse, cent, q,
     sims = jnp.dot(qn, coarse.T, preferred_element_type=jnp.float32)
     top_sims, lists = jax.lax.top_k(sims, nprobe)               # [B, P] desc
     m_sub, _, ds = cent.shape
-    dot_dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    # f32 ADC is free at probe budgets (~1k chunks: 6.1 ms f32 vs 6.2 ms
+    # bf16 at 1M×1024-d on v5e, recall within noise) — default True so LUT
+    # rounding never compounds the PQ distortion; candidate-recall loss on
+    # near-duplicate corpora is the 4-bit quantization itself, recovered by
+    # widening m (0.75@m256 → 0.87@m512 measured) and the caller's sticky
+    # oversample escalation (fusion/strategies._pq_escalated)
+    dot_dt = (jnp.float32 if precise_lut or jax.default_backend() == "cpu"
+              else jnp.bfloat16)
     qs = qn.reshape(b, m_sub, ds)
     luts = jnp.einsum("bmd,mcd->bmc", qs, cent,
                       preferred_element_type=jnp.float32)       # [B, m, 16]
@@ -336,7 +343,8 @@ class IvfIndex:
 
     def probe_device_pq(self, packed_dev, codebooks, q, add_mask, m: int,
                         nprobe: int | None = None, chunk: int = 128,
-                        budget_factor: float = 2.0):
+                        budget_factor: float = 2.0,
+                        precise_lut: bool = True):
         """PQ4-source batched probe → (adc_scores, rows) jax (ROADMAP r3 #3).
 
         ``packed_dev``: [cap, m_sub/2] uint8 packed codes in ROW order (the
@@ -356,14 +364,15 @@ class IvfIndex:
         q = jnp.atleast_2d(q)
         m_sub = codebooks.shape[0]
         # the one-hot is the big intermediate: b·CHUNK·(m_sub·16) per chunk
-        el = 4 if jax.default_backend() == "cpu" else 2
+        el = 4 if precise_lut or jax.default_backend() == "cpu" else 2
         per_chunk = q.shape[0] * chunk * m_sub * 16 * el
         slab = int(min(max(1, (128 << 20) // max(per_chunk, 1)),
                        max(budget, 1)))
         return _probe_kernel_pq(
             packed_dev, t["chunk_rows"], t["chunk_offsets"], t["centroids"],
             codebooks, q, add_mask, k=min(m, budget * chunk),
-            nprobe=nprobe, budget=max(budget, 1), slab=slab)
+            nprobe=nprobe, budget=max(budget, 1), slab=slab,
+            precise_lut=precise_lut)
 
     def search(self, vecs: np.ndarray, query: np.ndarray, k: int,
                nprobe: int | None = None,
