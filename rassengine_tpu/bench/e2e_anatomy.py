@@ -94,7 +94,12 @@ def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
     batched_service = AskService(engine)
 
     async def concurrent(n_inflight: int):
-        await batched_service.ask(queries[0], "u", "w0")
+        # warm the BATCHED shapes too: the first window of each in-flight
+        # level compiles batch-bucketed NLU/embed/scan programs (tens of
+        # seconds through a tunneled compile); production serves warm
+        await asyncio.gather(*[
+            batched_service.ask(q, "u", f"w{j % 8}")
+            for j, q in enumerate(queries[:n_inflight])])
         t0 = time.perf_counter()
         done = 0
         while done < len(queries):

@@ -74,7 +74,11 @@ class Embedder:
                 loaded = load_encoder_params(self.config.encoder_weights_path, bert_cfg)
                 if loaded is not None:
                     params = loaded
-        self.params = params
+        # commit params to device ONCE: msgpack/HF loads return host numpy
+        # trees, and a jitted apply re-uploads any host operand EVERY call —
+        # 436 MB of BERT-large f32 per forward, ~3 s/batch through a
+        # tunneled chip (measured: 19 texts/s; ~40 ms even over PCIe)
+        self.params = jax.device_put(params)
         self.dim = self.config.embed_dim
         if bert_cfg.hidden_size != self.dim:
             key = jax.random.PRNGKey(7)

@@ -95,7 +95,9 @@ class ModelIntentClassifier:
         params = load_params(path, template)
         if params is None:
             raise FileNotFoundError(path)
-        self.params = params
+        # commit once: host-numpy params re-upload per jitted forward
+        # (models/embedder.py measured the cost on tunneled chips)
+        self.params = jax.device_put(params)
         self._fwd = jax.jit(self.model.apply)
         # discriminative cue words seen in training (train/intent_train.py
         # writes cue_words.json): word → the intent its training occurrences

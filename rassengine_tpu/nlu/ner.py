@@ -178,7 +178,9 @@ class ModelNER:
         params = load_params(path, template)
         if params is None:
             raise FileNotFoundError(path)
-        self.params = params
+        # commit once: host-numpy params re-upload per jitted forward
+        # (models/embedder.py measured the cost on tunneled chips)
+        self.params = jax.device_put(params)
         self.threshold = threshold
         self._fwd = jax.jit(self.model.apply)
 

@@ -70,6 +70,16 @@ class TestAskService:
         with pytest.raises(AuthorizationError):
             run(service.ask("q2", "other-user", "shared-chat"))
 
+    def test_403_persists_nothing(self, service):
+        """ask_stream overlaps authorize ‖ retrieve ‖ history; on a 403 the
+        speculative retrieval's result must be discarded — no tokens yielded,
+        no messages persisted to the foreign chat."""
+        run(service.ask("q1", "u1", "shared-chat2"))
+        before = service.db.history("shared-chat2")
+        with pytest.raises(AuthorizationError):
+            run(service.ask("hypertension note", "intruder", "shared-chat2"))
+        assert service.db.history("shared-chat2") == before
+
     def test_empty_query_rejected(self, service):
         from rassengine_tpu.serve.ask import ValidationError
 
