@@ -450,7 +450,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     for qq in queries:
         eng.retrieve("bench", qq, top_k=3)
     e2e = (time.perf_counter() - t0) / len(queries)
-    eng.retrieve_batch("bench", queries[:8], top_k=3)  # warm batch shapes
+    eng.retrieve_batch("bench", queries, top_k=3)  # warm the TIMED shapes
     t0 = time.perf_counter()
     eng.retrieve_batch("bench", queries, top_k=3)
     e2e_b = (time.perf_counter() - t0) / len(queries)

@@ -147,6 +147,70 @@ class RassEngine:
         return {"intent_model": intent.model is not None,
                 "ner_model": ner.model is not None}
 
+    def reshard(self, shard_count: int, replica_count: int = 1) -> dict:
+        """Live topology change — rebuild every tenant under a new
+        (replica, shard) mesh without a restart or a checkpoint.
+
+        The failure-degradation path for sharded fleets (reference
+        counterpart: OpenSearch shard reallocation on node loss,
+        SHARD_COUNT/REPLICA_COUNT main.py:89-90): when devices drop out,
+        re-form the mesh from the survivors and re-place every live doc into
+        its patient's shard region under the NEW shard count (the same
+        re-placement path checkpoint restore uses, index/checkpoint.py).
+        Rows come from the host-canonical arrays, so no device state is
+        needed from the lost shards. Per-tenant swap happens under the
+        mutation lock; in-flight retrievals finish on the old index.
+
+        → {tenant: docs_moved}; raises ValueError if the requested topology
+        exceeds the visible devices.
+        """
+        import jax
+
+        from rassengine_tpu.core.meshes import replica_shard_mesh, shard_mesh
+        from rassengine_tpu.parallel.topk_merge import ShardRouter
+
+        n, r = max(shard_count, 1), max(replica_count, 1)
+        if n * r > len(jax.devices()):
+            raise ValueError(
+                f"reshard({n}×{r}) exceeds {len(jax.devices())} devices")
+        mesh = router = None
+        if n * r > 1:
+            mesh = replica_shard_mesh(r, n) if r > 1 else shard_mesh(n)
+            if n > 1:
+                router = ShardRouter(n)
+        moved: dict[str, int] = {}
+        for name, t in list(self._tenants.items()):
+            with t.lock:
+                old = t.index
+                index = TenantIndex(name, self.config.embed_dim,
+                                    capacity=old.capacity,
+                                    block_rows=old.block_rows, mesh=mesh)
+                lexical = LexicalIndex()
+                index.remap_hooks.append(
+                    lambda mv, _l=lexical: _l.shift_rows(mv))
+                rows = np.nonzero(old._allocated & ~old._deleted)[0]
+                for row in rows:
+                    doc = old.docs[row]
+                    emb = (old._vecs[row] if old._has_embedding[row]
+                           else None)
+                    nr = index.upsert(doc, emb)
+                    lexical.index_doc(nr, doc)
+                t.index = index
+                t.lexical = lexical
+                t.retriever = Retriever(index, lexical, self.config,
+                                        self.use_pallas, mesh=mesh,
+                                        router=router)
+                # rebind like checkpoint.load_engine: compaction may replace
+                # t.lexical later, so the hook must follow the tenant
+                index.remap_hooks.clear()
+                index.remap_hooks.append(
+                    lambda mv, _t=t: _t.lexical.shift_rows(mv))
+                moved[name] = int(rows.size)
+        self.mesh, self.router = mesh, router
+        log.info("resharded %d tenants onto shard=%d replica=%d",
+                 len(moved), n, r)
+        return moved
+
     # --- ingestion ------------------------------------------------------------
 
     def ingest_docs(self, user_id: str, structured: list[dict],

@@ -299,3 +299,65 @@ class TestReplicaServing:
         got = rep.retrieve_batch("u", qs, 5)
         want = single.retrieve_batch("u", qs, 5)
         assert [hit_ids(g) for g in got] == [hit_ids(w) for w in want]
+
+
+class TestLiveReshard:
+    """engine.reshard: live topology change without restart/checkpoint —
+    the host-failure degradation path (re-place every doc into its patient's
+    region under the new shard count, swap per tenant under the lock)."""
+
+    def _fresh(self, shards):
+        eng = mk_engine(shards)
+        eng.ingest_docs("u", [], corpus_docs())
+        return eng
+
+    def test_shrink_8_to_4_preserves_results(self):
+        eng = self._fresh(8)
+        before = {q: hit_ids(eng.retrieve("u", q, top_k=5))
+                  for q in ("tell me about diabetes management",
+                            "patient note hypertension")}
+        moved = eng.reshard(4)
+        assert moved == {"rass-index-u": 60}
+        idx = eng.tenant("u").index
+        assert idx.n_shards == 4 and eng.mesh.shape["shard"] == 4
+        # rows re-placed into the NEW shard regions
+        from rassengine_tpu.index.store import stable_hash32
+
+        rs = idx.capacity // 4
+        for row in np.nonzero(idx._allocated & ~idx._deleted)[0]:
+            shard = stable_hash32(idx.docs[int(row)]["patientId"]) % 4
+            assert shard * rs <= row < (shard + 1) * rs
+        for q, want in before.items():
+            assert hit_ids(eng.retrieve("u", q, top_k=5)) == want
+
+    def test_reshard_to_single_chip(self):
+        eng = self._fresh(8)
+        want = hit_ids(eng.retrieve("u", "asthma management", top_k=5))
+        eng.reshard(1)
+        assert eng.mesh is None and eng.router is None
+        assert eng.tenant("u").index.mesh is None
+        assert hit_ids(eng.retrieve("u", "asthma management", top_k=5)) == want
+
+    def test_patient_isolation_after_reshard(self):
+        eng = self._fresh(8)
+        eng.reshard(2)
+        res = eng.retrieve("u", "patient note", top_k=10, patient_id="p3")
+        assert res.hits
+        assert all(h["patientId"] == "p3" for h, _ in res.hits)
+
+    def test_ingest_after_reshard_lands_in_new_regions(self):
+        eng = self._fresh(8)
+        eng.reshard(4)
+        eng.ingest_docs("u", [], [{"doc_id": "fresh1", "doc_type":
+                                   "unstructured", "patientId": "p2",
+                                   "unstructuredText": "freshterm note"}])
+        from rassengine_tpu.core.schema import QueryIntent
+
+        res = eng.retrieve("u", "freshterm", top_k=3,
+                           intent=QueryIntent.KEYWORD)
+        assert any(h["doc_id"] == "fresh1" for h, _ in res.hits)
+
+    def test_too_many_shards_raises(self):
+        eng = self._fresh(1)
+        with pytest.raises(ValueError):
+            eng.reshard(64)
