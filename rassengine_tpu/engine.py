@@ -27,7 +27,7 @@ from rassengine_tpu.core.config import EngineConfig
 from rassengine_tpu.core.schema import EMBEDDING_INTENTS, QueryIntent
 from rassengine_tpu.core.tracing import stage
 from rassengine_tpu.fusion.strategies import Retriever
-from rassengine_tpu.index.store import TenantIndex
+from rassengine_tpu.index.store import TenantIndex, replace_rows
 from rassengine_tpu.lexical.bm25 import LexicalIndex
 from rassengine_tpu.models.embedder import Embedder
 from rassengine_tpu.nlu.intent import IntentClassifier
@@ -188,13 +188,7 @@ class RassEngine:
                 lexical = LexicalIndex()
                 index.remap_hooks.append(
                     lambda mv, _l=lexical: _l.shift_rows(mv))
-                rows = np.nonzero(old._allocated & ~old._deleted)[0]
-                for row in rows:
-                    doc = old.docs[row]
-                    emb = (old._vecs[row] if old._has_embedding[row]
-                           else None)
-                    nr = index.upsert(doc, emb)
-                    lexical.index_doc(nr, doc)
+                n_moved = replace_rows(index, lexical, old.iter_live())
                 t.index = index
                 t.lexical = lexical
                 t.retriever = Retriever(index, lexical, self.config,
@@ -205,7 +199,7 @@ class RassEngine:
                 index.remap_hooks.clear()
                 index.remap_hooks.append(
                     lambda mv, _t=t: _t.lexical.shift_rows(mv))
-                moved[name] = int(rows.size)
+                moved[name] = n_moved
         self.mesh, self.router = mesh, router
         log.info("resharded %d tenants onto shard=%d replica=%d",
                  len(moved), n, r)
@@ -393,9 +387,15 @@ class RassEngine:
 
 def _batchable(result_spec) -> bool:
     # text_match is a HOST post-filter (_apply_text_match) — batchable with a
-    # widened per-query candidate list; only device-side spec filters (their
-    # add-masks are per query) and patient routing force the single path
-    spec, _text_match, patient_id = result_spec
+    # widened per-query candidate list; device-side spec filters (their
+    # add-masks are per query), patient routing, and patient-identifying
+    # entities force the single path. PERSON/PATIENT_ID queries must go
+    # single: only that path runs resolve_patient_ids_from_name, which routes
+    # retrieval to the patient AND scopes the serve-path answer cache to
+    # `user:<patient>` instead of `user:*`.
+    spec, _text_match, patient_id, entities = result_spec
+    if any(e.get("label") in ("PERSON", "PATIENT_ID") for e in entities or ()):
+        return False
     return (patient_id is None
             and not spec.keyword_terms and not spec.date_ranges
             and spec.patient_id is None)
@@ -437,9 +437,9 @@ def _retrieve_batch(self, user_id: str, queries: list[str],
         embs_by_i = {i: embs[j: j + 1] for j, i in enumerate(emb_idx)}
 
     results: list[RetrievalResult | None] = [None] * len(queries)
-    batch_idx = [i for i, (_q, intent, _e, spec, tm) in enumerate(plans)
+    batch_idx = [i for i, (_q, intent, ents, spec, tm) in enumerate(plans)
                  if intent in (QueryIntent.SEMANTIC, QueryIntent.HYBRID)
-                 and _batchable((spec, tm, None))]
+                 and _batchable((spec, tm, None, ents))]
     if len(batch_idx) >= 2:
         sem_ids = [i for i in batch_idx if plans[i][1] == QueryIntent.SEMANTIC]
         hyb_ids = [i for i in batch_idx if plans[i][1] == QueryIntent.HYBRID]

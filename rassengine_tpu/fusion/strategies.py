@@ -99,17 +99,21 @@ class Retriever:
 
     @property
     def device_lexical(self):
-        if self._device_lexical is None:
-            from rassengine_tpu.lexical.device_bm25 import DeviceLexical
+        from rassengine_tpu.lexical.device_bm25 import DeviceLexical
 
-            # big corpora flush the 4 B/posting packed layout (half the HBM
-            # residency AND half the per-query gather bandwidth; ~0.2%
-            # bounded score quantization — device_bm25.GroupView); small
-            # corpora keep the exact dense layout
-            packed = (self.index.capacity
-                      >= getattr(self.config, "lexical_packed_min_rows",
-                                 1 << 20))
-            self._device_lexical = DeviceLexical(self.lexical, packed=packed)
+        # big corpora flush the 4 B/posting packed layout (half the HBM
+        # residency AND half the per-query gather bandwidth; ~0.2% bounded
+        # score quantization — device_bm25.GroupView); small corpora keep
+        # the exact dense layout. Re-evaluated per access: a tenant GROWING
+        # past the threshold switches on its next flush (the cached views
+        # are rebuilt, not patched)
+        packed = (self.index.capacity
+                  >= getattr(self.config, "lexical_packed_min_rows",
+                             1 << 20))
+        dl = self._device_lexical
+        if dl is None or dl.packed != packed:
+            self._device_lexical = dl = DeviceLexical(self.lexical,
+                                                      packed=packed)
         return self._device_lexical
 
     # --- shared building blocks ----------------------------------------------
@@ -351,16 +355,33 @@ class Retriever:
             cached = (idx.generation, ivf)
             self._ivf_pq_cache = cached
         ivf = cached[1]
-        over = min(max(cfg.pq_oversample * k_out, 128), 512)
         q_all = np.atleast_2d(query_embs)
-        r_parts = []
-        for b0 in range(0, q_all.shape[0], 16):
-            _sb, rb = ivf.probe_device_pq(
-                cols["packed"], cols["codebooks"],
-                jnp.asarray(q_all[b0: b0 + 16]), add_mask, over,
-                nprobe=cfg.ivf_nprobe)
-            r_parts.append(np.asarray(rb, np.int64))
-        rows = np.concatenate(r_parts, axis=0)
+
+        def probe(over: int) -> np.ndarray:
+            r_parts = []
+            for b0 in range(0, q_all.shape[0], 16):
+                _sb, rb = ivf.probe_device_pq(
+                    cols["packed"], cols["codebooks"],
+                    jnp.asarray(q_all[b0: b0 + 16]), add_mask, over,
+                    nprobe=cfg.ivf_nprobe)
+                r_parts.append(np.asarray(rb, np.int64))
+            return np.concatenate(r_parts, axis=0)
+
+        over = min(max(cfg.pq_oversample * k_out, 128), 512)
+        if self._pq_escalated:
+            over = min(2 * over, 1024)
+        rows = probe(over)
+        if (not self._pq_escalated
+                and self._pq_rank_agreement(q_all, rows) < 0.2):
+            # same sticky escalation as _pq_top_m_batch (VERDICT r2 #8):
+            # low ADC/exact rank agreement → the 4-bit quantizer can't
+            # resolve this corpus at the base candidate width — re-probe
+            # wider, once, for the tenant's lifetime
+            log.info("ivf-pq probe: low ADC/exact rank agreement — "
+                     "escalating candidates %d -> %d", over,
+                     min(2 * over, 1024))
+            self._pq_escalated = True
+            rows = probe(min(2 * over, 1024))
         r, s = self._rerank_exact(q_all, rows, k_out)
         return r.astype(np.int64), s
 

@@ -12,11 +12,22 @@ from __future__ import annotations
 import json
 import logging
 import os
+import shutil
+import time
 
 import numpy as np
 
-from rassengine_tpu.index.store import TenantIndex
+from rassengine_tpu.index.store import TenantIndex, replace_rows
 from rassengine_tpu.lexical.bm25 import LexicalIndex
+
+
+def _saved_pairs(docs: list, data) -> "iter":
+    """(doc, emb|None) pairs from a checkpoint's docs.jsonl + arrays.npz,
+    skipping tombstones — the source side of replace_rows on restore."""
+    for i, doc in enumerate(docs):
+        if doc is not None:
+            yield doc, (data["vecs"][i] if data["has_embedding"][i]
+                        else None)
 
 log = logging.getLogger("rassengine.checkpoint")
 
@@ -24,7 +35,8 @@ FORMAT_VERSION = 2
 
 
 def save_tenant(index: TenantIndex, path: str,
-                row_range: tuple[int, int] | None = None) -> None:
+                row_range: tuple[int, int] | None = None,
+                partition_meta: dict | None = None) -> None:
     """Persist the LIVE rows (tombstones drop — a checkpoint is an implicit
     compaction point); rows are gathered so sharded region layouts serialize
     the same as contiguous ones.
@@ -54,7 +66,11 @@ def save_tenant(index: TenantIndex, path: str,
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"version": FORMAT_VERSION, "name": index.name,
                    "dim": index.dim, "count": int(rows.size),
-                   "block_rows": index.block_rows}, f)
+                   "block_rows": index.block_rows,
+                   # topology stamp: load_tenant uses saved_at + n_procs/pid
+                   # to reject stale layouts after a fleet-topology change
+                   "saved_at": time.time(),
+                   **(partition_meta or {})}, f)
     log.info("saved %s (%d docs) → %s", index.name, rows.size, path)
 
 
@@ -69,11 +85,35 @@ def load_tenant(path: str, mesh=None) -> tuple[TenantIndex, LexicalIndex]:
         d for d in (os.listdir(path) if os.path.isdir(path) else [])
         if d.startswith("part")
         and os.path.exists(os.path.join(path, d, "meta.json")))
+    metas = []
+    for p in parts:
+        with open(os.path.join(path, p, "meta.json")) as f:
+            metas.append(json.load(f))
     if parts:
-        metas = []
-        for p in parts:
-            with open(os.path.join(path, p, "meta.json")) as f:
-                metas.append(json.load(f))
+        # topology guard: a fleet that shrank (or moved to single-process
+        # saves) leaves stale part dirs behind — load only the NEWEST save's
+        # layout. The flat meta.json wins when it is at least as recent;
+        # among parts, keep those matching the newest part's n_procs stamp
+        # with pid < n_procs (stale higher parts from a wider fleet drop).
+        newest_part = max(m.get("saved_at", 0) for m in metas)
+        flat_meta = os.path.join(path, "meta.json")
+        if os.path.exists(flat_meta):
+            with open(flat_meta) as f:
+                if json.load(f).get("saved_at", 0) >= newest_part:
+                    parts = []
+    if parts:
+        auth = max(metas, key=lambda m: m.get("saved_at", 0))
+        n_procs = auth.get("n_procs")
+        kept = [(p, m) for p, m in zip(parts, metas)
+                if n_procs is None
+                or (m.get("n_procs") == n_procs
+                    and m.get("pid", 0) < n_procs)]
+        dropped = len(parts) - len(kept)
+        if dropped:
+            log.warning("%s: ignoring %d stale checkpoint partition(s) "
+                        "from an older fleet topology", path, dropped)
+        parts = [p for p, _m in kept]
+        metas = [m for _p, m in kept]
         total = sum(m["count"] for m in metas)
         index = TenantIndex(metas[0]["name"], metas[0]["dim"],
                             capacity=max(total, 1024),
@@ -85,12 +125,7 @@ def load_tenant(path: str, mesh=None) -> tuple[TenantIndex, LexicalIndex]:
             with open(os.path.join(path, p, "docs.jsonl"),
                       encoding="utf-8") as f:
                 docs = [json.loads(line) for line in f]
-            for i, doc in enumerate(docs):
-                if doc is None:
-                    continue
-                emb = data["vecs"][i] if data["has_embedding"][i] else None
-                row = index.upsert(doc, emb)
-                lexical.index_doc(row, doc)
+            replace_rows(index, lexical, _saved_pairs(docs, data))
         log.info("loaded %s (%d docs from %d partitions%s) from %s",
                  index.name, index.count, len(parts),
                  ", re-sharded" if mesh is not None else "", path)
@@ -107,12 +142,7 @@ def load_tenant(path: str, mesh=None) -> tuple[TenantIndex, LexicalIndex]:
     if mesh is not None:
         # sharded target: re-place every row into its patient's shard region
         index.remap_hooks.append(lexical.shift_rows)
-        for i, doc in enumerate(docs):
-            if doc is None:
-                continue
-            emb = data["vecs"][i] if data["has_embedding"][i] else None
-            row = index.upsert(doc, emb)
-            lexical.index_doc(row, doc)
+        replace_rows(index, lexical, _saved_pairs(docs, data))
         log.info("loaded %s (%d docs, re-sharded) from %s",
                  index.name, index.count, path)
         return index, lexical
@@ -174,14 +204,29 @@ def save_engine(engine, root: str,
                         else min((s0 + per_proc) * rs, idx.capacity))
                 rr = (s0 * rs, stop)
                 save_tenant(idx, os.path.join(root, safe, f"part{pid}"),
-                            row_range=rr)
+                            row_range=rr,
+                            partition_meta={"pid": pid, "n_procs": n_procs})
             else:
-                save_tenant(tenant.index, os.path.join(root, safe))
+                tdir = os.path.join(root, safe)
+                save_tenant(tenant.index, tdir)
+                # a single-process save owns the whole tenant: drop part
+                # dirs left by an earlier fleet topology (load_tenant also
+                # guards by saved_at, but cleaning keeps the dir canonical)
+                for d in list(os.listdir(tdir)):
+                    if d.startswith("part") and os.path.isdir(
+                            os.path.join(tdir, d)):
+                        shutil.rmtree(os.path.join(tdir, d),
+                                      ignore_errors=True)
         names.append(safe)
     manifest = (os.path.join(root, f"tenants.p{pid}.json") if n_procs > 1
                 else os.path.join(root, "tenants.json"))
     with open(manifest, "w") as f:
         json.dump(names, f)
+    if n_procs == 1:
+        # stale per-process manifests would resurrect fleet-era tenant lists
+        for fn in list(os.listdir(root)):
+            if fn.startswith("tenants.p") and fn.endswith(".json"):
+                os.remove(os.path.join(root, fn))
 
 
 def load_engine(engine, root: str) -> int:
@@ -207,8 +252,19 @@ def load_engine(engine, root: str) -> int:
         return 0
     mesh = getattr(engine, "mesh", None)
     router = getattr(engine, "router", None)
+    loaded = 0
     for safe in names:
-        index, lexical = load_tenant(os.path.join(root, safe), mesh=mesh)
+        tdir = os.path.join(root, safe)
+        if not (os.path.exists(os.path.join(tdir, "meta.json"))
+                or any(d.startswith("part")
+                       for d in (os.listdir(tdir)
+                                 if os.path.isdir(tdir) else ()))):
+            # stale manifest entry (tenant deleted after a fleet-era save):
+            # skip rather than abort the whole restore
+            log.warning("checkpoint manifest names %s but no data exists "
+                        "under %s; skipping", safe, tdir)
+            continue
+        index, lexical = load_tenant(tdir, mesh=mesh)
         t = Tenant(
             index.name, index, lexical,
             Retriever(index, lexical, engine.config, engine.use_pallas,
@@ -217,4 +273,5 @@ def load_engine(engine, root: str) -> int:
         index.remap_hooks.clear()  # drop the load-time lexical binding
         index.remap_hooks.append(lambda mv, _t=t: _t.lexical.shift_rows(mv))
         engine._tenants[index.name] = t
-    return len(names)
+        loaded += 1
+    return loaded

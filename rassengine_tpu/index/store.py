@@ -674,6 +674,28 @@ class TenantIndex:
     def sources(self, rows: np.ndarray) -> list[dict | None]:
         return [self.docs[int(r)] if 0 <= int(r) < self.capacity else None for r in rows]
 
+    def iter_live(self):
+        """Yield ``(doc, embedding | None)`` for every live (non-tombstoned)
+        row — the source side of a re-placement (reshard, checkpoint)."""
+        for row in np.nonzero(self._allocated & ~self._deleted)[0]:
+            yield (self.docs[row],
+                   self._vecs[row] if self._has_embedding[row] else None)
+
+
+def replace_rows(index: "TenantIndex", lexical, pairs) -> int:
+    """Re-place ``(doc, embedding | None)`` pairs into a FRESH index/lexical
+    pair, routing each doc into its patient's shard region under the index's
+    mesh. The one re-placement loop shared by live reshard
+    (engine.reshard) and checkpoint restore (checkpoint.load_tenant) — any
+    per-row column added to upsert/index_doc flows to both automatically.
+    → number of docs placed."""
+    n = 0
+    for doc, emb in pairs:
+        row = index.upsert(doc, emb)
+        lexical.index_doc(row, doc)
+        n += 1
+    return n
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

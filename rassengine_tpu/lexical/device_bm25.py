@@ -479,10 +479,15 @@ lexical_sparse_scores_packed = jax.jit(_lex_scores_body_packed)
 
 
 def _lex_scores_dispatch(lex_tables, chunk_ids, wvec):
-    """Select the sparse-score body by table structure (GroupView.tables)."""
+    """Select the sparse-score stage by table structure (GroupView.tables).
+
+    Routes through the jitted entry points: eager callers (sparse-only
+    strategies, tests) get compiled code; under hybrid_topk_batch's jit the
+    nested jit simply traces inline.
+    """
     if len(lex_tables) == 3:
-        return _lex_scores_body_packed(*lex_tables, chunk_ids, wvec)
-    return _lex_scores_body(*lex_tables, chunk_ids, wvec)
+        return lexical_sparse_scores_packed(*lex_tables, chunk_ids, wvec)
+    return lexical_sparse_scores(*lex_tables, chunk_ids, wvec)
 
 
 def _fuse_body(vecs, add_mask, q_unit, lex_rows, lex_scores, sem_rows,

@@ -159,14 +159,19 @@ class AskService:
                 entities=entities))
         hist_t = asyncio.create_task(
             self.db.a_history(chat_id, self.config.max_chat_history))
-        auth_e, result, history = await asyncio.gather(
-            auth_t, ret_t, hist_t, return_exceptions=True)
-        if isinstance(auth_e, BaseException):
-            raise auth_e
-        if isinstance(result, BaseException):
-            raise result
-        if isinstance(history, BaseException):
-            raise history
+        # FIRST_EXCEPTION so a 403 surfaces at sqlite speed, not after the
+        # speculative retrieval finishes (auth precedence: if anything
+        # failed, settle the cheap auth task and raise ITS error first)
+        await asyncio.wait({auth_t, ret_t, hist_t},
+                           return_when=asyncio.FIRST_EXCEPTION)
+        if not auth_t.done():
+            await asyncio.wait({auth_t})
+        if auth_t.exception() is not None:
+            ret_t.cancel()
+            hist_t.cancel()
+            await asyncio.gather(ret_t, hist_t, return_exceptions=True)
+            raise auth_t.exception()
+        result, history = await asyncio.gather(ret_t, hist_t)
 
         # --- early-return branches (reference main.py:2804-2876) -------------
         if result.intent == QueryIntent.AGGREGATE:

@@ -132,6 +132,78 @@ class TestPartitionedCheckpoint:
         assert ([h["doc_id"] for h, _ in a.hits]
                 == [h["doc_id"] for h, _ in b.hits])
 
+    def test_topology_change_ignores_stale_layouts(self, rng, tmp_path):
+        """Fleet→single and fleet-shrink must not resurrect stale data:
+        a newer flat save wins over older part dirs, a 2-proc save drops a
+        stale 4-proc-era part, and stale per-process manifests are cleaned
+        by the single-process save (round-3 review finding #2)."""
+        import time as _time
+
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.engine import RassEngine
+        from rassengine_tpu.index.checkpoint import load_engine, save_engine
+        from rassengine_tpu.models.bert import BertConfig
+
+        cfg = EngineConfig(embed_dim=32, embed_batch_size=4,
+                           index_capacity=512, index_block_rows=128,
+                           intent_model_path="/none", ner_model_path="/none")
+        eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        docs = [{"doc_id": f"x{i}", "doc_type": "unstructured",
+                 "patientId": f"p{i % 5}",
+                 "unstructuredText": f"note {i} metformin dosage"}
+                for i in range(24)]
+        eng.ingest_docs("alice", [], docs)
+        root = str(tmp_path / "fleet")
+        # era 1: 4-process fleet save
+        for pid in range(4):
+            save_engine(eng, root, partition=(pid, 4))
+        # era 2: docs deleted, then a 2-process fleet save
+        eng.delete_docs("alice", ["x0", "x1"])
+        _time.sleep(0.02)
+        for pid in range(2):
+            save_engine(eng, root, partition=(pid, 2))
+        eng2 = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        assert load_engine(eng2, root) == 1
+        # deleted docs must NOT resurrect from the stale part2/part3
+        assert eng2.tenant("alice").index.count == 22
+        assert "x0" not in eng2.tenant("alice").index._id_to_row
+        # era 3: single-process save wins over all part dirs + manifests
+        eng.delete_docs("alice", ["x2"])
+        _time.sleep(0.02)
+        save_engine(eng, root)
+        import os as _os
+
+        assert not [f for f in _os.listdir(root)
+                    if f.startswith("tenants.p")]
+        eng3 = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        assert load_engine(eng3, root) == 1
+        assert eng3.tenant("alice").index.count == 21
+
+    def test_stale_manifest_entry_skipped(self, rng, tmp_path):
+        """A tenants.pN.json naming a since-deleted tenant dir must not
+        abort the whole restore."""
+        import json as _json
+        import os as _os
+
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.engine import RassEngine
+        from rassengine_tpu.index.checkpoint import load_engine, save_engine
+        from rassengine_tpu.models.bert import BertConfig
+
+        cfg = EngineConfig(embed_dim=32, embed_batch_size=4,
+                           index_capacity=256, intent_model_path="/none",
+                           ner_model_path="/none")
+        eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        eng.ingest_docs("alice", [], [{"doc_id": "a", "doc_type":
+                                       "unstructured",
+                                       "unstructuredText": "hello"}])
+        root = str(tmp_path / "ck")
+        save_engine(eng, root, partition=(0, 2))
+        with open(_os.path.join(root, "tenants.p1.json"), "w") as f:
+            _json.dump(["rass-index-ghost"], f)
+        eng2 = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        assert load_engine(eng2, root) == 1  # ghost skipped, alice loads
+
 
 def test_engine_save_load(rng, tmp_path):
     from rassengine_tpu.core.config import EngineConfig

@@ -108,6 +108,20 @@ class TestIngestFiles:
 
 
 class TestRetrieveBatch:
+    def test_person_queries_fall_to_single_path(self, engine):
+        """A patient-name query must NOT batch: only the single path runs
+        resolve_patient_ids_from_name (patient routing + per-patient cache
+        scope). Regression for the round-3 _batchable widening."""
+        queries = ["what does Maria Gonzalez take for asthma",
+                   "asthma treatment options"]
+        batch = engine.retrieve_batch("alice", queries, top_k=3)
+        single = engine.retrieve("alice", queries[0], top_k=3)
+        assert batch[0].patient_ids == single.patient_ids
+        assert batch[0].patient_name == single.patient_name
+        assert [h["doc_id"] for h, _ in batch[0].hits] == \
+               [h["doc_id"] for h, _ in single.hits]
+        assert single.patient_ids == ["p1"]  # the fixture's Maria Gonzalez
+
     def test_batch_matches_single(self, engine):
         queries = ["wheezing at night exercise", "albuterol inhaler usage",
                    "asthma condition summary"]
