@@ -192,6 +192,41 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                     "candidate_recall@5": round(float(rec4), 4),
                     "ms_batch": round(dt_int8 * 1e3, 3)})
 
+    # --- config 4h: int8-only one-dispatch hybrid (>bf16-budget regime) -------
+    # 4M×1024-d: bf16 rows would be 8 GB > HYBRID_BF16_BUDGET (6 GB), so the
+    # hybrid runs ENTIRELY from the 4 GB int8 codes — scan, lex-candidate
+    # cosines, fusion — one dispatch (device_bm25.hybrid_topk_batch with
+    # vecs=None). The alternative above the budget is per-query host
+    # candidate-union fusion. TPU-only (the int8 scan is a Pallas kernel).
+    if on_tpu and scale == "full":
+        n4h = 4_194_304
+        v4h = unit(n4h, d)
+        c4h, s4h = quantize_int8(v4h)
+        cd4h, sd4h = jnp.asarray(c4h), jnp.asarray(s4h)
+        mask4h = jnp.zeros(n4h, jnp.float32)
+        lex4h = LexicalIndex()
+        for r in range(0, n4h, max(1, n4h // 20_000)):
+            lex4h.index_doc(r, {"unstructuredText":
+                                " ".join(rng.choice(vocab, 12))})
+        dl4h = DeviceLexical(lex4h)
+        ci4h_raw, view4h, wvec4h = dl4h.plan(queries3, gw)
+        ci4h = jnp.asarray(ci4h_raw)
+        q4h = jnp.asarray(unit(b3, d))
+
+        def hybrid_i8_fn(qq):
+            return hybrid_topk_batch(None, mask4h, qq, view4h.tables,
+                                     ci4h, wvec4h, 2.0, k, top_m_lex=64,
+                                     scan_mode="pallas_int8",
+                                     int8_tables=(cd4h, sd4h))
+
+        dt_4h = _chain_time(hybrid_i8_fn, q4h, 20)
+        results.append({"config": f"hybrid_int8only_{n4h // 1000}k_b{b3}",
+                        "metric": "qps_per_chip",
+                        "value": round(b3 / dt_4h, 1),
+                        "ms_batch_one_dispatch": round(dt_4h * 1e3, 3),
+                        "codes_gb": round(n4h * d / 2**30, 1)})
+        del v4h, c4h, s4h, cd4h, sd4h, mask4h
+
     # --- config 4c: device IVF probe — single-query latency (VERDICT r2 #6) ---
     # The probe reads nprobe lists instead of the corpus; its win regime is
     # low batch, where the full scan still streams every row per dispatch.

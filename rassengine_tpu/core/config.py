@@ -59,6 +59,12 @@ class EngineConfig:
     shard_count: int = 1                # reference SHARD_COUNT (main.py:89)
     replica_count: int = 0              # reference REPLICA_COUNT (main.py:90)
     vector_dtype: str = "bfloat16"
+    # device-loss detection → auto reshard onto survivors (parallel/health.py;
+    # beyond reference parity — its recovery is Docker restart + OpenSearch
+    # replicas, docker-compose.yml:38-51). 0 disables; only armed when a
+    # multi-device mesh is serving.
+    health_interval_s: float = 15.0
+    health_probe_timeout_s: float = 20.0
     # --- ANN (replaces HNSW m=48 ef_construction=400, main.py:563-572) ---
     ann_enabled: bool = True
     ann_threshold: int = 200_000        # below this, exact scan is faster than IVF
@@ -143,6 +149,8 @@ class EngineConfig:
             index_capacity=_env_int("INDEX_CAPACITY", 16384),
             shard_count=_env_int("SHARD_COUNT", 1),
             replica_count=_env_int("REPLICA_COUNT", 0),
+            health_interval_s=_env_float("HEALTH_INTERVAL_S", 15.0),
+            health_probe_timeout_s=_env_float("HEALTH_PROBE_TIMEOUT_S", 20.0),
             ann_mode=os.getenv("ANN_MODE", "auto"),
             ivf_nlist=_env_int("IVF_NLIST", 1024),
             ivf_nprobe=_env_int("IVF_NPROBE", 64),

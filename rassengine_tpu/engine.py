@@ -147,7 +147,8 @@ class RassEngine:
         return {"intent_model": intent.model is not None,
                 "ner_model": ner.model is not None}
 
-    def reshard(self, shard_count: int, replica_count: int = 1) -> dict:
+    def reshard(self, shard_count: int, replica_count: int = 1,
+                devices=None) -> dict:
         """Live topology change — rebuild every tenant under a new
         (replica, shard) mesh without a restart or a checkpoint.
 
@@ -161,6 +162,10 @@ class RassEngine:
         needed from the lost shards. Per-tenant swap happens under the
         mutation lock; in-flight retrievals finish on the old index.
 
+        ``devices``: explicit survivor list (parallel/health.py passes the
+        healthy subset after a device loss — the failed chip may be any
+        position, not a suffix); defaults to ``jax.devices()``.
+
         → {tenant: docs_moved}; raises ValueError if the requested topology
         exceeds the visible devices.
         """
@@ -169,13 +174,15 @@ class RassEngine:
         from rassengine_tpu.core.meshes import replica_shard_mesh, shard_mesh
         from rassengine_tpu.parallel.topk_merge import ShardRouter
 
+        pool = list(devices) if devices is not None else jax.devices()
         n, r = max(shard_count, 1), max(replica_count, 1)
-        if n * r > len(jax.devices()):
+        if n * r > len(pool):
             raise ValueError(
-                f"reshard({n}×{r}) exceeds {len(jax.devices())} devices")
+                f"reshard({n}×{r}) exceeds {len(pool)} devices")
         mesh = router = None
         if n * r > 1:
-            mesh = replica_shard_mesh(r, n) if r > 1 else shard_mesh(n)
+            mesh = (replica_shard_mesh(r, n, devices=pool) if r > 1
+                    else shard_mesh(n, devices=pool[:n]))
             if n > 1:
                 router = ShardRouter(n)
         moved: dict[str, int] = {}

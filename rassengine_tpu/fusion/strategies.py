@@ -659,7 +659,9 @@ class Retriever:
         spec = self._spec(filter_clause, patient_id)
         idx = self.index
         if (self.mesh is None
-                and 2 * idx.capacity * idx.dim <= HYBRID_BF16_BUDGET_BYTES):
+                and (2 * idx.capacity * idx.dim <= HYBRID_BF16_BUDGET_BYTES
+                     or (self.use_pallas and idx.capacity * idx.dim
+                         <= self.config.int8_hbm_budget_bytes))):
             try:
                 return self._hybrid_batch_device(queries, query_embs, k, spec)
             except Exception:
@@ -700,28 +702,40 @@ class Retriever:
         mask = idx.filter_mask(spec)
         q = np.atleast_2d(np.asarray(query_embs, np.float32))
         m = min(max(4 * k, 64), 128, idx.capacity)
-        cols = idx.device_columns()
-        if self.use_pallas and idx.capacity >= idx.block_rows:
-            scan_mode = "pallas"
-        elif idx.capacity <= 65536:
-            scan_mode = "xla_direct"
+        # beyond the bf16 hybrid budget the dispatch runs from int8 codes
+        # ONLY (~0.5% bounded score noise, 6× more rows/chip); bf16 rows
+        # never upload. Within budget, bf16 rows are the single resident
+        # form — exact scores, no double residency.
+        int8_only = (2 * idx.capacity * idx.dim > HYBRID_BF16_BUDGET_BYTES
+                     and self.use_pallas)
+        int8_tables = None
+        if int8_only:
+            c8 = idx.device_columns_int8()
+            int8_tables = (c8["codes"], c8["scales"])
+            vecs_arg, scan_mode = None, "pallas_int8"
         else:
-            scan_mode = "xla_scan"
+            vecs_arg = idx.device_columns()["vecs"]
+            if self.use_pallas and idx.capacity >= idx.block_rows:
+                scan_mode = "pallas"
+            elif idx.capacity <= 65536:
+                scan_mode = "xla_direct"
+            else:
+                scan_mode = "xla_scan"
 
         def run(mode):
             with stage("hybrid_batch"):
                 return hybrid_topk_batch(
-                    cols["vecs"], mask, jnp.asarray(q), view.tables,
+                    vecs_arg, mask, jnp.asarray(q), view.tables,
                     jnp.asarray(chunk_ids), wvec,
                     sem_weight, min(k, 256), m=m,
                     block_rows=min(idx.block_rows, idx.capacity),
-                    scan_mode=mode)
+                    scan_mode=mode, int8_tables=int8_tables)
 
         try:
             top_s, top_r = run(scan_mode)
         except Exception:
-            if scan_mode != "pallas":
-                raise
+            if not scan_mode.startswith("pallas") or int8_only:
+                raise  # int8-only has no in-budget fallback form
             self.use_pallas = False
             top_s, top_r = run("xla_direct" if idx.capacity <= 65536
                                else "xla_scan")

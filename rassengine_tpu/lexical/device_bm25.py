@@ -490,24 +490,38 @@ def _lex_scores_dispatch(lex_tables, chunk_ids, wvec):
     return lexical_sparse_scores(*lex_tables, chunk_ids, wvec)
 
 
-def _fuse_body(vecs, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
+def _gather_cos(vec_source, rows, q_unit):
+    """Cosine of gathered corpus rows vs unit queries; the row source is
+    structural — ``(vecs,)`` bf16 rows, or ``(codes, scales)`` int8 codes +
+    per-row scale (the >bf16-budget hybrid: codes are the ONLY resident
+    form, ~0.5% bounded score noise)."""
+    if len(vec_source) == 2:
+        codes, scales = vec_source
+        cos = jnp.einsum("bmd,bd->bm", codes[rows].astype(jnp.bfloat16),
+                         q_unit.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return cos * scales[rows]
+    g = vec_source[0][rows].astype(jnp.bfloat16)
+    return jnp.einsum("bmd,bd->bm", g, q_unit.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+def _fuse_body(vec_source, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
                sem_scores, sem_weight, *, k: int, top_m_lex: int):
     """Exact additive fusion over (BM25 top-M ∪ semantic top-m) candidates.
 
-    vecs [cap, d] (bf16 corpus), add_mask [cap] (0/−inf filter),
-    q_unit [B, d] f32 unit queries, lex_rows/lex_scores from the sparse BM25
-    stage, sem_rows/sem_scores [B, m] from the device scan (scores = cosine
-    + mask). Returns (scores [B, k], rows [B, k]).
+    vec_source: ``(vecs,)`` bf16 [cap, d] rows or ``(codes, scales)`` int8
+    (see _gather_cos); add_mask [cap] (0/−inf filter), q_unit [B, d] f32
+    unit queries, lex_rows/lex_scores from the sparse BM25 stage,
+    sem_rows/sem_scores [B, m] from the device scan (scores = cosine +
+    mask). Returns (scores [B, k], rows [B, k]).
     """
-    cap = vecs.shape[0]
+    cap = vec_source[0].shape[0]
     m_lex = min(top_m_lex, lex_scores.shape[1])
     lm_s, lm_pos = jax.lax.top_k(lex_scores, m_lex)
     lm_rows = jnp.take_along_axis(lex_rows, lm_pos, axis=1)       # [B, M]
     safe = jnp.where(lm_rows < cap, lm_rows, 0)
-    gathered = vecs[safe].astype(jnp.bfloat16)                    # [B, M, d]
-    cos = jnp.einsum("bmd,bd->bm", gathered,
-                     q_unit.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+    cos = _gather_cos(vec_source, safe, q_unit)
     fused_lex = sem_weight * cos + lm_s + add_mask[safe]
     ok = (lm_rows < cap) & (lm_s > NEG_INF / 2)
     # drop lexical candidates the semantic branch already covers (it fuses
@@ -534,31 +548,54 @@ def _fuse_body(vecs, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
     return top_s, top_r
 
 
-fused_hybrid_topk = jax.jit(partial(_fuse_body), static_argnames=(
-    "k", "top_m_lex"))
-
-
 @partial(jax.jit, static_argnames=("k", "m", "top_m_lex", "block_rows",
-                                   "scan_mode"))
+                                   "scan_mode", "interpret"))
 def hybrid_topk_batch(vecs, add_mask, queries, lex_tables, chunk_ids,
                       wvec, sem_weight, k: int, m: int = 64,
                       top_m_lex: int = 128, block_rows: int = 2048,
-                      scan_mode: str = "pallas"):
+                      scan_mode: str = "pallas", int8_tables=None,
+                      interpret: bool = False):
     """The whole batched hybrid in ONE dispatch: scan + sparse BM25 + fusion.
 
     queries [B, d] raw embeddings (normalized here). ``lex_tables`` is
     GroupView.tables — (rows2d, contrib2d) dense or (packed2d, base, step)
     packed; the tuple structure picks the sparse stage under this jit.
-    ``scan_mode``: "pallas" (fused pooled kernel), "xla_scan" (lax.scan
+    ``scan_mode``: "pallas" (fused pooled kernel), "pallas_int8" (int8 codes
+    scan, needs ``int8_tables`` = (codes, scales)), "xla_scan" (lax.scan
     blocks, large CPU corpora), "xla_direct" (single matmul, small corpora /
     tests).
+
+    pallas_int8 has two regimes, selected by whether bf16 rows are provided:
+
+    - ``vecs`` present: int8 only SELECTS the semantic top-m; an in-dispatch
+      [B, m, d] bf16 gather re-scores them exactly, so fused ordering stays
+      at bf16-oracle parity (measured ≈ the bf16 scan at 1M — the rescore
+      gather offsets the halved scan read; kept for parity tests).
+    - ``vecs=None``: the corpus beyond the bf16 hybrid budget — EVERY cosine
+      (scan and lex-candidate) comes from the int8 codes (~0.5% bounded
+      noise). Extends the one-dispatch hybrid to ~6× more rows/chip; the
+      alternative above the budget is per-query host candidate-union fusion.
     """
     q32 = queries.astype(jnp.float32)
     qn = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
-    if scan_mode == "pallas":
+    if scan_mode == "pallas_int8":
+        from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
+
+        codes, scales = int8_tables
+        sem_s, sem_r = fused_topk_int8_pooled(codes, scales, qn, add_mask,
+                                              m, block_rows,
+                                              interpret=interpret)
+        if vecs is not None:
+            cap = vecs.shape[0]
+            safe = jnp.where((sem_r >= 0) & (sem_r < cap), sem_r, 0)
+            cos = _gather_cos((vecs,), safe, qn)
+            sem_ok = (sem_r >= 0) & (sem_s > NEG_INF / 2)
+            sem_s = jnp.where(sem_ok, cos + add_mask[safe], NEG_INF)
+    elif scan_mode == "pallas":
         from rassengine_tpu.ops.fused_topk import fused_topk_pooled
 
-        sem_s, sem_r = fused_topk_pooled(vecs, qn, add_mask, m, block_rows)
+        sem_s, sem_r = fused_topk_pooled(vecs, qn, add_mask, m, block_rows,
+                                         interpret=interpret)
     elif scan_mode == "xla_scan":
         from rassengine_tpu.index.exact import exact_topk
 
@@ -568,5 +605,6 @@ def hybrid_topk_batch(vecs, add_mask, queries, lex_tables, chunk_ids,
 
         sem_s, sem_r = exact_topk_direct(vecs, qn, add_mask, m)
     lex_rows, lex_scores = _lex_scores_dispatch(lex_tables, chunk_ids, wvec)
-    return _fuse_body(vecs, add_mask, qn, lex_rows, lex_scores, sem_r, sem_s,
-                      sem_weight, k=k, top_m_lex=top_m_lex)
+    vec_source = (vecs,) if vecs is not None else int8_tables
+    return _fuse_body(vec_source, add_mask, qn, lex_rows, lex_scores, sem_r,
+                      sem_s, sem_weight, k=k, top_m_lex=top_m_lex)

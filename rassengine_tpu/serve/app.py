@@ -68,7 +68,7 @@ def build_app(engine: RassEngine, service: AskService | None = None,
             name: {"docs": t.index.count, "capacity": t.index.capacity}
             for name, t in engine._tenants.items()
         }
-        return Response.json_response({
+        body = {
             "status": "ok",
             "encoder": {"dim": engine.embedder.dim,
                         "model": engine.embedder.bert_cfg.hidden_size},
@@ -77,7 +77,11 @@ def build_app(engine: RassEngine, service: AskService | None = None,
             "native_bm25": get_native_bm25() is not None,
             "pallas": engine.use_pallas,
             "tenants": tenants,
-        })
+        }
+        monitor = app.state.get("health_monitor")
+        if monitor is not None:
+            body["devices"] = monitor.status()
+        return Response.json_response(body)
 
     @app.route("GET", "/metrics")
     async def metrics(req: Request) -> Response:
@@ -360,6 +364,19 @@ async def main() -> None:
     if cfg.emb_dir and os.path.isdir(cfg.emb_dir) and not engine._tenants:
         n = engine.ingest_directory("default", cfg.emb_dir)
         log.info("bulk-ingested %d docs from %s", n, cfg.emb_dir)
+    if engine.mesh is not None and cfg.health_interval_s > 0:
+        # multi-device fleet: arm device-loss detection → auto reshard onto
+        # survivors (parallel/health.py; single-chip serving has nothing to
+        # shrink onto, so the monitor stays off)
+        from rassengine_tpu.parallel.health import DeviceHealthMonitor
+
+        monitor = DeviceHealthMonitor(
+            engine, interval_s=cfg.health_interval_s,
+            probe_timeout_s=cfg.health_probe_timeout_s)
+        app.state["health_monitor"] = monitor
+        tasks.append(monitor.run())
+        log.info("device health monitor armed (every %.0fs, probe timeout "
+                 "%.0fs)", cfg.health_interval_s, cfg.health_probe_timeout_s)
     try:
         await asyncio.gather(
             app.serve(cfg.host, cfg.port),

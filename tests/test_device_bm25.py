@@ -361,3 +361,107 @@ class TestPackedPostings:
                 sc = (s0[b, in_dense[0]] if in_dense.size
                       else s1[b, np.nonzero(r1[b] == row)[0][0]])
                 assert abs(sc - kth) <= 6e-2, (b, row, sc, kth)
+
+
+def test_hybrid_int8_source_matches_exact(small_corpus, rng):
+    """pallas_int8 scan mode: int8 codes only SELECT candidates; the
+    in-dispatch exact bf16 re-score must reproduce the exact path's docs and
+    scores when m covers the corpus (round-3 headline int8-source hybrid)."""
+    from rassengine_tpu.index.quant import quantize_int8
+    from rassengine_tpu.lexical.device_bm25 import hybrid_topk_batch
+
+    idx, lex = small_corpus
+    queries = [" ".join(VOCAB[i: i + 3]) for i in range(0, 12, 3)]
+    gw = {"text": 1.5, "keyword": 1.0}
+    embs = rng.normal(size=(len(queries), DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    vd = jnp.asarray(idx._vecs[: idx.capacity], jnp.bfloat16)
+    mask = jnp.zeros(idx.capacity, jnp.float32)
+    dl = DeviceLexical(lex)
+    chunk_ids, view, wvec = dl.plan(queries, gw)
+    args = (vd, mask, jnp.asarray(embs), view.tables,
+            jnp.asarray(chunk_ids), wvec, 2.0, 5)
+    s0, r0 = hybrid_topk_batch(*args, m=128, scan_mode="xla_direct")
+    codes, scales = quantize_int8(idx._vecs[: idx.capacity])
+    s1, r1 = hybrid_topk_batch(
+        *args, m=128, block_rows=idx.capacity, scan_mode="pallas_int8",
+        int8_tables=(jnp.asarray(codes), jnp.asarray(scales)),
+        interpret=True)
+    s0, r0, s1, r1 = map(np.asarray, (s0, r0, s1, r1))
+    # candidates cover the whole corpus (m=128 >= live docs) and scores are
+    # exact bf16 — identical docs; scores within bf16 noise
+    assert (r0 == r1).all(), (r0, r1)
+    np.testing.assert_allclose(s1, s0, rtol=2e-2, atol=2e-2)
+
+
+def test_hybrid_int8_only_close_to_exact(small_corpus, rng):
+    """vecs=None (>bf16-budget regime): every cosine comes from int8 codes.
+    Scores must track the exact path within the ~0.5% quantization band and
+    membership may flip only among near-ties."""
+    from rassengine_tpu.index.quant import quantize_int8
+    from rassengine_tpu.lexical.device_bm25 import hybrid_topk_batch
+
+    idx, lex = small_corpus
+    queries = [" ".join(VOCAB[i: i + 3]) for i in range(0, 12, 3)]
+    gw = {"text": 1.5, "keyword": 1.0}
+    # strong-signal queries: embeddings near actual corpus rows, so top docs
+    # are decisive rather than random near-ties
+    embs = idx._vecs[:4].astype(np.float32) \
+        + 0.05 * rng.normal(size=(4, DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    vd = jnp.asarray(idx._vecs[: idx.capacity], jnp.bfloat16)
+    mask = jnp.zeros(idx.capacity, jnp.float32)
+    dl = DeviceLexical(lex)
+    chunk_ids, view, wvec = dl.plan(queries[:4], gw)
+    args = (mask, jnp.asarray(embs), view.tables,
+            jnp.asarray(chunk_ids), wvec, 2.0, 5)
+    s0, r0 = hybrid_topk_batch(vd, *args, m=128, scan_mode="xla_direct")
+    codes, scales = quantize_int8(idx._vecs[: idx.capacity])
+    s1, r1 = hybrid_topk_batch(
+        None, *args, m=128, block_rows=idx.capacity,
+        scan_mode="pallas_int8",
+        int8_tables=(jnp.asarray(codes), jnp.asarray(scales)),
+        interpret=True)
+    s0, r0, s1, r1 = map(np.asarray, (s0, r0, s1, r1))
+    np.testing.assert_allclose(s1, s0, rtol=2e-2, atol=3e-2)
+    for b in range(4):
+        kth = s0[b, -1]
+        for row in set(r0[b].tolist()) ^ set(r1[b].tolist()):
+            in0 = np.nonzero(r0[b] == row)[0]
+            sc = (s0[b, in0[0]] if in0.size
+                  else s1[b, np.nonzero(r1[b] == row)[0][0]])
+            assert abs(sc - kth) <= 6e-2, (b, row, sc, kth)
+
+
+def test_hybrid_batch_device_int8_only_over_budget(small_corpus, rng,
+                                                   monkeypatch):
+    """_hybrid_batch_device must go int8-only (vecs=None, pallas_int8) when
+    bf16 rows exceed the hybrid budget, and hits must match the in-budget
+    path on strong-signal queries."""
+    from rassengine_tpu.fusion import strategies as st
+    from rassengine_tpu.lexical import device_bm25 as db
+
+    idx, lex = small_corpus
+    embs = idx._vecs[:2].astype(np.float32) \
+        + 0.05 * rng.normal(size=(2, DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    queries = [" ".join(VOCAB[:3]), " ".join(VOCAB[3:6])]
+    want = Retriever(idx, lex, use_pallas=False)._hybrid_batch_device(
+        queries, embs, 5, FilterSpec())
+
+    monkeypatch.setattr(st, "HYBRID_BF16_BUDGET_BYTES", 1)  # force over-budget
+    seen = {}
+    real = db.hybrid_topk_batch
+
+    def spy(vecs, *a, **kw):
+        seen["mode"] = kw.get("scan_mode")
+        seen["vecs_none"] = vecs is None
+        kw["interpret"] = True  # CPU test host: run Pallas interpreted
+        return real(vecs, *a, **kw)
+
+    monkeypatch.setattr(db, "hybrid_topk_batch", spy)
+    r = Retriever(idx, lex, use_pallas=True)
+    got = r._hybrid_batch_device(queries, embs, 5, FilterSpec())
+    assert seen == {"mode": "pallas_int8", "vecs_none": True}
+    assert ([[h[0]["doc_id"] for h in b] for b in got]
+            == [[h[0]["doc_id"] for h in b] for b in want])
