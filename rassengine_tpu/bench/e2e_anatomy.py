@@ -61,7 +61,10 @@ def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
              + " ".join(rng.choice(vocab, 16))}
             for i in range(n_docs)]
     t0 = time.perf_counter()
-    engine.ingest_docs("bench", [], docs)
+    # ingest into the ASKING user's tenant ("u" below) — a mismatched tenant
+    # scans an empty index of the same capacity (identical device cost, so
+    # earlier rounds' timings stand) but feeds empty hits to the RAG stages
+    engine.ingest_docs("u", [], docs)
     ingest_s = time.perf_counter() - t0
     queries = [f"tell me about {conds[i % 5]} treatment {vocab[i % 1999]}"
                for i in range(n_queries)]

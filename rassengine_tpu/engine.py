@@ -375,13 +375,31 @@ class RassEngine:
         over_k = 4 * k if text_match else k
         with stage("retrieve"):
             if intent in EMBEDDING_INTENTS:
-                if query_emb is None:
-                    with stage("embed_query"):
-                        query_emb = self.embedder.embed_query(query)
+                hits = None
+                fused_kinds = {QueryIntent.SEMANTIC: "semantic",
+                               QueryIntent.HYBRID: "hybrid",
+                               QueryIntent.MULTI_INTENT: "multi_intent"}
+                if query_emb is None and intent in fused_kinds:
+                    # lone-ask latency path: encoder forward + corpus scan in
+                    # ONE dispatch, one device round-trip (ROADMAP #4; the
+                    # micro-batcher covers concurrent asks, this covers the
+                    # ask between windows). None → ineligible, multi-stage.
+                    kind = fused_kinds[intent]
+                    with t.lock:
+                        fused = t.retriever.fused_encode_search(
+                            self.embedder, query, kind, k=over_k,
+                            filter_clause=spec, patient_id=patient_id)
+                    if fused is not None:
+                        hits, query_emb = fused
+                if hits is None:
+                    if query_emb is None:
+                        with stage("embed_query"):
+                            query_emb = self.embedder.embed_query(query)
+                    with t.lock:
+                        hits = method(query, query_emb, k=over_k,
+                                      filter_clause=spec,
+                                      patient_id=patient_id)
                 result.query_emb = query_emb
-                with t.lock:
-                    hits = method(query, query_emb, k=over_k,
-                                  filter_clause=spec, patient_id=patient_id)
             else:
                 with t.lock:
                     hits = method(query, k=over_k, filter_clause=spec,

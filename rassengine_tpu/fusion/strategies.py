@@ -849,6 +849,111 @@ class Retriever:
                 out.append((src, final))
         return out
 
+    def fused_encode_search(self, embedder, query: str, kind: str, k: int = 3,
+                            filter_clause=None, patient_id=None):
+        """Lone-ask latency path: encode + scan in ONE dispatch (ROADMAP #4).
+
+        ``kind`` ∈ {"semantic", "hybrid", "multi_intent"}. Semantically
+        identical to ``embed_query`` + ``semantic_search`` /
+        ``hybrid_search`` / ``multi_intent_search`` (the fused program
+        inlines the same encoder forward and the same additive-scan math —
+        fusion/fused_query.py), but a single ask pays one device round-trip
+        instead of two. → (hits, query_emb [1, dim] f32), or None when
+        ineligible — sharded meshes, >bf16-budget corpora, and
+        quantized/probe tiers keep their existing multi-stage paths.
+        """
+        idx = self.index
+        if (embedder is None or not query.strip() or self.mesh is not None
+                or not self._bf16_fits()):
+            return None
+        if kind == "semantic" and self._scan_tier() != "exact":
+            return None  # int8/PQ/IVF single-query paths have host stages
+        spec = self._spec(filter_clause, patient_id)
+        sem_weight = 2.0
+        if kind in ("hybrid", "multi_intent"):
+            # sparse BM25 contributions (+ multi_intent's recency bonus),
+            # scattered on device into the filter mask — corpus-wide
+            # additive fusion (same math as _additive_hybrid)
+            if kind == "hybrid":
+                lex_weights = {"text": 1.5, "keyword": 1.0}
+                extra_add = None
+            else:
+                lex_weights, sem_weight = {"text": 1.0, "keyword": 0.5}, 1.5
+                today = _today_epoch_days()
+                d = idx._dates
+                recent = ((d != schema.NO_DATE) & (d >= today - 365)
+                          & (d <= today)).any(axis=1)
+                extra_add = np.where(recent, np.float32(0.5),
+                                     np.float32(0.0))
+            parts_r, parts_v = [], []
+            for group, w in lex_weights.items():
+                rows, vals = self.lexical.score_sparse(query, idx.capacity,
+                                                       group, fuzzy=True)
+                if rows.size:
+                    parts_r.append(rows.astype(np.int32))
+                    parts_v.append((w * vals).astype(np.float32))
+            if extra_add is not None:
+                nz = np.flatnonzero(extra_add)
+                if nz.size:
+                    parts_r.append(nz.astype(np.int32))
+                    parts_v.append(extra_add[nz].astype(np.float32))
+            rows_cat = (np.concatenate(parts_r) if parts_r
+                        else np.zeros(0, np.int32))
+            vals_cat = (np.concatenate(parts_v) if parts_v
+                        else np.zeros(0, np.float32))
+            rows_pad, vals_pad = _pad_pow2(rows_cat, vals_cat)
+            base_mask = self._routed_mask(idx.filter_mask(spec), spec)
+            scat_r, scat_v = jnp.asarray(rows_pad), jnp.asarray(vals_pad)
+        else:
+            spec_e = FilterSpec(require_embedding=True).merged_with(spec)
+            base_mask = idx.filter_mask(spec_e)
+            scat_r = scat_v = None
+        cap = idx.capacity
+        if self.use_pallas and cap >= idx.block_rows:
+            mode = "pallas"
+        elif cap <= 65536:
+            mode = "xla_direct"
+        else:
+            mode = "xla_scan"
+
+        from rassengine_tpu.fusion.fused_query import encode_scan_topk
+
+        embed_fn, params, proj, ids, tok_mask = embedder.encode_args([query])
+
+        def run(m):
+            with stage("encode_scan_fused"):
+                return encode_scan_topk(
+                    embed_fn, params, proj, ids, tok_mask,
+                    idx.device_columns()["vecs"], base_mask, scat_r, scat_v,
+                    1.0 / sem_weight, k=min(k, 256, cap),
+                    block_rows=min(idx.block_rows, cap), mode=m)
+
+        try:
+            emb, s, r = run(mode)
+        except Exception:
+            if mode != "pallas":
+                raise
+            self.use_pallas = False
+            emb, s, r = run("xla_direct" if cap <= 65536 else "xla_scan")
+        emb, s, r = jax.device_get((emb, s, r))  # ONE host fetch
+        query_emb = np.asarray(emb[:1], np.float32)
+        s, r = s[0], r[0]
+        if kind != "semantic":
+            hits = []
+            for sc, row in zip(s, r):
+                if row < 0 or sc <= NEG_INF / 2:
+                    continue
+                final = float(sc) * sem_weight
+                if final <= 0.0:
+                    continue
+                src = idx.docs[int(row)]
+                if src is not None:
+                    hits.append((src, final))
+        else:
+            good = (r >= 0) & (s > NEG_INF / 2)
+            hits = self._fuse([(r[good], s[good], 1.0)], k)
+        return hits, query_emb
+
     def hybrid_search(self, query: str, query_emb: np.ndarray, k: int = 3,
                       filter_clause=None, patient_id=None) -> list[Hit]:
         """BM25 text(1.5) + keyword(1.0) + knn(2.0) (reference main.py:1562-1615),

@@ -155,3 +155,17 @@ class Embedder:
     def embed_query(self, query: str) -> np.ndarray:
         """Reference embed_query (main.py:266-274): → float32 [1, dim]."""
         return self.embed_texts_in_batches([query], batch_size=8)
+
+    def encode_args(self, texts: list[str]):
+        """Tokenize on host and expose the pure forward for in-dispatch use.
+
+        → (embed_fn, params, proj, ids, mask): fusion/fused_query.py inlines
+        ``embed_fn`` (the SAME function ``embed_texts_in_batches`` jits, so
+        fused and unfused paths share one numerical definition) into the
+        retrieval dispatch — encoder forward + corpus scan as one XLA
+        program, one device round-trip per lone ask.
+        """
+        ids, mask = self.tokenizer.encode_batch(texts,
+                                                self.config.embed_max_seq_len)
+        return (self._embed_fn, self.params, self._proj,
+                jnp.asarray(ids), jnp.asarray(mask))
