@@ -145,6 +145,35 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                     "value": round(b3 / dt_hyb, 1),
                     "ms_batch_one_dispatch": round(dt_hyb * 1e3, 3)})
 
+    # --- config 3s: sharded one-dispatch hybrid, per-shard cost (round 3) -----
+    # One chip = one shard: the full hybrid (scan + BM25 + fusion) inside
+    # shard_map + all-gather merge vs the plain dispatch — the per-shard cost
+    # of meshed hybrid serving (multi-chip correctness is proven on the
+    # virtual 8-device CPU mesh; per-shard throughput here).
+    if on_tpu:
+        from rassengine_tpu.core.meshes import shard_mesh as _shard_mesh
+        from rassengine_tpu.parallel.topk_merge import sharded_hybrid_topk
+
+        mesh1 = _shard_mesh(1)
+
+        def hybrid_sh_fn(qq):
+            return sharded_hybrid_topk(mesh1, vd3, mask3, qq, view.tables,
+                                       ci3, wvec, 2.0, k, top_m_lex=64)
+
+        s3s, r3s = hybrid_sh_fn(q3)
+        s3p, r3p = hybrid_fn(q3)
+        agree = float(np.mean([len(set(a) & set(b)) / k for a, b in
+                               zip(np.asarray(r3s), np.asarray(r3p))]))
+        dt_hs = _chain_time(hybrid_sh_fn, q3, 20)
+        results.append({"config": f"sharded_hybrid_local_{n3 // 1000}k_b{b3}",
+                        "metric": "qps_per_chip",
+                        "value": round(b3 / dt_hs, 1),
+                        "ms_batch_one_dispatch": round(dt_hs * 1e3, 3),
+                        "plain_hybrid_qps": round(b3 / dt_hyb, 1),
+                        "agreement_vs_plain@5": round(agree, 4),
+                        "shard_map_overhead_pct":
+                            round(100.0 * (dt_hs - dt_hyb) / dt_hyb, 1)})
+
     # --- config 3p: packed 4 B/posting lexical tables (ROADMAP r3) ------------
     # Same hybrid dispatch over the compressed CSR layout: half the postings
     # HBM + gather bandwidth; decode after the chunk gather on device.

@@ -666,6 +666,13 @@ class Retriever:
                 return self._hybrid_batch_device(queries, query_embs, k, spec)
             except Exception:
                 log.exception("device hybrid path failed; using candidate union")
+        elif self.mesh is not None and self._bf16_fits():
+            try:
+                return self._hybrid_batch_sharded(queries, query_embs, k,
+                                                  spec)
+            except Exception:
+                log.exception(
+                    "sharded hybrid path failed; using candidate union")
         m = max(4 * k, 50)
         sem_rows, sem_scores = self._sem_top_m_batch(query_embs, spec, m)
         out: list[list[Hit]] = []
@@ -739,7 +746,12 @@ class Retriever:
             self.use_pallas = False
             top_s, top_r = run("xla_direct" if idx.capacity <= 65536
                                else "xla_scan")
-        top_s, top_r = np.asarray(top_s), np.asarray(top_r)
+        return self._fused_rows_to_hits(np.asarray(top_s), np.asarray(top_r))
+
+    def _fused_rows_to_hits(self, top_s: np.ndarray,
+                            top_r: np.ndarray) -> list[list[Hit]]:
+        """Device fused (scores, rows) [B, k] → per-query hit lists."""
+        idx = self.index
         out: list[list[Hit]] = []
         for b in range(top_r.shape[0]):
             hits: list[Hit] = []
@@ -751,6 +763,33 @@ class Retriever:
                     hits.append((src, float(s)))
             out.append(hits)
         return out
+
+    def _hybrid_batch_sharded(self, queries: list[str],
+                              query_embs: np.ndarray, k: int,
+                              spec: FilterSpec,
+                              lex_weights: dict[str, float] | None = None,
+                              sem_weight: float = 2.0) -> list[list[Hit]]:
+        """Meshed one-dispatch hybrid: per-shard Pallas scan + replicated
+        sparse BM25 (each shard keeps the candidates it owns) + exact
+        additive fusion, merged with one all-gather
+        (parallel/topk_merge.sharded_hybrid_topk). Previously a sharded
+        corpus fell back to per-query host candidate-union fusion."""
+        from rassengine_tpu.parallel.topk_merge import (sharded_hybrid_topk,
+                                                        to_host)
+
+        idx = self.index
+        chunk_ids, view, wvec = self.device_lexical.plan(
+            queries, lex_weights or {"text": 1.5, "keyword": 1.0})
+        mask = self._routed_mask(idx.filter_mask(spec), spec)
+        q = np.atleast_2d(np.asarray(query_embs, np.float32))
+        m = min(max(4 * k, 64), 128, idx.capacity)
+        with stage("hybrid_batch_sharded"):
+            top_s, top_r = sharded_hybrid_topk(
+                self.mesh, idx.device_columns()["vecs"], mask,
+                jnp.asarray(q), view.tables, jnp.asarray(chunk_ids), wvec,
+                sem_weight, min(k, 256), m=m,
+                use_pallas=None if self.use_pallas else False)
+        return self._fused_rows_to_hits(to_host(top_s), to_host(top_r))
 
     def exact_match_search(self, query: str, k: int = 3,
                            filter_clause=None, patient_id=None) -> list[Hit]:

@@ -280,6 +280,78 @@ def sharded_topk_pq4(mesh: Mesh, aug_sorted, win_starts, mask_sorted, lutq,
     return s[:b], i[:b]
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
+                       local_rows: int, use_pallas: bool, n_tables: int,
+                       sem_weight: float, interpret: bool):
+    from rassengine_tpu.index.exact import l2_normalize
+    from rassengine_tpu.lexical.device_bm25 import (_fuse_body,
+                                                    _lex_scores_dispatch)
+
+    def fn(v, msk, q, chunk_ids, *rest):
+        tables, wvec = rest[:n_tables], rest[n_tables]
+        qn = l2_normalize(q.astype(jnp.float32))
+        if use_pallas:
+            sem_s, sem_r = _local_scan_pallas(
+                v, msk, qn, m, _pick_block_rows(local_rows), interpret)
+        else:
+            sem_s, sem_r = _local_scan(v, msk, qn, m)
+        # the sparse BM25 stage runs on replicated postings, identically on
+        # every shard; each shard keeps only the candidates it OWNS (row in
+        # its partition), so the fusion's row gather stays shard-local and
+        # per-shard coverage (lex top-M per shard) is a superset of the
+        # single-chip global top-M
+        lex_rows, lex_scores = _lex_scores_dispatch(tables, chunk_ids, wvec)
+        off = jax.lax.axis_index("shard") * local_rows
+        ll = lex_rows - off
+        mine = (ll >= 0) & (ll < local_rows)
+        ll = jnp.where(mine, ll, local_rows)   # >= cap → dropped by _fuse_body
+        lex_s = jnp.where(mine, lex_scores, NEG_INF)
+        s, r = _fuse_body((v,), msk, qn, ll, lex_s, sem_r, sem_s,
+                          jnp.float32(sem_weight), k=k, top_m_lex=top_m_lex)
+        r = jnp.where((r >= 0) & (s > NEG_INF / 2), r + off, -1)
+        all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+        all_r = jax.lax.all_gather(r, "shard", axis=1, tiled=True)
+        top_s, pos = jax.lax.top_k(all_s, k)
+        top_r = jnp.take_along_axis(all_r, pos, axis=1)
+        return top_s, jnp.where(top_s > NEG_INF / 2, top_r, -1)
+
+    qs = _batch_spec(mesh)
+    in_specs = (P("shard"), P("shard"), qs, qs) + (P(),) * (n_tables + 1)
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=(qs, qs), check_vma=False))
+
+
+def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
+                        chunk_ids, wvec, sem_weight, k: int, m: int = 64,
+                        top_m_lex: int = 128, use_pallas: bool | None = None,
+                        interpret: bool = False):
+    """Row-sharded ONE-dISPATCH hybrid: per-shard (Pallas scan + sparse BM25
+    + exact additive fusion) + all-gather top-k merge.
+
+    The sharded analogue of device_bm25.hybrid_topk_batch — previously a
+    meshed corpus fell back to per-query host candidate-union fusion. vecs
+    [cap, d] + mask [cap] row-sharded; queries [B, d] raw (normalized here)
+    and chunk_ids [B, S] split over ``replica`` when the mesh has one;
+    postings tables + wvec replicated (they are MBs — the rows are the GBs).
+    → (scores [B, k], global rows [B, k]) replicated; masked slots row -1.
+    Fused scores are exact: every candidate's cosine is re-gathered from its
+    owner shard's bf16 rows, BM25 totals come from the full postings.
+    """
+    n_shards = mesh.shape["shard"]
+    cap = vecs.shape[0]
+    assert cap % n_shards == 0, (cap, n_shards)
+    local = cap // n_shards
+    mm = min(m, local)
+    if use_pallas is None:
+        use_pallas = _use_pallas_local(max(k, mm), local)
+    (queries, chunk_ids), b = _pad_to_replicas(mesh, queries, chunk_ids)
+    fn = _sharded_hybrid_fn(mesh, k, mm, top_m_lex, local, use_pallas,
+                            len(lex_tables), float(sem_weight), interpret)
+    s, r = fn(vecs, mask, queries, chunk_ids, *lex_tables, wvec)
+    return s[:b], r[:b]
+
+
 def shard_index_to_mesh(mesh: Mesh, cols: dict) -> dict:
     """Place a TenantIndex's device columns row-sharded on the mesh."""
     row = NamedSharding(mesh, P("shard"))

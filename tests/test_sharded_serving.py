@@ -361,3 +361,93 @@ class TestLiveReshard:
         eng = self._fresh(1)
         with pytest.raises(ValueError):
             eng.reshard(64)
+
+
+class TestShardedHybridBatch:
+    """Sharded ONE-dISPATCH batched hybrid (topk_merge.sharded_hybrid_topk):
+    per-shard scan + replicated-postings BM25 + exact fusion + all-gather
+    merge must equal the single-chip device hybrid, and the meshed
+    hybrid_search_batch must actually take it (no host candidate union)."""
+
+    def _embs(self, engine, queries):
+        return engine.embedder.embed_texts_in_batches(queries)
+
+    def test_batch_matches_single_device(self, engines):
+        single, sharded = engines
+        queries = ["hypertension management", "asthma note overview",
+                   "diabetes bronchitis", "patient note management"]
+        embs = self._embs(single, queries)
+        a = single.tenant("u").retriever.hybrid_search_batch(queries, embs,
+                                                             k=5)
+        b = sharded.tenant("u").retriever.hybrid_search_batch(queries, embs,
+                                                              k=5)
+        for qa, qb, q in zip(a, b, queries):
+            # same docs and same scores; ties may order differently between
+            # one global top_k and the per-shard merge (bf16 score ties)
+            sa = {src["doc_id"]: s for src, s in qa}
+            sb = {src["doc_id"]: s for src, s in qb}
+            swapped = set(sa) ^ set(sb)
+            for d in swapped:  # a swapped-in/out doc must be a k-th-score tie
+                kth = min(sa.values())
+                sc = sa.get(d, sb.get(d))
+                assert abs(sc - kth) <= 3e-2, (q, d, sc, kth)
+            for d in set(sa) & set(sb):
+                assert abs(sa[d] - sb[d]) <= 3e-2, (q, d, sa[d], sb[d])
+            np.testing.assert_allclose(sorted(sa.values()),
+                                       sorted(sb.values()),
+                                       rtol=2e-2, atol=3e-2)
+
+    def test_meshed_batch_takes_device_path(self, engines, monkeypatch):
+        _single, sharded = engines
+        import rassengine_tpu.parallel.topk_merge as tm
+
+        called = {}
+        real = tm.sharded_hybrid_topk
+
+        def spy(*a, **kw):
+            called["yes"] = True
+            return real(*a, **kw)
+
+        monkeypatch.setattr(tm, "sharded_hybrid_topk", spy)
+        queries = ["hypertension management"]
+        embs = self._embs(sharded, queries)
+        sharded.tenant("u").retriever.hybrid_search_batch(queries, embs, k=5)
+        assert called.get("yes")
+
+    def test_batch_respects_patient_filter(self, engines):
+        single, sharded = engines
+        from rassengine_tpu.index.store import FilterSpec
+
+        queries = ["diabetes note", "asthma note"]
+        embs = self._embs(single, queries)
+        b = sharded.tenant("u").retriever.hybrid_search_batch(
+            queries, embs, k=5, filter_clause=FilterSpec(patient_id="p3"))
+        assert any(b)
+        for hits in b:
+            assert all(h[0]["patientId"] == "p3" for h in hits)
+        a = single.tenant("u").retriever.hybrid_search_batch(
+            queries, embs, k=5, filter_clause=FilterSpec(patient_id="p3"))
+        assert [[h[0]["doc_id"] for h in hb] for hb in b] \
+            == [[h[0]["doc_id"] for h in ha] for ha in a]
+
+    def test_replica_mesh_batch(self):
+        """(replica, shard) mesh: batch splits over replicas, results match
+        a single-device engine, odd batch sizes pad correctly."""
+        cfg = EngineConfig(embed_dim=32, embed_batch_size=4,
+                           index_capacity=2048, index_block_rows=256,
+                           shard_count=4, replica_count=2,
+                           database_path=":memory:", llm_backend="echo",
+                           intent_model_path="/none", ner_model_path="/none")
+        rep = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+        single = mk_engine(1)
+        docs = corpus_docs()
+        rep.ingest_docs("u", [], docs)
+        single.ingest_docs("u", [], docs)
+        queries = ["hypertension management", "asthma overview",
+                   "note about diabetes"]  # 3 % 2 != 0 → pad path
+        embs = single.embedder.embed_texts_in_batches(queries)
+        a = single.tenant("u").retriever.hybrid_search_batch(queries, embs,
+                                                             k=5)
+        b = rep.tenant("u").retriever.hybrid_search_batch(queries, embs, k=5)
+        assert [[h[0]["doc_id"] for h in hb] for hb in b] \
+            == [[h[0]["doc_id"] for h in ha] for ha in a]
