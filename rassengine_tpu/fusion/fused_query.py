@@ -18,6 +18,7 @@ construction. A compiler-scheduled program has no seam between the stages.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -32,7 +33,8 @@ from rassengine_tpu.ops.fused_topk import fused_topk_pooled
 def encode_scan_topk(embed_fn, params, proj, ids, tok_mask, vecs, add_mask,
                      scatter_rows, scatter_vals, inv_sem_weight,
                      k: int, block_rows: int, mode: str = "pallas",
-                     interpret: bool = False):
+                     interpret: bool = False, int8_codes=None,
+                     int8_scales=None):
     """Encoder forward → (optional) additive scatter → corpus top-k.
 
     ``embed_fn`` (static): pure (params, ids, tok_mask, proj) → [B, dim]
@@ -43,6 +45,16 @@ def encode_scan_topk(embed_fn, params, proj, ids, tok_mask, vecs, add_mask,
     strategies._additive_hybrid — the scan then yields
     ``cos + add/sem_weight`` and the caller re-scales by sem_weight.
     → (emb [B, dim], scores [B, k], rows [B, k]).
+
+    ``mode="pallas_int8"`` (``vecs=None``, codes+scales given) extends the
+    fused lone ask past the bf16 HBM budget: every cosine comes from the
+    int8 codes, like hybrid_topk_batch's vecs=None regime (~0.5% bounded
+    noise). The int8 pool kernel folds its additive mask BEFORE the final
+    per-query requantization rescale (ops/fused_topk.py:_pool_int8_kernel:
+    ``intdot·scale + mask`` then ``·qs``), so the additive vector is
+    pre-divided by the kernel's own query scale — selection weighting and
+    output scores come out exact: ``cos8 + add``. B must be 1 (the lone
+    ask); batches take strategies._hybrid_batch_device.
     """
     emb = embed_fn(params, ids, tok_mask, proj)
     add = add_mask
@@ -50,7 +62,20 @@ def encode_scan_topk(embed_fn, params, proj, ids, tok_mask, vecs, add_mask,
         add = add_mask + jnp.zeros_like(add_mask).at[scatter_rows].add(
             scatter_vals)
     add = add * jnp.float32(inv_sem_weight)
-    if mode == "pallas":
+    if mode == "pallas_int8":
+        from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
+
+        assert emb.shape[0] == 1, "int8 fused lone ask is single-query"
+        # replicate the kernel's qs = max|qn|/127 bit-for-bit so add/qs
+        # round-trips exactly through its final ·qs rescale
+        q32 = emb.astype(jnp.float32)
+        qn = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=-1, keepdims=True),
+                               1e-12)
+        qs = jnp.max(jnp.abs(qn), axis=1)[0] / 127.0
+        s, r = fused_topk_int8_pooled(int8_codes, int8_scales, emb,
+                                      add / jnp.maximum(qs, 1e-12), k,
+                                      block_rows, interpret=interpret)
+    elif mode == "pallas":
         s, r = fused_topk_pooled(vecs, emb, add, k, block_rows,
                                  interpret=interpret)
     elif mode == "xla_direct":
@@ -58,3 +83,60 @@ def encode_scan_topk(embed_fn, params, proj, ids, tok_mask, vecs, add_mask,
     else:
         s, r = exact_topk(vecs, emb, add, k, block_rows)
     return emb, s, r
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_sharded_fn(mesh, embed_fn, k: int, local_rows: int,
+                       use_pallas: bool, interpret: bool):
+    """jit(encoder forward → additive scatter → shard_map scan + all-gather
+    merge): the meshed lone ask as ONE program. The shard_map inner fn is
+    the same cached program sharded_topk uses, so fused == unfused per
+    stage; the scatter runs before the shard_map boundary and XLA reshards
+    the [cap] additive vector onto the rows' P("shard") layout."""
+    from rassengine_tpu.parallel.topk_merge import _sharded_topk_fn
+
+    inner = _sharded_topk_fn(mesh, k, local_rows, use_pallas, interpret)
+
+    def fn(params, proj, ids, tok_mask, vecs, add_mask, scatter_rows,
+           scatter_vals, inv_sem_weight):
+        emb = embed_fn(params, ids, tok_mask, proj)
+        add = add_mask
+        if scatter_rows is not None:
+            add = add_mask + jnp.zeros_like(add_mask).at[scatter_rows].add(
+                scatter_vals)
+        add = add * inv_sem_weight
+        s, r = inner(vecs, add, emb)
+        return emb, s, r
+
+    return jax.jit(fn)
+
+
+def encode_scan_topk_sharded(mesh, embed_fn, params, proj, ids, tok_mask,
+                             vecs, add_mask, scatter_rows, scatter_vals,
+                             inv_sem_weight, k: int,
+                             use_pallas: bool | None = None,
+                             interpret: bool = False):
+    """Meshed lone-ask fused path: encode + scatter + sharded scan in one
+    dispatch (the sharded analogue of encode_scan_topk; same additive math
+    as strategies._additive_hybrid over topk_merge.sharded_topk).
+
+    vecs [cap, d] + the base mask row-sharded over ``shard``; ids/tok_mask
+    [1, L] host token batches (padded here when the mesh has a ``replica``
+    axis). → (emb [1, dim], scores [1, k], global rows [1, k]) replicated.
+    """
+    from rassengine_tpu.parallel.topk_merge import (_pad_to_replicas,
+                                                    _use_pallas_local)
+
+    n_shards = mesh.shape["shard"]
+    cap = vecs.shape[0]
+    assert cap % n_shards == 0, (cap, n_shards)
+    local = cap // n_shards
+    k = min(k, local)
+    if use_pallas is None:
+        use_pallas = _use_pallas_local(k, local)
+    (ids, tok_mask), b = _pad_to_replicas(mesh, jnp.asarray(ids),
+                                          jnp.asarray(tok_mask))
+    fn = _encode_sharded_fn(mesh, embed_fn, k, local, use_pallas, interpret)
+    emb, s, r = fn(params, proj, ids, tok_mask, vecs, add_mask, scatter_rows,
+                   scatter_vals, jnp.float32(inv_sem_weight))
+    return emb[:b], s[:b], r[:b]

@@ -898,14 +898,29 @@ class Retriever:
         inlines the same encoder forward and the same additive-scan math —
         fusion/fused_query.py), but a single ask pays one device round-trip
         instead of two. → (hits, query_emb [1, dim] f32), or None when
-        ineligible — sharded meshes, >bf16-budget corpora, and
-        quantized/probe tiers keep their existing multi-stage paths.
+        ineligible. Coverage (round 3): bf16 single-chip; int8-only
+        hybrid/multi_intent past the bf16 budget (pallas_int8, ~0.5%
+        bounded score noise — the same regime _hybrid_batch_device serves
+        batched); sharded meshes while the per-shard partition fits bf16
+        (encode + scatter + shard_map scan as one program). Multi-stage
+        paths remain for: semantic on quantized tiers (their exact re-rank
+        is a host stage), sharded int8/PQ tiers, and the IVF probe.
         """
         idx = self.index
-        if (embedder is None or not query.strip() or self.mesh is not None
-                or not self._bf16_fits()):
+        if embedder is None or not query.strip():
             return None
-        if kind == "semantic" and self._scan_tier() != "exact":
+        int8_only = False
+        if self.mesh is not None:
+            if not self._bf16_fits():
+                return None  # sharded int8/PQ tiers re-rank host-side
+        elif not self._bf16_fits():
+            if (kind == "semantic" or not self.use_pallas
+                    or idx.capacity * idx.dim
+                    > self.config.int8_hbm_budget_bytes):
+                return None
+            int8_only = True
+        if (kind == "semantic" and self.mesh is None
+                and self._scan_tier() != "exact"):
             return None  # int8/PQ/IVF single-query paths have host stages
         spec = self._spec(filter_clause, patient_id)
         sem_weight = 2.0
@@ -945,22 +960,41 @@ class Retriever:
             scat_r, scat_v = jnp.asarray(rows_pad), jnp.asarray(vals_pad)
         else:
             spec_e = FilterSpec(require_embedding=True).merged_with(spec)
-            base_mask = idx.filter_mask(spec_e)
+            base_mask = self._routed_mask(idx.filter_mask(spec_e), spec)
             scat_r = scat_v = None
         cap = idx.capacity
-        if self.use_pallas and cap >= idx.block_rows:
+        if self.mesh is not None:
+            mode = "sharded"
+        elif int8_only:
+            mode = "pallas_int8"
+        elif self.use_pallas and cap >= idx.block_rows:
             mode = "pallas"
         elif cap <= 65536:
             mode = "xla_direct"
         else:
             mode = "xla_scan"
 
-        from rassengine_tpu.fusion.fused_query import encode_scan_topk
+        from rassengine_tpu.fusion.fused_query import (encode_scan_topk,
+                                                       encode_scan_topk_sharded)
 
         embed_fn, params, proj, ids, tok_mask = embedder.encode_args([query])
 
         def run(m):
             with stage("encode_scan_fused"):
+                if m == "sharded":
+                    return encode_scan_topk_sharded(
+                        self.mesh, embed_fn, params, proj, ids, tok_mask,
+                        idx.device_columns()["vecs"], base_mask, scat_r,
+                        scat_v, 1.0 / sem_weight, k=min(k, 256, cap),
+                        use_pallas=None if self.use_pallas else False)
+                if m == "pallas_int8":
+                    c8 = idx.device_columns_int8()
+                    return encode_scan_topk(
+                        embed_fn, params, proj, ids, tok_mask, None,
+                        base_mask, scat_r, scat_v, 1.0 / sem_weight,
+                        k=min(k, 256, cap),
+                        block_rows=min(idx.block_rows, cap), mode=m,
+                        int8_codes=c8["codes"], int8_scales=c8["scales"])
                 return encode_scan_topk(
                     embed_fn, params, proj, ids, tok_mask,
                     idx.device_columns()["vecs"], base_mask, scat_r, scat_v,
@@ -970,11 +1004,17 @@ class Retriever:
         try:
             emb, s, r = run(mode)
         except Exception:
+            if mode in ("sharded", "pallas_int8"):
+                log.exception("fused %s lone ask failed; multi-stage path",
+                              mode)
+                return None
             if mode != "pallas":
                 raise
             self.use_pallas = False
             emb, s, r = run("xla_direct" if cap <= 65536 else "xla_scan")
-        emb, s, r = jax.device_get((emb, s, r))  # ONE host fetch
+        from rassengine_tpu.parallel.topk_merge import to_host
+
+        emb, s, r = to_host(emb), to_host(s), to_host(r)  # ONE host fetch
         query_emb = np.asarray(emb[:1], np.float32)
         s, r = s[0], r[0]
         if kind != "semantic":
