@@ -174,6 +174,28 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                         "shard_map_overhead_pct":
                             round(100.0 * (dt_hs - dt_hyb) / dt_hyb, 1)})
 
+        # int8-only sharded hybrid (vecs=None): the beyond-bf16-budget
+        # meshed regime — every cosine from row-sharded int8 codes
+        codes3s, scales3s = quantize_int8(v3)
+        c3s, sc3s = jnp.asarray(codes3s), jnp.asarray(scales3s)
+
+        def hybrid_sh8_fn(qq):
+            return sharded_hybrid_topk(mesh1, None, mask3, qq, view.tables,
+                                       ci3, wvec, 2.0, k, top_m_lex=64,
+                                       int8_tables=(c3s, sc3s))
+
+        s38, r38 = hybrid_sh8_fn(q3)
+        agree8 = float(np.mean([len(set(a) & set(b)) / k for a, b in
+                                zip(np.asarray(r38), np.asarray(r3p))]))
+        dt_h8 = _chain_time(hybrid_sh8_fn, q3, 20)
+        results.append({"config":
+                        f"sharded_hybrid_int8only_{n3 // 1000}k_b{b3}",
+                        "metric": "qps_per_chip",
+                        "value": round(b3 / dt_h8, 1),
+                        "ms_batch_one_dispatch": round(dt_h8 * 1e3, 3),
+                        "agreement_vs_plain@5": round(agree8, 4)})
+        del c3s, sc3s
+
     # --- config 3p: packed 4 B/posting lexical tables (ROADMAP r3) ------------
     # Same hybrid dispatch over the compressed CSR layout: half the postings
     # HBM + gather bandwidth; decode after the chunk gather on device.

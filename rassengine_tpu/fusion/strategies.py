@@ -401,6 +401,13 @@ class Retriever:
         return (2 * self.index.capacity * self.index.dim) // n \
             <= HYBRID_BF16_BUDGET_BYTES
 
+    def _int8_fits(self) -> bool:
+        """Whether int8 codes fit the per-chip HBM budget (the beyond-bf16
+        tier: ~6× more rows/chip from codes alone)."""
+        n = self.index.n_shards if self.mesh is not None else 1
+        return (self.index.capacity * self.index.dim) // n \
+            <= self.config.int8_hbm_budget_bytes
+
     def _sharded_top_m(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """SPMD sharded scan: per-chip partition scan + all-gather merge
         (parallel/topk_merge.py), mesh-invariant across the same three tiers
@@ -666,7 +673,8 @@ class Retriever:
                 return self._hybrid_batch_device(queries, query_embs, k, spec)
             except Exception:
                 log.exception("device hybrid path failed; using candidate union")
-        elif self.mesh is not None and self._bf16_fits():
+        elif self.mesh is not None and (self._bf16_fits()
+                                        or self._int8_fits()):
             try:
                 return self._hybrid_batch_sharded(queries, query_embs, k,
                                                   spec)
@@ -773,7 +781,10 @@ class Retriever:
         sparse BM25 (each shard keeps the candidates it owns) + exact
         additive fusion, merged with one all-gather
         (parallel/topk_merge.sharded_hybrid_topk). Previously a sharded
-        corpus fell back to per-query host candidate-union fusion."""
+        corpus fell back to per-query host candidate-union fusion. Past the
+        per-shard bf16 budget the dispatch runs entirely from row-sharded
+        int8 codes (~0.5% bounded noise, ~6× more rows/chip) — the sharded
+        analogue of _hybrid_batch_device's int8-only regime."""
         from rassengine_tpu.parallel.topk_merge import (sharded_hybrid_topk,
                                                         to_host)
 
@@ -783,12 +794,18 @@ class Retriever:
         mask = self._routed_mask(idx.filter_mask(spec), spec)
         q = np.atleast_2d(np.asarray(query_embs, np.float32))
         m = min(max(4 * k, 64), 128, idx.capacity)
+        if self._bf16_fits():
+            vecs_arg, int8_tables = idx.device_columns()["vecs"], None
+        else:  # bf16 rows never upload — codes are the only resident form
+            c8 = idx.device_columns_int8()
+            vecs_arg, int8_tables = None, (c8["codes"], c8["scales"])
         with stage("hybrid_batch_sharded"):
             top_s, top_r = sharded_hybrid_topk(
-                self.mesh, idx.device_columns()["vecs"], mask,
+                self.mesh, vecs_arg, mask,
                 jnp.asarray(q), view.tables, jnp.asarray(chunk_ids), wvec,
                 sem_weight, min(k, 256), m=m,
-                use_pallas=None if self.use_pallas else False)
+                use_pallas=None if self.use_pallas else False,
+                int8_tables=int8_tables)
         return self._fused_rows_to_hits(to_host(top_s), to_host(top_r))
 
     def exact_match_search(self, query: str, k: int = 3,

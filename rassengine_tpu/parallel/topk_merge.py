@@ -280,18 +280,56 @@ def sharded_topk_pq4(mesh: Mesh, aug_sorted, win_starts, mask_sorted, lutq,
     return s[:b], i[:b]
 
 
+def _local_scan_int8(codes, scales, mask, qn, k: int, use_pallas: bool,
+                     use_int8_dot: bool, local_rows: int, interpret: bool):
+    """One chip's int8 scan over its row partition (scores ≈ cosine + mask,
+    ~0.5% bounded quantization noise — the vecs=None hybrid regime)."""
+    if use_pallas:
+        from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
+
+        return fused_topk_int8_pooled(codes, scales, qn, mask, k,
+                                      _pick_block_rows(local_rows),
+                                      interpret=interpret)
+    qs = jnp.max(jnp.abs(qn), axis=1, keepdims=True) / 127.0
+    qc = jnp.clip(jnp.round(qn / jnp.maximum(qs, 1e-12)), -127, 127)
+    if use_int8_dot:
+        acc = jax.lax.dot_general(
+            qc.astype(jnp.int8), codes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:  # CPU tests: no int8 dot lowering
+        acc = jnp.dot(qc, codes.astype(jnp.float32).T)
+    s = acc * qs * scales[None, :] + mask[None, :]
+    return jax.lax.top_k(s, k)
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
                        local_rows: int, use_pallas: bool, n_tables: int,
-                       sem_weight: float, interpret: bool):
+                       sem_weight: float, interpret: bool,
+                       int8: bool = False):
     from rassengine_tpu.index.exact import l2_normalize
     from rassengine_tpu.lexical.device_bm25 import (_fuse_body,
                                                     _lex_scores_dispatch)
 
-    def fn(v, msk, q, chunk_ids, *rest):
+    use_int8_dot = jax.default_backend() != "cpu"
+
+    def fn(*args):
+        if int8:
+            codes, scales, msk, q, chunk_ids = args[:5]
+            rest = args[5:]
+            vec_source = (codes, scales)
+        else:
+            v, msk, q, chunk_ids = args[:4]
+            rest = args[4:]
+            vec_source = (v,)
         tables, wvec = rest[:n_tables], rest[n_tables]
         qn = l2_normalize(q.astype(jnp.float32))
-        if use_pallas:
+        if int8:
+            sem_s, sem_r = _local_scan_int8(codes, scales, msk, qn, m,
+                                            use_pallas, use_int8_dot,
+                                            local_rows, interpret)
+        elif use_pallas:
             sem_s, sem_r = _local_scan_pallas(
                 v, msk, qn, m, _pick_block_rows(local_rows), interpret)
         else:
@@ -307,7 +345,7 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
         mine = (ll >= 0) & (ll < local_rows)
         ll = jnp.where(mine, ll, local_rows)   # >= cap → dropped by _fuse_body
         lex_s = jnp.where(mine, lex_scores, NEG_INF)
-        s, r = _fuse_body((v,), msk, qn, ll, lex_s, sem_r, sem_s,
+        s, r = _fuse_body(vec_source, msk, qn, ll, lex_s, sem_r, sem_s,
                           jnp.float32(sem_weight), k=k, top_m_lex=top_m_lex)
         r = jnp.where((r >= 0) & (s > NEG_INF / 2), r + off, -1)
         all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
@@ -317,7 +355,8 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
         return top_s, jnp.where(top_s > NEG_INF / 2, top_r, -1)
 
     qs = _batch_spec(mesh)
-    in_specs = (P("shard"), P("shard"), qs, qs) + (P(),) * (n_tables + 1)
+    n_sharded = 3 if int8 else 2  # (codes, scales, mask) vs (vecs, mask)
+    in_specs = (P("shard"),) * n_sharded + (qs, qs) + (P(),) * (n_tables + 1)
     return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=(qs, qs), check_vma=False))
 
@@ -325,7 +364,7 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
 def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
                         chunk_ids, wvec, sem_weight, k: int, m: int = 64,
                         top_m_lex: int = 128, use_pallas: bool | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False, int8_tables=None):
     """Row-sharded ONE-dISPATCH hybrid: per-shard (Pallas scan + sparse BM25
     + exact additive fusion) + all-gather top-k merge.
 
@@ -337,9 +376,15 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
     → (scores [B, k], global rows [B, k]) replicated; masked slots row -1.
     Fused scores are exact: every candidate's cosine is re-gathered from its
     owner shard's bf16 rows, BM25 totals come from the full postings.
+
+    ``vecs=None`` + ``int8_tables=(codes, scales)`` (row-sharded) is the
+    beyond-bf16-budget regime: every cosine — scan and lexical candidates —
+    comes from the int8 codes (~0.5% bounded noise), exactly like
+    hybrid_topk_batch's vecs=None form. 8 shards of int8 serve ~6× more
+    rows per chip than the bf16 sharded hybrid with no host stage.
     """
     n_shards = mesh.shape["shard"]
-    cap = vecs.shape[0]
+    cap = (vecs if vecs is not None else int8_tables[0]).shape[0]
     assert cap % n_shards == 0, (cap, n_shards)
     local = cap // n_shards
     mm = min(m, local)
@@ -347,8 +392,10 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
         use_pallas = _use_pallas_local(max(k, mm), local)
     (queries, chunk_ids), b = _pad_to_replicas(mesh, queries, chunk_ids)
     fn = _sharded_hybrid_fn(mesh, k, mm, top_m_lex, local, use_pallas,
-                            len(lex_tables), float(sem_weight), interpret)
-    s, r = fn(vecs, mask, queries, chunk_ids, *lex_tables, wvec)
+                            len(lex_tables), float(sem_weight), interpret,
+                            int8=vecs is None)
+    sharded_cols = ((vecs,) if vecs is not None else tuple(int8_tables))
+    s, r = fn(*sharded_cols, mask, queries, chunk_ids, *lex_tables, wvec)
     return s[:b], r[:b]
 
 

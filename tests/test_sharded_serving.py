@@ -451,3 +451,53 @@ class TestShardedHybridBatch:
         b = rep.tenant("u").retriever.hybrid_search_batch(queries, embs, k=5)
         assert [[h[0]["doc_id"] for h in hb] for hb in b] \
             == [[h[0]["doc_id"] for h in ha] for ha in a]
+
+    def test_int8_sharded_over_budget(self, engines, monkeypatch):
+        """Past the per-shard bf16 budget the sharded one-dispatch hybrid
+        must run int8-only (vecs=None) and track the exact in-budget hits
+        within the quantization band."""
+        import rassengine_tpu.parallel.topk_merge as tm
+        from rassengine_tpu.fusion import strategies as st
+
+        single, sharded = engines
+        queries = ["hypertension management", "asthma note overview"]
+        embs = self._embs(single, queries)
+        want = single.tenant("u").retriever.hybrid_search_batch(queries,
+                                                                embs, k=5)
+        monkeypatch.setattr(st, "HYBRID_BF16_BUDGET_BYTES", 1)
+        seen = {}
+        real = tm.sharded_hybrid_topk
+
+        def spy(mesh, vecs, *a, **kw):
+            seen["int8"] = (vecs is None
+                            and kw.get("int8_tables") is not None)
+            return real(mesh, vecs, *a, **kw)
+
+        monkeypatch.setattr(tm, "sharded_hybrid_topk", spy)
+        got = sharded.tenant("u").retriever.hybrid_search_batch(queries,
+                                                                embs, k=5)
+        assert seen.get("int8"), "expected the int8-only sharded dispatch"
+        for qa, qb, q in zip(want, got, queries):
+            sa = {h["doc_id"]: s for h, s in qa}
+            sb = {h["doc_id"]: s for h, s in qb}
+            for d in set(sa) & set(sb):
+                assert abs(sa[d] - sb[d]) <= 3e-2, (q, d, sa[d], sb[d])
+            kth = min(sa.values())
+            for d in set(sa) ^ set(sb):  # flips only on near-ties
+                sc = sa.get(d, sb.get(d))
+                assert abs(sc - kth) <= 6e-2, (q, d, sc, kth)
+
+    def test_int8_sharded_respects_patient_filter(self, engines,
+                                                  monkeypatch):
+        from rassengine_tpu.fusion import strategies as st
+        from rassengine_tpu.index.store import FilterSpec
+
+        _single, sharded = engines
+        queries = ["diabetes note"]
+        embs = self._embs(sharded, queries)
+        monkeypatch.setattr(st, "HYBRID_BF16_BUDGET_BYTES", 1)
+        got = sharded.tenant("u").retriever.hybrid_search_batch(
+            queries, embs, k=5, filter_clause=FilterSpec(patient_id="p3"))
+        assert any(got)
+        for hits in got:
+            assert all(h["patientId"] == "p3" for h, _ in hits)
