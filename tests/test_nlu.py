@@ -173,14 +173,23 @@ class TestCueEvidenceGate:
 
         from rassengine_tpu.core.schema import ALL_INTENTS
 
-        cues = json.load(open(path))["cues"]
-        assert cues.get("compare") == ALL_INTENTS[6]
-        # slot-like words spread across intents must not qualify
+        blob = json.load(open(path))
+        assert blob["cues"].get("compare") == ALL_INTENTS[6]  # word gate
+        assert blob["stem_cues"].get("compar") == ALL_INTENTS[6]  # vote table
+        # slot-like words spread across intents must not qualify (either table)
         train2 = train + [("asthma note", 0), ("asthma history", 7),
                           ("asthma meds", 4)]
-        cues2 = json.load(open(save_cue_words(train2, str(tmp_path / "b"))
-                               ))["cues"]
-        assert "asthma" not in cues2
+        blob2 = json.load(open(save_cue_words(train2, str(tmp_path / "b"))))
+        assert "asthma" not in blob2["cues"]
+        assert "asthma" not in blob2["stem_cues"]
+
+    def test_stem_generalizes_morphological_variants(self):
+        from rassengine_tpu.nlu.intent import stem
+
+        assert stem("exactly") == stem("exact")
+        assert stem("comparison") == stem("compare")
+        assert stem("summarize") == stem("summary")
+        assert stem("counting") == stem("counts") == stem("count")
 
     def test_classifier_routes_to_rules_without_evidence(self, tmp_path):
         import json
@@ -190,7 +199,9 @@ class TestCueEvidenceGate:
 
         class FakeModel:
             cue_intent = {"compare": "SEMANTIC", "versus": "COMPARISON"}
+            stem_cues = {}
             supported_intents = ModelIntentClassifier.supported_intents
+            cue_votes = ModelIntentClassifier.cue_votes
 
             def classify(self, q):
                 return QueryIntent.SEMANTIC, 0.99  # confidently wrong
@@ -205,4 +216,31 @@ class TestCueEvidenceGate:
             QueryIntent.COMPARISON
         # no trained cue at all → rules decide (AGGREGATE pattern)
         assert clf.classify("number of admissions recorded")[0] == \
+            QueryIntent.AGGREGATE
+
+    def test_cue_vote_channel_beats_rule_default(self):
+        """No precise rule matches and the model is unsupported — an
+        unambiguous stem-cue vote decides before the rules' length-based
+        default (an unseen morphological variant 'exactly' carries its
+        trained stem's intent)."""
+        from rassengine_tpu.nlu.intent import (IntentClassifier,
+                                               ModelIntentClassifier)
+
+        class FakeModel:
+            cue_intent = {"exact": "KEYWORD"}
+            stem_cues = {"exact": "KEYWORD"}
+            supported_intents = ModelIntentClassifier.supported_intents
+            cue_votes = ModelIntentClassifier.cue_votes
+
+            def classify(self, q):
+                return QueryIntent.SEMANTIC, 0.2  # below threshold
+
+        cfg = EngineConfig(intent_model_path="/none", ner_model_path="/none")
+        clf = IntentClassifier(cfg)
+        clf.model = FakeModel()
+        q = "match the charted phrase exactly please"
+        assert clf.rules.classify(q)[0] == QueryIntent.SEMANTIC  # default
+        assert clf.classify(q)[0] == QueryIntent.KEYWORD  # vote wins
+        # precise rule patterns still outrank the vote channel
+        assert clf.classify("how many exact matches")[0] == \
             QueryIntent.AGGREGATE
