@@ -16,6 +16,7 @@ shared path.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Callable
 
@@ -23,6 +24,8 @@ from rassengine_tpu.core.schema import STRUCTURED_FIELDS as _ALL_STRUCTURED_FIEL
 from rassengine_tpu.ingest.chunker import chunk_text
 
 FILE_TYPE_JSON = "json"
+
+log = logging.getLogger("rassengine.ingest.fhir")
 
 _TAG_RE = re.compile(r"<[^>]+>")
 
@@ -316,8 +319,20 @@ def parse_fhir_bundle(bundle: dict, chunk_size: int = 512,
         if extractor is None:
             continue
         rid = resource.get("id") or f"entry{ei}"
-        fields = extractor(resource)
-        patient_id = _resolve_patient_id(rtype, resource, fields)
+        try:
+            fields = extractor(resource)
+            patient_id = _resolve_patient_id(rtype, resource, fields)
+            if patient_id is not None and not isinstance(patient_id, str):
+                patient_id = str(patient_id)
+            text = resource.get("text")
+            div = (text.get("div") if isinstance(text, dict) else None) or ""
+        except Exception:  # noqa: BLE001 — one bad entry must not sink the
+            # bundle: the reference's ingest loop swallows per-doc errors and
+            # keeps indexing (embedding_gen.py zero-vector-on-error spirit);
+            # real EHR exports routinely carry vendor-specific field shapes
+            log.warning("skipping malformed %s entry %s (rid=%s)",
+                        rtype, ei, rid, exc_info=True)
+            continue
 
         sdoc = {f: None for f in _ALL_STRUCTURED_FIELDS}
         sdoc.update(fields)
@@ -327,7 +342,7 @@ def parse_fhir_bundle(bundle: dict, chunk_size: int = 512,
             "resourceType": rtype,
             "file_path": file_path,
             "file_type": FILE_TYPE_JSON,
-            "patientId": patient_id if rtype != "Patient" else resource.get("id"),
+            "patientId": patient_id,  # _resolve_patient_id: own id for Patient
         })
         if rtype == "Patient":
             sdoc["patientName"] = fields.get("patientName")
@@ -335,8 +350,7 @@ def parse_fhir_bundle(bundle: dict, chunk_size: int = 512,
 
         # narrative collection: text.div + note[] + resource-specific prose
         pieces: list[str] = []
-        div = (resource.get("text") or {}).get("div") or ""
-        if div.strip():
+        if isinstance(div, str) and div.strip():
             pieces.append(_strip_html(div))
         for fname in _NARRATIVE_FIELDS.get(rtype, ()):
             v = fields.get(fname)

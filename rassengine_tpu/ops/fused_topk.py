@@ -210,6 +210,115 @@ def _pool_kernel(q_ref, v_ref, m_ref, out_s_ref, out_i_ref, *, block_rows: int):
     _pool_fold(s, out_s_ref, out_i_ref, i * block_rows, block_rows=block_rows)
 
 
+# ---------------------------------------------------------------------------
+# Packed pool fold (round 3): the _pool_fold update costs 8 VPU ops per
+# 128-lane slice because scores and row ids travel as separate arrays. For
+# positive scores, IEEE-754 f32 bit patterns order like signed int32, so a
+# (truncated-score | block-local-row) int32 packs BOTH into one value and the
+# per-slice fold collapses to bitwise-and + or + max (~3 ops). The fold keeps
+# the per-BLOCK top-1 per lane class; once per block it unpacks and merges
+# into the same global top-2-per-lane pool (8 ops amortized over BR/128
+# slices). Positivity comes from folding a +PACK_BIAS into the additive mask
+# (valid scores are ≥ cos ≥ -1 plus non-negative additive terms; NEG_INF
+# filter rows stay hugely negative and pack below every valid row).
+#
+# Selection exactness is BETTER than the global top-2 fold: a true top-k row
+# is lost only when two of the query's top-k share a (block, lane-class)
+# pair — P ≈ C(k,2)/(nb·128) vs the global pool's C(k,3)/128² — because the
+# collision space is partitioned nb× finer. Score values are truncated to
+# the top 32-log2(BR) bits (BR=2048 → 21 bits: sign+exp+12 mantissa, i.e.
+# absolute error ≤ 2⁻¹²·score ≲ 1e-3 on biased cos scales) — inside the
+# bf16 tie band the recall gates already allow. Enabled when nb ≥
+# PACKED_MIN_BLOCKS; small corpora keep the exact-f32 fold.
+# ---------------------------------------------------------------------------
+
+PACK_BIAS = 2.0
+PACKED_MIN_BLOCKS = 64
+
+
+def _block_top1_packed(s, *, block_rows: int):
+    """[B, BR] f32 (valid rows positive) → per-lane-class packed max [B, 128].
+
+    Packs trunc(score_bits) | local_row into int32; local_row < BR needs
+    log2(BR) low bits; signed-int max == float max for positive floats.
+    """
+    b = s.shape[0]
+    id_bits = max(1, (block_rows - 1).bit_length())
+    score_mask = jnp.int32(-(1 << id_bits))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
+    acc = None
+    for j in range(block_rows // LANES):
+        sj = s[:, j * LANES : (j + 1) * LANES]
+        bits = jax.lax.bitcast_convert_type(sj, jnp.int32)
+        p = (bits & score_mask) | (lane + j * LANES)
+        acc = p if acc is None else jnp.maximum(acc, p)
+    return acc
+
+
+def _merge_block_top1(acc, out_s_ref, out_i_ref, base, bias, *,
+                      block_rows: int):
+    """Unpack the block's per-lane winners and fold into the global top-2
+    pool (out refs double as cross-grid-step scratch, as in _pool_fold)."""
+    id_bits = max(1, (block_rows - 1).bit_length())
+    score_mask = jnp.int32(-(1 << id_bits))
+    blk_s = jax.lax.bitcast_convert_type(acc & score_mask, jnp.float32) - bias
+    blk_i = base + (acc & jnp.int32((1 << id_bits) - 1))
+    m1 = out_s_ref[:, :LANES]
+    m2 = out_s_ref[:, LANES:]
+    i1 = out_i_ref[:, :LANES]
+    i2 = out_i_ref[:, LANES:]
+    gt1 = blk_s > m1
+    gt2 = blk_s > m2
+    out_s_ref[:, LANES:] = jnp.where(gt1, m1, jnp.where(gt2, blk_s, m2))
+    out_i_ref[:, LANES:] = jnp.where(gt1, i1, jnp.where(gt2, blk_i, i2))
+    out_s_ref[:, :LANES] = jnp.where(gt1, blk_s, m1)
+    out_i_ref[:, :LANES] = jnp.where(gt1, blk_i, i1)
+
+
+def _pool_kernel_packed(q_ref, v_ref, m_ref, out_s_ref, out_i_ref, *,
+                        block_rows: int):
+    # m_ref carries add_mask + PACK_BIAS (folded in by the wrapper: zero
+    # in-kernel cost); unpack subtracts it again
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_s_ref[:] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        out_i_ref[:] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+
+    s = jax.lax.dot_general(
+        q_ref[:], v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + m_ref[0]
+    acc = _block_top1_packed(s, block_rows=block_rows)
+    _merge_block_top1(acc, out_s_ref, out_i_ref, i * block_rows,
+                      jnp.float32(PACK_BIAS), block_rows=block_rows)
+
+
+def _pool_int8_kernel_packed(q_ref, v_ref, sc_ref, m_ref, bias_ref,
+                             out_s_ref, out_i_ref, *, block_rows: int):
+    # internal scores are in 1/qs units (per-query), so the positivity bias
+    # is per-query too: bias_ref [B, 1] = PACK_BIAS / qs
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_s_ref[:] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        out_i_ref[:] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+
+    acc = jax.lax.dot_general(
+        q_ref[:], v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = acc.astype(jnp.float32) * sc_ref[0] + m_ref[0] + bias_ref[:]
+    packed = _block_top1_packed(s, block_rows=block_rows)
+    _merge_block_top1(packed, out_s_ref, out_i_ref, i * block_rows,
+                      bias_ref[:], block_rows=block_rows)
+
+
 def _pool_int8_kernel(q_ref, v_ref, sc_ref, m_ref, out_s_ref, out_i_ref,
                       *, block_rows: int):
     i = pl.program_id(0)
@@ -260,8 +369,13 @@ def fused_topk_pooled(vecs, queries, add_mask, k: int, block_rows: int = 2048,
         queries = jnp.pad(queries, ((0, b - b0), (0, 0)))
     q = queries.astype(jnp.bfloat16)
     v = vecs.astype(jnp.bfloat16)
-    m2 = add_mask.astype(jnp.float32).reshape(nb, 1, block_rows)
-    kernel = functools.partial(_pool_kernel, block_rows=block_rows)
+    packed = nb >= PACKED_MIN_BLOCKS
+    m1 = add_mask.astype(jnp.float32)
+    if packed:  # positivity bias folded into the mask — free in-kernel
+        m1 = m1 + jnp.float32(PACK_BIAS)
+    m2 = m1.reshape(nb, 1, block_rows)
+    kernel = functools.partial(
+        _pool_kernel_packed if packed else _pool_kernel, block_rows=block_rows)
     specs = [
         pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -291,15 +405,26 @@ def fused_topk_int8_pooled(codes, scales, queries, add_mask, k: int,
     qcodes = jnp.clip(jnp.round(qn / jnp.maximum(qs, 1e-12)), -127, 127).astype(jnp.int8)
     sc2 = scales.astype(jnp.float32).reshape(nb, 1, block_rows)
     m2 = add_mask.astype(jnp.float32).reshape(nb, 1, block_rows)
-    kernel = functools.partial(_pool_int8_kernel, block_rows=block_rows)
+    packed = nb >= PACKED_MIN_BLOCKS
     specs = [
         pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block_rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block_rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
-    pool_s, pool_i = _call_pool(kernel, (qcodes, codes, sc2, m2), specs, b, nb,
-                                interpret)
+    if packed:
+        # internal scores are cos/qs per query → per-query positivity bias
+        bias = (jnp.float32(PACK_BIAS)
+                / jnp.maximum(qs, 1e-12)).astype(jnp.float32)
+        kernel = functools.partial(_pool_int8_kernel_packed,
+                                   block_rows=block_rows)
+        specs.append(pl.BlockSpec((b, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        inputs = (qcodes, codes, sc2, m2, bias)
+    else:
+        kernel = functools.partial(_pool_int8_kernel, block_rows=block_rows)
+        inputs = (qcodes, codes, sc2, m2)
+    pool_s, pool_i = _call_pool(kernel, inputs, specs, b, nb, interpret)
     k = min(k, POOL)
     top_s, pos = jax.lax.top_k(pool_s, k)
     top_i = jnp.take_along_axis(pool_i, pos, axis=1)

@@ -210,3 +210,44 @@ class TestFhirEdgeCases:
         assert len(u) == 4  # ceil(1800+words/512)
         assert u[0]["doc_id"] == "Condition-c-unstructured-0"
         assert u[3]["doc_id"] == "Condition-c-unstructured-3"
+
+
+class TestFhirFuzz:
+    """Structural fuzz: random junk in any field of any resource type must
+    never crash the parser (the reference swallows per-entry errors and
+    keeps indexing, main.py:1112-1130 loop semantics); outputs must stay
+    well-formed for the indexer (str doc_id, str-or-None patientId)."""
+
+    def test_random_structures_never_crash(self):
+        import random
+
+        from rassengine_tpu.ingest.fhir import _EXTRACTORS
+
+        rng = random.Random(0)
+        junk_pool = [None, 0, -1, 3.5, True, "", "x", [], {}, [None], [{}],
+                     {"text": None}, {"coding": "oops"}, {"coding": [None]},
+                     {"coding": [{"display": 7}]}, {"reference": 9},
+                     {"reference": ""}, [{"text": 1}], "Patient/", 10**18,
+                     {"value": "NaN"}, [{"period": {"start": []}}]]
+        field_pool = ["id", "subject", "patient", "code", "note", "text",
+                      "status", "clinicalStatus", "onsetDateTime", "name",
+                      "valueQuantity", "effectiveDateTime", "medication",
+                      "medicationCodeableConcept", "performedPeriod",
+                      "reasonCode", "dosageInstruction", "category",
+                      "encounter", "participant", "address", "telecom",
+                      "gender", "birthDate", "class", "type", "period"]
+        entries = []
+        for i in range(300):
+            rtype = rng.choice(list(_EXTRACTORS) + ["Unknown", "", None])
+            res = {"resourceType": rtype}
+            for f in rng.sample(field_pool, rng.randint(0, 8)):
+                res[f] = rng.choice(junk_pool)
+            entries.append({"resource": res})
+        s, u = parse_fhir_bundle({"entry": entries})
+        for d in s + u:
+            assert isinstance(d["doc_id"], str) and d["doc_id"]
+            pid = d.get("patientId")
+            assert pid is None or isinstance(pid, str)
+        # junk fields are dropped or the single entry skipped, never fatal:
+        # the well-typed majority must land (deterministic with this seed)
+        assert len(s) >= 150

@@ -121,3 +121,105 @@ class TestPooledVariants:
                                      jnp.asarray(v[7:8]), jnp.asarray(mask), 5,
                                      block_rows=128, interpret=True)
         assert np.all(np.asarray(rows) >= 256)
+
+
+class TestPackedPoolFold:
+    """Packed (score-bits | row) int32 fold — the nb >= PACKED_MIN_BLOCKS fast
+    path. Forced on via monkeypatch so small interpret-mode corpora cover it;
+    the jit cache keys on the traced branch through the module global, so
+    each test calls with a distinct (shape, k) to avoid stale-cache hits."""
+
+    def _force_packed(self, monkeypatch):
+        import importlib
+
+        ft = importlib.import_module("rassengine_tpu.ops.fused_topk")
+        monkeypatch.setattr(ft, "PACKED_MIN_BLOCKS", 1)
+        # distinct jit cache: the wrapper branches on the global at trace
+        # time, so clear to avoid reusing an unpacked trace for these shapes
+        ft.fused_topk_pooled.clear_cache()
+        ft.fused_topk_int8_pooled.clear_cache()
+        return ft
+
+    def test_packed_matches_unpacked_rows(self, rng, monkeypatch):
+        import importlib
+
+        ft = importlib.import_module("rassengine_tpu.ops.fused_topk")
+
+        v = corpus(rng, n=1024)
+        q = v[:4] + 0.01 * rng.normal(size=(4, 128)).astype(np.float32)
+        mask = jnp.zeros(1024, jnp.float32)
+        ft.fused_topk_pooled.clear_cache()
+        s0, r0 = ft.fused_topk_pooled(jnp.asarray(v, jnp.bfloat16),
+                                      jnp.asarray(q), mask, 5,
+                                      block_rows=128, interpret=True)
+        s0, r0 = np.asarray(s0), np.asarray(r0)
+        ftp = self._force_packed(monkeypatch)
+        s1, r1 = ftp.fused_topk_pooled(jnp.asarray(v, jnp.bfloat16),
+                                       jnp.asarray(q), mask, 5,
+                                       block_rows=128, interpret=True)
+        s1, r1 = np.asarray(s1), np.asarray(r1)
+        ftp.fused_topk_pooled.clear_cache()
+        # row sets agree (score truncation can only swap inside the tie band)
+        hit = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(r0, r1)])
+        assert hit >= 0.9
+        # unpacked-bias scores approximate the exact fold's scores
+        assert np.max(np.abs(s1 - s0)) < 5e-3
+
+    def test_packed_mask_excludes_rows(self, rng, monkeypatch):
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng)
+        mask = np.zeros(512, np.float32)
+        mask[:256] = -1e30
+        s, rows = ft.fused_topk_pooled(jnp.asarray(v, jnp.bfloat16),
+                                       jnp.asarray(v[7:8]), jnp.asarray(mask),
+                                       7, block_rows=128, interpret=True)
+        assert np.all(np.asarray(rows) >= 256)
+        assert np.all(np.asarray(s) > -1.0e29)  # valid scores, bias removed
+        ft.fused_topk_pooled.clear_cache()
+
+    def test_packed_all_filtered_stays_neg(self, rng, monkeypatch):
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng, n=256)
+        mask = np.full(256, -1e30, np.float32)
+        s, _rows = ft.fused_topk_pooled(jnp.asarray(v, jnp.bfloat16),
+                                        jnp.asarray(v[:1]), jnp.asarray(mask),
+                                        3, block_rows=128, interpret=True)
+        assert np.all(np.asarray(s) <= ft.NEG_INF / 2)
+        ft.fused_topk_pooled.clear_cache()
+
+    def test_packed_int8_matches_oracle(self, rng, monkeypatch):
+        from rassengine_tpu.index.quant import quantize_int8
+
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng, n=1024)
+        codes, scales = quantize_int8(v)
+        q = v[:4] + 0.01 * rng.normal(size=(4, 128)).astype(np.float32)
+        mask = jnp.zeros(1024, jnp.float32)
+        s, rows = ft.fused_topk_int8_pooled(jnp.asarray(codes),
+                                            jnp.asarray(scales),
+                                            jnp.asarray(q), mask, 5,
+                                            block_rows=128, interpret=True)
+        want = oracle(v, q, 5)
+        got = np.asarray(rows)
+        hit = np.mean([len(set(g) & set(w)) / 5 for g, w in zip(got, want)])
+        assert hit >= 0.9
+        # scores come back in cosine units (per-query bias fully removed)
+        s = np.asarray(s)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for b in range(4):
+            true = qn[b] @ v[got[b][0]]
+            assert abs(s[b, 0] - true) < 0.03
+        ft.fused_topk_int8_pooled.clear_cache()
+
+    def test_packed_additive_mask_boost_wins(self, rng, monkeypatch):
+        # a large positive additive term (BM25-style) must dominate in the
+        # packed representation exactly as in the exact fold
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng)
+        mask = np.zeros(512, np.float32)
+        mask[300] = 10.0
+        _s, rows = ft.fused_topk_pooled(jnp.asarray(v, jnp.bfloat16),
+                                        jnp.asarray(v[7:8]), jnp.asarray(mask),
+                                        1, block_rows=128, interpret=True)
+        assert np.asarray(rows)[0, 0] == 300
+        ft.fused_topk_pooled.clear_cache()
