@@ -145,6 +145,39 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                     "value": round(b3 / dt_hyb, 1),
                     "ms_batch_one_dispatch": round(dt_hyb * 1e3, 3)})
 
+    # --- config 3i: int8-SELECT + in-dispatch bf16 rescore hybrid -------------
+    # Same one-dispatch hybrid, but the semantic top-m candidates come from
+    # the block-scale int8 scan (all-integer epilogue, half the HBM read)
+    # and are exactly re-scored from the bf16 rows inside the dispatch —
+    # candidate selection is the only approximate stage, final ordering is
+    # bf16-exact. Costs double residency (3 B/dim vs 2), buys scan speed.
+    if on_tpu:
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        ci8, bi8 = quantize_int8_block(v3, 2048)
+        cd3i = jnp.asarray(ci8)
+        sd3i = jnp.asarray(np.repeat(bi8, 2048))
+        bs3i = jnp.asarray(bi8)
+
+        def hybrid_i8sel_fn(qq):
+            return hybrid_topk_batch(vd3, mask3, qq, view.tables,
+                                     ci3, wvec, 2.0, k, top_m_lex=64,
+                                     scan_mode="pallas_int8",
+                                     int8_tables=(cd3i, sd3i),
+                                     int8_block_scales=bs3i)
+
+        s3i, r3i = hybrid_i8sel_fn(q3)
+        s3h, r3h = hybrid_fn(q3)
+        agree_i = float(np.mean([len(set(a) & set(b)) / k for a, b in
+                                 zip(np.asarray(r3i), np.asarray(r3h))]))
+        dt_hi = _chain_time(hybrid_i8sel_fn, q3, 40)
+        results.append({"config": f"hybrid_int8sel_{n3 // 1000}k_b{b3}",
+                        "metric": "qps_per_chip",
+                        "value": round(b3 / dt_hi, 1),
+                        "ms_batch_one_dispatch": round(dt_hi * 1e3, 3),
+                        "agreement_vs_bf16_hybrid@5": round(agree_i, 4)})
+        del cd3i, sd3i
+
     # --- config 3s: sharded one-dispatch hybrid, per-shard cost (round 3) -----
     # One chip = one shard: the full hybrid (scan + BM25 + fusion) inside
     # shard_map + all-gather merge vs the plain dispatch — the per-shard cost
@@ -242,6 +275,31 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                     "value": round(b3 / dt_int8, 1),
                     "candidate_recall@5": round(float(rec4), 4),
                     "ms_batch": round(dt_int8 * 1e3, 3)})
+
+    # --- config 4b: int8 with per-BLOCK scales (all-integer epilogue) --------
+    # quantize_int8_block shares one scale per 2048-row block, which lets the
+    # Pallas kernel keep its whole selection epilogue in int32 (no per-element
+    # astype/scale-mul) — this is what TenantIndex.device_columns_int8 serves.
+    if on_tpu:
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        codes_b, bs_b = quantize_int8_block(v3, 2048)
+        cdb = jnp.asarray(codes_b)
+        sdb = jnp.asarray(np.repeat(bs_b, 2048))
+        bsb = jnp.asarray(bs_b)
+        int8b_fn = lambda qq: fused_topk_int8_pooled(  # noqa: E731
+            cdb, sdb, qq, mask3, 4 * k, 2048, block_scales=bsb)
+        dt_i8b = _chain_time(int8b_fn, q3, 40)
+        _s4b, rows4b = int8b_fn(q3)
+        got4b = np.asarray(rows4b)
+        rec4b = np.mean([len(set(g[: 4 * k]) & set(w)) / k
+                         for g, w in zip(got4b, want4)])
+        results.append({"config": f"int8_blockscale_{n3 // 1000}k_b{b3}",
+                        "metric": "qps_per_chip",
+                        "value": round(b3 / dt_i8b, 1),
+                        "candidate_recall@5": round(float(rec4b), 4),
+                        "ms_batch": round(dt_i8b * 1e3, 3)})
+        del codes_b, cdb, sdb
 
     # --- config 4h: int8-only one-dispatch hybrid (>bf16-budget regime) -------
     # 4M×1024-d: bf16 rows would be 8 GB > HYBRID_BF16_BUDGET (6 GB), so the

@@ -34,7 +34,7 @@ def encode_scan_topk(embed_fn, params, proj, ids, tok_mask, vecs, add_mask,
                      scatter_rows, scatter_vals, inv_sem_weight,
                      k: int, block_rows: int, mode: str = "pallas",
                      interpret: bool = False, int8_codes=None,
-                     int8_scales=None):
+                     int8_scales=None, int8_block_scales=None):
     """Encoder forward → (optional) additive scatter → corpus top-k.
 
     ``embed_fn`` (static): pure (params, ids, tok_mask, proj) → [B, dim]
@@ -66,15 +66,22 @@ def encode_scan_topk(embed_fn, params, proj, ids, tok_mask, vecs, add_mask,
         from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
 
         assert emb.shape[0] == 1, "int8 fused lone ask is single-query"
-        # replicate the kernel's qs = max|qn|/127 bit-for-bit so add/qs
-        # round-trips exactly through its final ·qs rescale
-        q32 = emb.astype(jnp.float32)
-        qn = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=-1, keepdims=True),
-                               1e-12)
-        qs = jnp.max(jnp.abs(qn), axis=1)[0] / 127.0
-        s, r = fused_topk_int8_pooled(int8_codes, int8_scales, emb,
-                                      add / jnp.maximum(qs, 1e-12), k,
-                                      block_rows, interpret=interpret)
+        if int8_block_scales is not None:
+            # block-scale contract: mask and scores in true units already
+            s, r = fused_topk_int8_pooled(int8_codes, int8_scales, emb,
+                                          add, k, block_rows,
+                                          interpret=interpret,
+                                          block_scales=int8_block_scales)
+        else:
+            # replicate the kernel's qs = max|qn|/127 bit-for-bit so add/qs
+            # round-trips exactly through its final ·qs rescale
+            q32 = emb.astype(jnp.float32)
+            qn = q32 / jnp.maximum(
+                jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
+            qs = jnp.max(jnp.abs(qn), axis=1)[0] / 127.0
+            s, r = fused_topk_int8_pooled(int8_codes, int8_scales, emb,
+                                          add / jnp.maximum(qs, 1e-12), k,
+                                          block_rows, interpret=interpret)
     elif mode == "pallas":
         s, r = fused_topk_pooled(vecs, emb, add, k, block_rows,
                                  interpret=interpret)

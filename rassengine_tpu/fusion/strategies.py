@@ -441,7 +441,10 @@ class Retriever:
                 over = min(max(4 * m, 64), idx.capacity)
                 s8, rows = sharded_topk_int8(self.mesh, q8["codes"],
                                              q8["scales"], mask, q, over,
-                                             use_pallas=None if self.use_pallas else False)
+                                             use_pallas=None if self.use_pallas else False,
+                                             block_scales=q8.get("block_scales"),
+                                             scale_block_rows=q8.get(
+                                                 "scale_block_rows", 2048))
                 # drop masked rows before re-rank — a filtered-out row can
                 # reach the candidate list (scoring NEG_INF+ε) and exact
                 # re-rank would resurrect it
@@ -513,7 +516,9 @@ class Retriever:
                 qcols = idx.device_columns_int8()
                 over = min(max(2 * m, 32), idx.capacity, 256)
                 s8, rows = fused_topk_int8_pooled(qcols["codes"], qcols["scales"],
-                                                  q, mask, over, idx.block_rows)
+                                                  q, mask, over, idx.block_rows,
+                                                  block_scales=qcols.get(
+                                                      "block_scales"))
                 # masked rows (NEG_INF+ε) must not reach the exact re-rank
                 rows = np.where(to_host(s8) <= NEG_INF / 2, -1,
                                 to_host(rows))
@@ -574,7 +579,8 @@ class Retriever:
                     over = min(max(4 * m, 32), idx.capacity, 256)
                     s8, rows = fused_topk_int8_pooled(
                         qcols["codes"], qcols["scales"], q, mask, over,
-                        idx.block_rows)
+                        idx.block_rows,
+                        block_scales=qcols.get("block_scales"))
                     rows = np.asarray(rows[0])
                     rows = rows[(rows >= 0) & (np.asarray(s8[0]) > NEG_INF / 2)]
                     exact = self._sem_scores_for(query_emb, rows)
@@ -724,9 +730,11 @@ class Retriever:
         int8_only = (2 * idx.capacity * idx.dim > HYBRID_BF16_BUDGET_BYTES
                      and self.use_pallas)
         int8_tables = None
+        int8_bscales = None
         if int8_only:
             c8 = idx.device_columns_int8()
             int8_tables = (c8["codes"], c8["scales"])
+            int8_bscales = c8.get("block_scales")
             vecs_arg, scan_mode = None, "pallas_int8"
         else:
             vecs_arg = idx.device_columns()["vecs"]
@@ -744,7 +752,8 @@ class Retriever:
                     jnp.asarray(chunk_ids), wvec,
                     sem_weight, min(k, 256), m=m,
                     block_rows=min(idx.block_rows, idx.capacity),
-                    scan_mode=mode, int8_tables=int8_tables)
+                    scan_mode=mode, int8_tables=int8_tables,
+                    int8_block_scales=int8_bscales)
 
         try:
             top_s, top_r = run(scan_mode)
@@ -794,18 +803,22 @@ class Retriever:
         mask = self._routed_mask(idx.filter_mask(spec), spec)
         q = np.atleast_2d(np.asarray(query_embs, np.float32))
         m = min(max(4 * k, 64), 128, idx.capacity)
+        int8_bscales, sbr = None, 2048
         if self._bf16_fits():
             vecs_arg, int8_tables = idx.device_columns()["vecs"], None
         else:  # bf16 rows never upload — codes are the only resident form
             c8 = idx.device_columns_int8()
             vecs_arg, int8_tables = None, (c8["codes"], c8["scales"])
+            int8_bscales = c8.get("block_scales")
+            sbr = c8.get("scale_block_rows", 2048)
         with stage("hybrid_batch_sharded"):
             top_s, top_r = sharded_hybrid_topk(
                 self.mesh, vecs_arg, mask,
                 jnp.asarray(q), view.tables, jnp.asarray(chunk_ids), wvec,
                 sem_weight, min(k, 256), m=m,
                 use_pallas=None if self.use_pallas else False,
-                int8_tables=int8_tables)
+                int8_tables=int8_tables,
+                int8_block_scales=int8_bscales, scale_block_rows=sbr)
         return self._fused_rows_to_hits(to_host(top_s), to_host(top_r))
 
     def exact_match_search(self, query: str, k: int = 3,
@@ -1011,7 +1024,8 @@ class Retriever:
                         base_mask, scat_r, scat_v, 1.0 / sem_weight,
                         k=min(k, 256, cap),
                         block_rows=min(idx.block_rows, cap), mode=m,
-                        int8_codes=c8["codes"], int8_scales=c8["scales"])
+                        int8_codes=c8["codes"], int8_scales=c8["scales"],
+                        int8_block_scales=c8.get("block_scales"))
                 return encode_scan_topk(
                     embed_fn, params, proj, ids, tok_mask,
                     idx.device_columns()["vecs"], base_mask, scat_r, scat_v,

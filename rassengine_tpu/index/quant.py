@@ -27,6 +27,30 @@ def quantize_int8(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return codes, scales.astype(np.float32)
 
 
+def quantize_int8_block(vecs: np.ndarray, block_rows: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-BLOCK symmetric scale: one scale shared by ``block_rows`` rows.
+
+    Within a block, integer dot products are directly comparable across rows,
+    which lets the Pallas scan keep its whole selection epilogue in int32
+    (ops/fused_topk.py: add + packed fold — no astype/scale-mul per element).
+    Rows are L2-normalized at ingest, so per-row max components cluster and
+    the block max costs ≲1 bit of code range vs per-row scales — candidate
+    recall is gated in tests/test_ops.py and the bench suite.
+
+    → (codes [N, d] int8, block_scales [N/block_rows] f32).
+    """
+    v = np.asarray(vecs, np.float32)
+    n, d = v.shape
+    assert n % block_rows == 0, (n, block_rows)
+    nb = n // block_rows
+    bs = np.abs(v).reshape(nb, block_rows * d).max(axis=1) / 127.0
+    bs = np.where(bs > 0, bs, 1.0).astype(np.float32)
+    per_row = np.repeat(bs, block_rows)[:, None]
+    codes = np.clip(np.round(v / per_row), -127, 127).astype(np.int8)
+    return codes, bs
+
+
 @partial(jax.jit, static_argnames=("m",))
 def int8_scan_topm(codes, scales, queries, add_mask, m: int):
     """Quantized candidate generation.

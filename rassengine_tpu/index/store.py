@@ -603,14 +603,20 @@ class TenantIndex:
         """
         if self._device_q is not None and self._flushed["int8"] == self.generation:
             return self._device_q
-        from rassengine_tpu.index.quant import quantize_int8
+        from rassengine_tpu.index.quant import quantize_int8_block
 
         # refresh filter columns; keep bf16 rows off-device (int8 owns HBM)
         self.device_columns(include_vecs=False)
-        codes, scales = quantize_int8(self._vecs)
+        # per-BLOCK scales: codes within a block share one scale, enabling
+        # the all-integer Pallas epilogue (ops/fused_topk.py). "scales"
+        # stays per-row (broadcast) so every per-row-scale consumer — XLA
+        # int8_scan_topm, sharded local scans — dequantizes unchanged.
+        codes, bscales = quantize_int8_block(self._vecs, self.block_rows)
         self._device_q = {
             "codes": self._put_rows(codes),
-            "scales": self._put_rows(scales),
+            "scales": self._put_rows(np.repeat(bscales, self.block_rows)),
+            "block_scales": jnp.asarray(bscales),
+            "scale_block_rows": self.block_rows,
         }
         self._flushed["int8"] = self.generation
         return self._device_q

@@ -554,7 +554,7 @@ def hybrid_topk_batch(vecs, add_mask, queries, lex_tables, chunk_ids,
                       wvec, sem_weight, k: int, m: int = 64,
                       top_m_lex: int = 128, block_rows: int = 2048,
                       scan_mode: str = "pallas", int8_tables=None,
-                      interpret: bool = False):
+                      interpret: bool = False, int8_block_scales=None):
     """The whole batched hybrid in ONE dispatch: scan + sparse BM25 + fusion.
 
     queries [B, d] raw embeddings (normalized here). ``lex_tables`` is
@@ -584,7 +584,8 @@ def hybrid_topk_batch(vecs, add_mask, queries, lex_tables, chunk_ids,
         codes, scales = int8_tables
         sem_s, sem_r = fused_topk_int8_pooled(codes, scales, qn, add_mask,
                                               m, block_rows,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              block_scales=int8_block_scales)
         if vecs is not None:
             cap = vecs.shape[0]
             safe = jnp.where((sem_r >= 0) & (sem_r < cap), sem_r, 0)

@@ -255,14 +255,10 @@ def _block_top1_packed(s, *, block_rows: int):
     return acc
 
 
-def _merge_block_top1(acc, out_s_ref, out_i_ref, base, bias, *,
-                      block_rows: int):
-    """Unpack the block's per-lane winners and fold into the global top-2
-    pool (out refs double as cross-grid-step scratch, as in _pool_fold)."""
-    id_bits = max(1, (block_rows - 1).bit_length())
-    score_mask = jnp.int32(-(1 << id_bits))
-    blk_s = jax.lax.bitcast_convert_type(acc & score_mask, jnp.float32) - bias
-    blk_i = base + (acc & jnp.int32((1 << id_bits) - 1))
+def _fold_pool2(blk_s, blk_i, out_s_ref, out_i_ref):
+    """Fold per-lane-class block winners ([B, 128] f32 scores + int32 rows)
+    into the global top-2-per-lane pool (out refs double as cross-grid-step
+    scratch, as in _pool_fold)."""
     m1 = out_s_ref[:, :LANES]
     m2 = out_s_ref[:, LANES:]
     i1 = out_i_ref[:, :LANES]
@@ -273,6 +269,16 @@ def _merge_block_top1(acc, out_s_ref, out_i_ref, base, bias, *,
     out_i_ref[:, LANES:] = jnp.where(gt1, i1, jnp.where(gt2, blk_i, i2))
     out_s_ref[:, :LANES] = jnp.where(gt1, blk_s, m1)
     out_i_ref[:, :LANES] = jnp.where(gt1, blk_i, i1)
+
+
+def _merge_block_top1(acc, out_s_ref, out_i_ref, base, bias, *,
+                      block_rows: int):
+    """Unpack the block's packed-f32 per-lane winners and fold into the pool."""
+    id_bits = max(1, (block_rows - 1).bit_length())
+    score_mask = jnp.int32(-(1 << id_bits))
+    blk_s = jax.lax.bitcast_convert_type(acc & score_mask, jnp.float32) - bias
+    blk_i = base + (acc & jnp.int32((1 << id_bits) - 1))
+    _fold_pool2(blk_s, blk_i, out_s_ref, out_i_ref)
 
 
 def _pool_kernel_packed(q_ref, v_ref, m_ref, out_s_ref, out_i_ref, *,
@@ -295,6 +301,76 @@ def _pool_kernel_packed(q_ref, v_ref, m_ref, out_s_ref, out_i_ref, *,
     acc = _block_top1_packed(s, block_rows=block_rows)
     _merge_block_top1(acc, out_s_ref, out_i_ref, i * block_rows,
                       jnp.float32(PACK_BIAS), block_rows=block_rows)
+
+
+# ---------------------------------------------------------------------------
+# All-integer int8 epilogue (round 3): when the corpus is quantized with a
+# PER-BLOCK scale (index/quant.py:quantize_int8_block), integer dot products
+# are directly comparable across the block's rows, so the additive mask can be
+# pre-quantized to integer score units (one cheap [cap] XLA op per call,
+# outside the kernel) and the whole per-element epilogue collapses to
+#     s = acc + m_int;  p = (s & score_mask) | lane;  max
+# — 4 VPU ops/element vs 8 for the per-row-scale packed path (astype, scale
+# mul, mask add, bias add, then the fold). Signed-int max needs no positivity
+# bias at all. Cross-block comparison happens at merge time in f32: each
+# block's winners are dequantized by its scalar unit (qs·S_b from SMEM).
+#
+# Integer layout (unit = shared-query-scale · block-scale):
+#   valid rows:    m_int = clip(round(mask/unit), ±INT_CLIP=2^29)
+#   filtered rows: m_int = INT_FILTER = -2^30
+#   |acc| ≤ 127²·d ≤ 6.6e7 (d ≤ 4096) → valid s ∈ ±6.03e8, filtered
+#   s ≤ -9.6e8; INT_SEP = -(3<<28) separates them and nothing overflows i32.
+# The query scale is shared across the batch (batch max) so m_int is [cap],
+# not [B, cap]; unit-norm queries cluster tightly, and candidate recall is
+# gated in tests + bench.
+# ---------------------------------------------------------------------------
+
+INT_FILTER = -(1 << 30)
+INT_CLIP = 1 << 29
+INT_SEP = -(3 << 28)
+
+
+def _block_top1_packed_int(s, *, block_rows: int):
+    """[B, BR] int32 → per-lane-class packed max [B, 128] (int scores order
+    natively under signed max; floor-to-2^id_bits is monotone for negatives
+    too, so no bias and no bitcast)."""
+    b = s.shape[0]
+    id_bits = max(1, (block_rows - 1).bit_length())
+    score_mask = jnp.int32(-(1 << id_bits))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
+    acc = None
+    for j in range(block_rows // LANES):
+        p = (s[:, j * LANES : (j + 1) * LANES] & score_mask) | (lane + j * LANES)
+        acc = p if acc is None else jnp.maximum(acc, p)
+    return acc
+
+
+def _pool_int8_kernel_int(q_ref, v_ref, m_ref, u_ref, out_s_ref, out_i_ref,
+                          *, block_rows: int):
+    # m_ref [1, 1, BR] int32 mask in integer score units; u_ref [nb, 1] f32
+    # in SMEM (whole array — SMEM blocks must equal the array shape), read
+    # at [i, 0] = this block's dequantization unit (qs_shared · S_block)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_s_ref[:] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        out_i_ref[:] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+
+    acc = jax.lax.dot_general(
+        q_ref[:], v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = acc + m_ref[0]
+    packed = _block_top1_packed_int(s, block_rows=block_rows)
+    id_bits = max(1, (block_rows - 1).bit_length())
+    floored = packed & jnp.int32(-(1 << id_bits))
+    blk_s = jnp.where(floored > INT_SEP,
+                      floored.astype(jnp.float32) * u_ref[i, 0],
+                      jnp.float32(NEG_INF))
+    blk_i = i * block_rows + (packed & jnp.int32((1 << id_bits) - 1))
+    _fold_pool2(blk_s, blk_i, out_s_ref, out_i_ref)
 
 
 def _pool_int8_kernel_packed(q_ref, v_ref, sc_ref, m_ref, bias_ref,
@@ -390,8 +466,17 @@ def fused_topk_pooled(vecs, queries, add_mask, k: int, block_rows: int = 2048,
 
 @functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
 def fused_topk_int8_pooled(codes, scales, queries, add_mask, k: int,
-                           block_rows: int = 2048, interpret: bool = False):
-    """int8 pool-mode scan (see fused_topk_pooled)."""
+                           block_rows: int = 2048, interpret: bool = False,
+                           block_scales=None):
+    """int8 pool-mode scan (see fused_topk_pooled).
+
+    ``block_scales`` [cap/block_rows] (codes quantized per block —
+    index/quant.py:quantize_int8_block) selects the all-integer epilogue:
+    the additive mask is pre-quantized to integer score units with a shared
+    (batch-max) query scale, and scores come back in TRUE units (cosine +
+    mask) with filtered rows at NEG_INF — no per-query rescale. Without it,
+    the per-row-scale path returns scores ·qs-rescaled as before.
+    """
     cap, d = codes.shape
     assert cap % block_rows == 0 and block_rows % LANES == 0, (cap, block_rows)
     nb = cap // block_rows
@@ -401,6 +486,59 @@ def fused_topk_int8_pooled(codes, scales, queries, add_mask, k: int,
         queries = jnp.pad(queries, ((0, b - b0), (0, 0)))
     q = queries.astype(jnp.float32)
     qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    if block_scales is not None:
+        # block-scale contract: add_mask and returned scores in TRUE units
+        qs_all = jnp.maximum(jnp.max(jnp.abs(qn)) / 127.0, 1e-12)  # shared
+        qcodes = jnp.clip(jnp.round(qn / qs_all), -127, 127).astype(jnp.int8)
+        if nb >= PACKED_MIN_BLOCKS:
+            unit = qs_all * block_scales.astype(jnp.float32)       # [nb]
+            m1 = add_mask.astype(jnp.float32).reshape(nb, block_rows)
+            mi = jnp.clip(jnp.round(m1 / unit[:, None]), -INT_CLIP, INT_CLIP)
+            m_int = jnp.where(m1 <= NEG_INF / 2, jnp.float32(INT_FILTER), mi)
+            m_int = m_int.astype(jnp.int32).reshape(nb, 1, block_rows)
+            u2 = unit.reshape(nb, 1)
+            kernel = functools.partial(_pool_int8_kernel_int,
+                                       block_rows=block_rows)
+            specs = [
+                pl.BlockSpec((b, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_rows), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ]
+            pool_s, pool_i = _call_pool(kernel, (qcodes, codes, m_int, u2),
+                                        specs, b, nb, interpret)
+        else:
+            # small-corpus fallback keeps the same true-unit contract: the
+            # f32 per-row kernel with mask pre-divided by the SHARED query
+            # scale (per-row scales = broadcast block scales)
+            sc2 = scales.astype(jnp.float32).reshape(nb, 1, block_rows)
+            mraw = add_mask.astype(jnp.float32)
+            m2 = jnp.where(mraw <= NEG_INF / 2, mraw, mraw / qs_all)
+            m2 = m2.reshape(nb, 1, block_rows)
+            kernel = functools.partial(_pool_int8_kernel,
+                                       block_rows=block_rows)
+            specs = [
+                pl.BlockSpec((b, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_rows), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_rows), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            pool_s, pool_i = _call_pool(kernel, (qcodes, codes, sc2, m2),
+                                        specs, b, nb, interpret)
+            pool_s = jnp.where(pool_s <= NEG_INF / 2, NEG_INF,
+                               pool_s * qs_all)
+        k = min(k, POOL)
+        top_s, pos = jax.lax.top_k(pool_s, k)
+        top_i = jnp.take_along_axis(pool_i, pos, axis=1)
+        return top_s[:b0], top_i[:b0]  # true units; filtered rows = NEG_INF
     qs = jnp.max(jnp.abs(qn), axis=1, keepdims=True) / 127.0
     qcodes = jnp.clip(jnp.round(qn / jnp.maximum(qs, 1e-12)), -127, 127).astype(jnp.int8)
     sc2 = scales.astype(jnp.float32).reshape(nb, 1, block_rows)

@@ -156,16 +156,29 @@ def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int,
     return s[:b], i[:b]
 
 
+def _block_scales_ok(use_pallas: bool, block_scales, local_rows: int,
+                     scale_block_rows: int) -> bool:
+    """Whether a shard can run the all-integer int8 epilogue: every shard
+    must hold WHOLE quantization blocks (the kernel then walks blocks at the
+    quantization granularity, so each kernel block has exactly one scale)."""
+    return (use_pallas and block_scales is not None
+            and 0 < scale_block_rows <= 2048
+            and scale_block_rows % 128 == 0
+            and local_rows % scale_block_rows == 0)
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_topk_int8_fn(mesh: Mesh, k: int, local_rows: int, use_int8: bool,
-                          use_pallas: bool, interpret: bool):
-    def fn(c, sc, m, q):
+                          use_pallas: bool, interpret: bool,
+                          scale_block_rows: int = 0):
+    def fn(c, sc, m, q, *bs):
         if use_pallas:
             from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
 
+            br = scale_block_rows if bs else _pick_block_rows(local_rows)
             s_top, i = fused_topk_int8_pooled(
-                c, sc, q, m, k, _pick_block_rows(local_rows),
-                interpret=interpret)
+                c, sc, q, m, k, br,
+                interpret=interpret, block_scales=bs[0] if bs else None)
         else:
             qf = q.astype(jnp.float32)
             qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True),
@@ -190,9 +203,12 @@ def _sharded_topk_int8_fn(mesh: Mesh, k: int, local_rows: int, use_int8: bool,
         return top_s, top_i
 
     qs = _batch_spec(mesh)
+    in_specs = (P("shard"), P("shard"), P("shard"), qs)
+    if scale_block_rows:
+        in_specs += (P("shard"),)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P("shard"), qs),
+        in_specs=in_specs,
         out_specs=(qs, qs),
         check_vma=False,
     ))
@@ -200,7 +216,8 @@ def _sharded_topk_int8_fn(mesh: Mesh, k: int, local_rows: int, use_int8: bool,
 
 def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int,
                       use_pallas: bool | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False, block_scales=None,
+                      scale_block_rows: int = 2048):
     """Row-sharded int8 scan with all-gather merge (the beyond-bf16 sharded
     tier: 8×~13M×1024-d per v5e-8 slice at int8 residency).
 
@@ -219,8 +236,13 @@ def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int,
     if use_pallas is None:
         use_pallas = _use_pallas_local(k, local)
     (queries,), b = _pad_to_replicas(mesh, queries)
-    s, i = _sharded_topk_int8_fn(mesh, k, local, use_int8, use_pallas,
-                                 interpret)(codes, scales, mask, queries)
+    if _block_scales_ok(use_pallas, block_scales, local, scale_block_rows):
+        fn = _sharded_topk_int8_fn(mesh, k, local, use_int8, use_pallas,
+                                   interpret, scale_block_rows)
+        s, i = fn(codes, scales, mask, queries, block_scales)
+    else:
+        s, i = _sharded_topk_int8_fn(mesh, k, local, use_int8, use_pallas,
+                                     interpret)(codes, scales, mask, queries)
     return s[:b], i[:b]
 
 
@@ -281,15 +303,18 @@ def sharded_topk_pq4(mesh: Mesh, aug_sorted, win_starts, mask_sorted, lutq,
 
 
 def _local_scan_int8(codes, scales, mask, qn, k: int, use_pallas: bool,
-                     use_int8_dot: bool, local_rows: int, interpret: bool):
+                     use_int8_dot: bool, local_rows: int, interpret: bool,
+                     block_scales=None, scale_block_rows: int = 0):
     """One chip's int8 scan over its row partition (scores ≈ cosine + mask,
     ~0.5% bounded quantization noise — the vecs=None hybrid regime)."""
     if use_pallas:
         from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
 
-        return fused_topk_int8_pooled(codes, scales, qn, mask, k,
-                                      _pick_block_rows(local_rows),
-                                      interpret=interpret)
+        br = (scale_block_rows if block_scales is not None
+              else _pick_block_rows(local_rows))
+        return fused_topk_int8_pooled(codes, scales, qn, mask, k, br,
+                                      interpret=interpret,
+                                      block_scales=block_scales)
     qs = jnp.max(jnp.abs(qn), axis=1, keepdims=True) / 127.0
     qc = jnp.clip(jnp.round(qn / jnp.maximum(qs, 1e-12)), -127, 127)
     if use_int8_dot:
@@ -307,7 +332,7 @@ def _local_scan_int8(codes, scales, mask, qn, k: int, use_pallas: bool,
 def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
                        local_rows: int, use_pallas: bool, n_tables: int,
                        sem_weight: float, interpret: bool,
-                       int8: bool = False):
+                       int8: bool = False, scale_block_rows: int = 0):
     from rassengine_tpu.index.exact import l2_normalize
     from rassengine_tpu.lexical.device_bm25 import (_fuse_body,
                                                     _lex_scores_dispatch)
@@ -315,7 +340,12 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
     use_int8_dot = jax.default_backend() != "cpu"
 
     def fn(*args):
-        if int8:
+        bsl = None
+        if int8 and scale_block_rows:
+            codes, scales, bsl, msk, q, chunk_ids = args[:6]
+            rest = args[6:]
+            vec_source = (codes, scales)
+        elif int8:
             codes, scales, msk, q, chunk_ids = args[:5]
             rest = args[5:]
             vec_source = (codes, scales)
@@ -328,7 +358,9 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
         if int8:
             sem_s, sem_r = _local_scan_int8(codes, scales, msk, qn, m,
                                             use_pallas, use_int8_dot,
-                                            local_rows, interpret)
+                                            local_rows, interpret,
+                                            block_scales=bsl,
+                                            scale_block_rows=scale_block_rows)
         elif use_pallas:
             sem_s, sem_r = _local_scan_pallas(
                 v, msk, qn, m, _pick_block_rows(local_rows), interpret)
@@ -355,7 +387,8 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
         return top_s, jnp.where(top_s > NEG_INF / 2, top_r, -1)
 
     qs = _batch_spec(mesh)
-    n_sharded = 3 if int8 else 2  # (codes, scales, mask) vs (vecs, mask)
+    # (codes, scales[, block_scales], mask) vs (vecs, mask)
+    n_sharded = (3 + bool(scale_block_rows)) if int8 else 2
     in_specs = (P("shard"),) * n_sharded + (qs, qs) + (P(),) * (n_tables + 1)
     return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=(qs, qs), check_vma=False))
@@ -364,7 +397,8 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
 def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
                         chunk_ids, wvec, sem_weight, k: int, m: int = 64,
                         top_m_lex: int = 128, use_pallas: bool | None = None,
-                        interpret: bool = False, int8_tables=None):
+                        interpret: bool = False, int8_tables=None,
+                        int8_block_scales=None, scale_block_rows: int = 2048):
     """Row-sharded ONE-dISPATCH hybrid: per-shard (Pallas scan + sparse BM25
     + exact additive fusion) + all-gather top-k merge.
 
@@ -390,11 +424,19 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
     mm = min(m, local)
     if use_pallas is None:
         use_pallas = _use_pallas_local(max(k, mm), local)
+    use_bs = (vecs is None and _block_scales_ok(
+        use_pallas, int8_block_scales, local, scale_block_rows))
     (queries, chunk_ids), b = _pad_to_replicas(mesh, queries, chunk_ids)
     fn = _sharded_hybrid_fn(mesh, k, mm, top_m_lex, local, use_pallas,
                             len(lex_tables), float(sem_weight), interpret,
-                            int8=vecs is None)
-    sharded_cols = ((vecs,) if vecs is not None else tuple(int8_tables))
+                            int8=vecs is None,
+                            scale_block_rows=scale_block_rows if use_bs else 0)
+    if vecs is not None:
+        sharded_cols = (vecs,)
+    elif use_bs:
+        sharded_cols = tuple(int8_tables) + (int8_block_scales,)
+    else:
+        sharded_cols = tuple(int8_tables)
     s, r = fn(*sharded_cols, mask, queries, chunk_ids, *lex_tables, wvec)
     return s[:b], r[:b]
 

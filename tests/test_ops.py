@@ -223,3 +223,130 @@ class TestPackedPoolFold:
                                         1, block_rows=128, interpret=True)
         assert np.asarray(rows)[0, 0] == 300
         ft.fused_topk_pooled.clear_cache()
+
+
+class TestIntEpiloguePoolFold:
+    """All-integer int8 epilogue: codes quantized per BLOCK
+    (quantize_int8_block), additive mask pre-quantized to integer score
+    units, selection fold entirely in int32, scores returned in TRUE units
+    (cosine + mask) with filtered rows at NEG_INF."""
+
+    def _force_packed(self, monkeypatch):
+        import importlib
+
+        ft = importlib.import_module("rassengine_tpu.ops.fused_topk")
+        monkeypatch.setattr(ft, "PACKED_MIN_BLOCKS", 1)
+        ft.fused_topk_int8_pooled.clear_cache()
+        return ft
+
+    def _blk(self, v, block_rows):
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        codes, bs = quantize_int8_block(v, block_rows)
+        scales = np.repeat(bs, block_rows).astype(np.float32)
+        return (jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(bs))
+
+    def test_int_matches_oracle_true_units(self, rng, monkeypatch):
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng, n=1024)
+        codes, scales, bs = self._blk(v, 128)
+        q = v[:4] + 0.01 * rng.normal(size=(4, 128)).astype(np.float32)
+        mask = jnp.zeros(1024, jnp.float32)
+        s, rows = ft.fused_topk_int8_pooled(codes, scales, jnp.asarray(q),
+                                            mask, 5, block_rows=128,
+                                            interpret=True,
+                                            block_scales=bs)
+        want = oracle(v, q, 5)
+        got = np.asarray(rows)
+        hit = np.mean([len(set(g) & set(w)) / 5 for g, w in zip(got, want)])
+        assert hit >= 0.9
+        # true-unit scores: top-1 ≈ exact cosine of the returned row
+        s = np.asarray(s)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for b in range(4):
+            true = qn[b] @ v[got[b][0]]
+            assert abs(s[b, 0] - true) < 0.03
+        ft.fused_topk_int8_pooled.clear_cache()
+
+    def test_int_mask_excludes_and_neg_inf(self, rng, monkeypatch):
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng)
+        codes, scales, bs = self._blk(v, 128)
+        mask = np.zeros(512, np.float32)
+        mask[:256] = ft.NEG_INF
+        s, rows = ft.fused_topk_int8_pooled(codes, scales,
+                                            jnp.asarray(v[7:8]),
+                                            jnp.asarray(mask), 7,
+                                            block_rows=128, interpret=True,
+                                            block_scales=bs)
+        assert np.all(np.asarray(rows) >= 256)
+        assert np.all(np.asarray(s) > -1.5)  # valid true-unit scores
+        ft.fused_topk_int8_pooled.clear_cache()
+
+    def test_int_all_filtered_neg_inf(self, rng, monkeypatch):
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng, n=256)
+        codes, scales, bs = self._blk(v, 128)
+        mask = np.full(256, ft.NEG_INF, np.float32)
+        s, _rows = ft.fused_topk_int8_pooled(codes, scales,
+                                             jnp.asarray(v[:1]),
+                                             jnp.asarray(mask), 3,
+                                             block_rows=128, interpret=True,
+                                             block_scales=bs)
+        assert np.all(np.asarray(s) <= ft.NEG_INF / 2)
+        ft.fused_topk_int8_pooled.clear_cache()
+
+    def test_int_additive_boost_true_units(self, rng, monkeypatch):
+        # the mask is in TRUE units under the block-scale contract: a +10
+        # boost must dominate, and the returned score must include it
+        ft = self._force_packed(monkeypatch)
+        v = corpus(rng)
+        codes, scales, bs = self._blk(v, 128)
+        mask = np.zeros(512, np.float32)
+        mask[300] = 10.0
+        s, rows = ft.fused_topk_int8_pooled(codes, scales,
+                                            jnp.asarray(v[7:8]),
+                                            jnp.asarray(mask), 1,
+                                            block_rows=128, interpret=True,
+                                            block_scales=bs)
+        assert np.asarray(rows)[0, 0] == 300
+        assert 9.0 < float(np.asarray(s)[0, 0]) < 11.5
+        ft.fused_topk_int8_pooled.clear_cache()
+
+    def test_small_corpus_fallback_same_contract(self, rng):
+        # nb < PACKED_MIN_BLOCKS with block_scales → f32 per-row kernel
+        # under the SAME true-unit mask/score contract
+        import importlib
+
+        ft = importlib.import_module("rassengine_tpu.ops.fused_topk")
+        assert ft.PACKED_MIN_BLOCKS > 4  # this corpus stays under it
+        v = corpus(rng)
+        codes, scales, bs = self._blk(v, 128)
+        mask = np.zeros(512, np.float32)
+        mask[300] = 10.0
+        mask[:128] = ft.NEG_INF
+        ft.fused_topk_int8_pooled.clear_cache()
+        s, rows = ft.fused_topk_int8_pooled(codes, scales,
+                                            jnp.asarray(v[7:8]),
+                                            jnp.asarray(mask), 2,
+                                            block_rows=128, interpret=True,
+                                            block_scales=bs)
+        s, rows = np.asarray(s), np.asarray(rows)
+        assert rows[0, 0] == 300 and 9.0 < s[0, 0] < 11.5
+        assert np.all(rows >= 128)
+        ft.fused_topk_int8_pooled.clear_cache()
+
+    def test_block_quant_candidate_recall(self, rng):
+        # per-block scales cost ≲1 bit on unit-norm rows: top-5-in-20
+        # candidate recall vs the f32 oracle must hold
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        v = corpus(rng, n=2048)
+        codes, bs = quantize_int8_block(v, 256)
+        deq = codes.astype(np.float32) * np.repeat(bs, 256)[:, None]
+        q = v[:16] + 0.02 * rng.normal(size=(16, 128)).astype(np.float32)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        want = oracle(v, q, 5)
+        approx = np.argsort(-(qn @ deq.T), axis=1)[:, :20]
+        hit = np.mean([len(set(w) & set(a)) / 5 for w, a in zip(want, approx)])
+        assert hit >= 0.95

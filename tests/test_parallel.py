@@ -194,3 +194,103 @@ class TestShardedPallasLocalScan:
             want = set(r_1[b][r_1[b] >= 0].tolist())
             inter = len(got & want) / max(len(want), 1)
             assert inter >= 0.9, (b, inter)
+
+
+class TestShardedInt8BlockScales:
+    """Sharded all-integer int8 epilogue: per-BLOCK quantization scales
+    (index/quant.py:quantize_int8_block) ride the mesh as a row-sharded
+    [nb] column; each shard's Pallas scan runs at the quantization block
+    granularity with scores in TRUE units, so the all-gather merge compares
+    like units across shards."""
+
+    def _setup(self, rng, cap=2048, d=128, b=4):
+        import jax.numpy as jnp
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        mesh = make_mesh()
+        vecs = rng.normal(size=(cap, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        codes, bs = quantize_int8_block(vecs, 128)
+        q = vecs[:b] + 0.02 * rng.normal(size=(b, d)).astype(np.float32)
+        row = NamedSharding(mesh, P("shard"))
+        rep = NamedSharding(mesh, P())
+        put = lambda a, s: jax.device_put(jnp.asarray(a), s)  # noqa: E731
+        return (mesh, vecs, q, put(codes, row),
+                put(np.repeat(bs, 128), row), put(bs, row), put, row, rep)
+
+    def test_matches_per_row_path_and_oracle(self, rng):
+        import jax.numpy as jnp
+        from rassengine_tpu.parallel.topk_merge import sharded_topk_int8
+
+        (mesh, vecs, q, codes, scales, bs, put, row, rep) = self._setup(rng)
+        mask = put(np.zeros(2048, np.float32), row)
+        qd = put(q, rep)
+        k = 10
+        s_b, r_b = sharded_topk_int8(mesh, codes, scales, mask, qd, k,
+                                     use_pallas=True, interpret=True,
+                                     block_scales=bs, scale_block_rows=128)
+        s_r, r_r = sharded_topk_int8(mesh, codes, scales, mask, qd, k,
+                                     use_pallas=True, interpret=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        oracle = np.argsort(-(qn @ vecs.T), axis=1)[:, :k]
+        for i in range(4):
+            got_b = set(np.asarray(r_b)[i].tolist())
+            assert len(got_b & set(oracle[i].tolist())) / k >= 0.9
+            assert len(got_b & set(np.asarray(r_r)[i].tolist())) / k >= 0.8
+        # true-unit scores: top-1 approximates the exact cosine
+        for i in range(4):
+            true = float(qn[i] @ vecs[int(np.asarray(r_b)[i, 0])])
+            assert abs(float(np.asarray(s_b)[i, 0]) - true) < 0.05
+
+    def test_filter_mask_respected(self, rng):
+        from rassengine_tpu.parallel.topk_merge import (NEG_INF,
+                                                        sharded_topk_int8)
+
+        (mesh, vecs, q, codes, scales, bs, put, row, rep) = self._setup(rng)
+        m = np.zeros(2048, np.float32)
+        m[:1024] = NEG_INF   # first 4 shards fully filtered
+        s, r = sharded_topk_int8(mesh, codes, scales, put(m, row),
+                                 put(q, rep), 5, use_pallas=True,
+                                 interpret=True, block_scales=bs,
+                                 scale_block_rows=128)
+        r = np.asarray(r)
+        assert np.all(r[r >= 0] >= 1024)
+
+    def test_packed_int_kernel_under_shard_map(self, rng, monkeypatch):
+        # force the packed all-integer kernel (nb_local = 2 ≥ threshold)
+        import importlib
+
+        ft = importlib.import_module("rassengine_tpu.ops.fused_topk")
+        monkeypatch.setattr(ft, "PACKED_MIN_BLOCKS", 1)
+        ft.fused_topk_int8_pooled.clear_cache()
+        from rassengine_tpu.parallel.topk_merge import (_sharded_topk_int8_fn,
+                                                        sharded_topk_int8)
+
+        _sharded_topk_int8_fn.cache_clear()
+        (mesh, vecs, q, codes, scales, bs, put, row, rep) = self._setup(rng)
+        mask = put(np.zeros(2048, np.float32), row)
+        s, r = sharded_topk_int8(mesh, codes, scales, mask, put(q, rep), 5,
+                                 use_pallas=True, interpret=True,
+                                 block_scales=bs, scale_block_rows=128)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        oracle = np.argsort(-(qn @ vecs.T), axis=1)[:, :5]
+        for i in range(4):
+            got = set(np.asarray(r)[i].tolist())
+            assert len(got & set(oracle[i].tolist())) / 5 >= 0.8
+        ft.fused_topk_int8_pooled.clear_cache()
+        _sharded_topk_int8_fn.cache_clear()
+
+    def test_misaligned_scale_blocks_fall_back(self, rng):
+        # local_rows (256) not a multiple of scale_block_rows (384) →
+        # per-row path silently serves (no crash, same results contract)
+        from rassengine_tpu.parallel.topk_merge import sharded_topk_int8
+
+        (mesh, vecs, q, codes, scales, bs, put, row, rep) = self._setup(rng)
+        mask = put(np.zeros(2048, np.float32), row)
+        s, r = sharded_topk_int8(mesh, codes, scales, mask, put(q, rep), 5,
+                                 use_pallas=True, interpret=True,
+                                 block_scales=bs, scale_block_rows=384)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        oracle = np.argsort(-(qn @ vecs.T), axis=1)[:, :5]
+        got = set(np.asarray(r)[0].tolist())
+        assert len(got & set(oracle[0].tolist())) / 5 >= 0.8
