@@ -77,6 +77,11 @@ class EngineConfig:
     probe_single_queries: bool = True   # B=1 on ≥1M corpora → bound-ordered PQ probe
     pq_oversample: int = 8              # ADC candidates = oversample × k
     int8_hbm_budget_bytes: int = 12 * 1024**3  # beyond this, codes go PQ
+    # within-bf16-budget hybrid semantic stage: "bf16" scans the bf16 rows;
+    # "int8" selects candidates with the block-scale int8 scan (half the HBM
+    # read, all-integer epilogue) and re-scores them from bf16 in-dispatch
+    # (double residency: 3 B/dim). "auto" picks int8 when both forms fit.
+    hybrid_select: str = "auto"         # auto | bf16 | int8
     lexical_packed_min_rows: int = 1 << 20  # ≥this, 4 B/posting packed CSR
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
     ner_model_path: str = "./ner_model/final"
@@ -160,6 +165,7 @@ class EngineConfig:
             pq_oversample=_env_int("PQ_OVERSAMPLE", 8),
             probe_single_queries=_env_bool("PROBE_SINGLE_QUERIES", True),
             int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),
+            hybrid_select=os.getenv("HYBRID_SELECT", "auto"),
             lexical_packed_min_rows=_env_int("LEXICAL_PACKED_MIN_ROWS", 1 << 20),
             ner_model_path=os.getenv("NER_MODEL_PATH", "./ner_model/final"),
             intent_model_path=os.getenv("INTENT_MODEL_PATH", "./intent_model/final"),

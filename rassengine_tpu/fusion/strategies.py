@@ -408,6 +408,28 @@ class Retriever:
         return (self.index.capacity * self.index.dim) // n \
             <= self.config.int8_hbm_budget_bytes
 
+    def _int8_select(self) -> bool:
+        """Within-bf16-budget hybrid: whether the semantic stage should
+        SELECT candidates with the block-scale int8 scan (all-integer
+        epilogue, half the HBM read) and re-score them from the bf16 rows
+        in-dispatch. Final ordering stays bf16-exact either way — this is
+        purely a speed/residency trade (config.hybrid_select; bench suite
+        config hybrid_int8sel vs hybrid measures it)."""
+        mode = getattr(self.config, "hybrid_select", "auto")
+        if mode == "int8":
+            return True
+        if mode != "auto":
+            return False
+        from rassengine_tpu.ops.fused_topk import PACKED_MIN_BLOCKS
+
+        idx = self.index
+        # auto: only where the packed all-integer kernel engages (the f32
+        # small-corpus form has no epilogue advantage) and double residency
+        # (bf16 rows + codes = 3 B per dim-row) stays affordable
+        return (idx.capacity >= PACKED_MIN_BLOCKS * idx.block_rows
+                and 3 * idx.capacity * idx.dim
+                <= 3 * HYBRID_BF16_BUDGET_BYTES // 2)
+
     def _sharded_top_m(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
         """SPMD sharded scan: per-chip partition scan + all-gather merge
         (parallel/topk_merge.py), mesh-invariant across the same three tiers
@@ -739,7 +761,16 @@ class Retriever:
         else:
             vecs_arg = idx.device_columns()["vecs"]
             if self.use_pallas and idx.capacity >= idx.block_rows:
-                scan_mode = "pallas"
+                if self._int8_select():
+                    # int8 SELECTS the semantic top-m (block-scale codes,
+                    # half the HBM read, all-integer epilogue); the bf16
+                    # rows re-score candidates exactly inside the dispatch
+                    c8 = idx.device_columns_int8()
+                    int8_tables = (c8["codes"], c8["scales"])
+                    int8_bscales = c8.get("block_scales")
+                    scan_mode = "pallas_int8"
+                else:
+                    scan_mode = "pallas"
             elif idx.capacity <= 65536:
                 scan_mode = "xla_direct"
             else:

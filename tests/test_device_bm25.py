@@ -465,3 +465,78 @@ def test_hybrid_batch_device_int8_only_over_budget(small_corpus, rng,
     assert seen == {"mode": "pallas_int8", "vecs_none": True}
     assert ([[h[0]["doc_id"] for h in b] for b in got]
             == [[h[0]["doc_id"] for h in b] for b in want])
+
+
+def test_hybrid_int8_block_scales_matches_exact(small_corpus, rng,
+                                                monkeypatch):
+    """Block-scale int8 SELECT (all-integer epilogue, forced via
+    PACKED_MIN_BLOCKS=1) + in-dispatch bf16 re-score: same docs and scores
+    as the exact path when m covers the corpus."""
+    import importlib
+
+    ft = importlib.import_module("rassengine_tpu.ops.fused_topk")
+    monkeypatch.setattr(ft, "PACKED_MIN_BLOCKS", 1)
+    ft.fused_topk_int8_pooled.clear_cache()
+    from rassengine_tpu.index.quant import quantize_int8_block
+    from rassengine_tpu.lexical.device_bm25 import hybrid_topk_batch
+
+    idx, lex = small_corpus
+    queries = [" ".join(VOCAB[i: i + 3]) for i in range(0, 12, 3)]
+    gw = {"text": 1.5, "keyword": 1.0}
+    embs = rng.normal(size=(len(queries), DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    vd = jnp.asarray(idx._vecs[: idx.capacity], jnp.bfloat16)
+    mask = np.zeros(idx.capacity, np.float32)
+    mask[:32] = NEG_INF  # filter interacts with the integer mask units
+    dl = DeviceLexical(lex)
+    chunk_ids, view, wvec = dl.plan(queries, gw)
+    args = (vd, jnp.asarray(mask), jnp.asarray(embs), view.tables,
+            jnp.asarray(chunk_ids), wvec, 2.0, 5)
+    s0, r0 = hybrid_topk_batch(*args, m=128, scan_mode="xla_direct")
+    codes, bs = quantize_int8_block(idx._vecs[: idx.capacity], 128)
+    s1, r1 = hybrid_topk_batch(
+        *args, m=128, block_rows=128, scan_mode="pallas_int8",
+        int8_tables=(jnp.asarray(codes),
+                     jnp.asarray(np.repeat(bs, 128))),
+        int8_block_scales=jnp.asarray(bs), interpret=True)
+    s0, r0, s1, r1 = map(np.asarray, (s0, r0, s1, r1))
+    assert (r0 == r1).all(), (r0, r1)
+    assert (r1[r1 >= 0] >= 32).all()
+    np.testing.assert_allclose(s1, s0, rtol=2e-2, atol=2e-2)
+    ft.fused_topk_int8_pooled.clear_cache()
+
+
+def test_hybrid_batch_device_int8_select_policy(small_corpus, rng,
+                                                monkeypatch):
+    """config.hybrid_select="int8" routes the within-budget batched hybrid
+    through int8 SELECT + bf16 re-score (vecs still present) and returns the
+    same hits as the default path."""
+    from rassengine_tpu.fusion import strategies as st
+    from rassengine_tpu.lexical import device_bm25 as db
+
+    idx, lex = small_corpus
+    embs = idx._vecs[:2].astype(np.float32) \
+        + 0.05 * rng.normal(size=(2, DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    queries = [" ".join(VOCAB[:3]), " ".join(VOCAB[3:6])]
+    want = Retriever(idx, lex, use_pallas=False)._hybrid_batch_device(
+        queries, embs, 5, FilterSpec())
+
+    seen = {}
+    real = db.hybrid_topk_batch
+
+    def spy(vecs, *a, **kw):
+        seen["mode"] = kw.get("scan_mode")
+        seen["vecs_none"] = vecs is None
+        seen["has_bs"] = kw.get("int8_block_scales") is not None
+        kw["interpret"] = True
+        return real(vecs, *a, **kw)
+
+    monkeypatch.setattr(db, "hybrid_topk_batch", spy)
+    r = Retriever(idx, lex, use_pallas=True)
+    r.config = type(r.config)(hybrid_select="int8")
+    got = r._hybrid_batch_device(queries, embs, 5, FilterSpec())
+    assert seen == {"mode": "pallas_int8", "vecs_none": False,
+                    "has_bs": True}
+    assert ([[h[0]["doc_id"] for h in b] for b in got]
+            == [[h[0]["doc_id"] for h in b] for b in want])
