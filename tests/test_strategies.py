@@ -213,3 +213,37 @@ class TestFuzzyRetrieval:
         r, _ = corpus
         hits = r.entity_specific_search("Jane Doee", k=5)
         assert any(h[0].get("patientName") == "Jane Doe" for h in hits)
+
+
+class TestInt8SelectPolicy:
+    """config.hybrid_select boundaries for the in-budget hybrid semantic
+    stage (int8 SELECT + bf16 re-score vs plain bf16 scan)."""
+
+    def _retr(self, cap, dim, block_rows=2048, mode="auto", pallas=True):
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.fusion.strategies import Retriever
+        from rassengine_tpu.index.store import TenantIndex
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+
+        idx = TenantIndex.__new__(TenantIndex)  # policy reads shape only
+        idx.capacity, idx.dim, idx.block_rows = cap, dim, block_rows
+        r = Retriever.__new__(Retriever)
+        r.index, r.use_pallas = idx, pallas
+        r.config = EngineConfig(hybrid_select=mode)
+        return r
+
+    def test_explicit_modes(self):
+        assert self._retr(1024, 64, mode="int8")._int8_select()
+        assert not self._retr(1 << 20, 1024, mode="bf16")._int8_select()
+
+    def test_auto_needs_packed_regime(self):
+        # below 64 blocks the integer kernel never engages -> no win
+        assert not self._retr(63 * 2048, 1024)._int8_select()
+        assert self._retr(64 * 2048, 1024)._int8_select()
+
+    def test_auto_respects_residency_budget(self):
+        from rassengine_tpu.fusion.strategies import HYBRID_BF16_BUDGET_BYTES
+
+        cap = 64 * 2048
+        dim_over = (HYBRID_BF16_BUDGET_BYTES // (2 * cap)) + 1
+        assert not self._retr(cap, dim_over)._int8_select()
