@@ -423,11 +423,12 @@ class Retriever:
         from rassengine_tpu.ops.fused_topk import PACKED_MIN_BLOCKS
 
         idx = self.index
-        # auto: only where the packed all-integer kernel engages (the f32
-        # small-corpus form has no epilogue advantage) and double residency
-        # (bf16 rows + codes = 3 B per dim-row) stays affordable
-        return (idx.capacity >= PACKED_MIN_BLOCKS * idx.block_rows
-                and 3 * idx.capacity * idx.dim
+        n = idx.n_shards if self.mesh is not None else 1
+        # auto: only where the packed all-integer kernel engages per shard
+        # (the f32 small-corpus form has no epilogue advantage) and double
+        # residency (bf16 rows + codes = 3 B per dim-row) stays affordable
+        return (idx.capacity // n >= PACKED_MIN_BLOCKS * idx.block_rows
+                and (3 * idx.capacity * idx.dim) // n
                 <= 3 * HYBRID_BF16_BUDGET_BYTES // 2)
 
     def _sharded_top_m(self, query_embs: np.ndarray, spec: FilterSpec, m: int):
@@ -837,6 +838,12 @@ class Retriever:
         int8_bscales, sbr = None, 2048
         if self._bf16_fits():
             vecs_arg, int8_tables = idx.device_columns()["vecs"], None
+            if self.use_pallas and self._int8_select():
+                # speed mode: per-shard int8 SELECT + bf16 re-score
+                c8 = idx.device_columns_int8()
+                int8_tables = (c8["codes"], c8["scales"])
+                int8_bscales = c8.get("block_scales")
+                sbr = c8.get("scale_block_rows", 2048)
         else:  # bf16 rows never upload — codes are the only resident form
             c8 = idx.device_columns_int8()
             vecs_arg, int8_tables = None, (c8["codes"], c8["scales"])

@@ -340,8 +340,19 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
     use_int8_dot = jax.default_backend() != "cpu"
 
     def fn(*args):
-        bsl = None
-        if int8 and scale_block_rows:
+        bsl, v = None, None
+        if int8 == "select":
+            # int8 SELECT + bf16 re-score: both forms row-sharded; the int8
+            # scan picks top-m per shard, the shard's own bf16 rows re-score
+            # them exactly (mirrors hybrid_topk_batch's vecs-present mode)
+            if scale_block_rows:
+                v, codes, scales, bsl, msk, q, chunk_ids = args[:7]
+                rest = args[7:]
+            else:
+                v, codes, scales, msk, q, chunk_ids = args[:6]
+                rest = args[6:]
+            vec_source = (v,)
+        elif int8 and scale_block_rows:
             codes, scales, bsl, msk, q, chunk_ids = args[:6]
             rest = args[6:]
             vec_source = (codes, scales)
@@ -361,6 +372,14 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
                                             local_rows, interpret,
                                             block_scales=bsl,
                                             scale_block_rows=scale_block_rows)
+            if int8 == "select":
+                from rassengine_tpu.lexical.device_bm25 import _gather_cos
+
+                safe = jnp.where((sem_r >= 0) & (sem_r < local_rows),
+                                 sem_r, 0)
+                cos = _gather_cos((v,), safe, qn)
+                ok = (sem_r >= 0) & (sem_s > NEG_INF / 2)
+                sem_s = jnp.where(ok, cos + msk[safe], NEG_INF)
         elif use_pallas:
             sem_s, sem_r = _local_scan_pallas(
                 v, msk, qn, m, _pick_block_rows(local_rows), interpret)
@@ -387,8 +406,13 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
         return top_s, jnp.where(top_s > NEG_INF / 2, top_r, -1)
 
     qs = _batch_spec(mesh)
-    # (codes, scales[, block_scales], mask) vs (vecs, mask)
-    n_sharded = (3 + bool(scale_block_rows)) if int8 else 2
+    # row-sharded operands: (vecs,)? + (codes, scales)? + (block_scales,)? + mask
+    if int8 == "select":
+        n_sharded = 4 + bool(scale_block_rows)
+    elif int8:
+        n_sharded = 3 + bool(scale_block_rows)
+    else:
+        n_sharded = 2
     in_specs = (P("shard"),) * n_sharded + (qs, qs) + (P(),) * (n_tables + 1)
     return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=(qs, qs), check_vma=False))
@@ -416,6 +440,13 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
     comes from the int8 codes (~0.5% bounded noise), exactly like
     hybrid_topk_batch's vecs=None form. 8 shards of int8 serve ~6× more
     rows per chip than the bf16 sharded hybrid with no host stage.
+
+    ``vecs`` AND ``int8_tables`` together select the in-budget speed mode
+    (config.hybrid_select): each shard's int8 scan picks the semantic top-m
+    (half the HBM read; all-integer epilogue when ``int8_block_scales``
+    aligns) and its own bf16 rows re-score candidates exactly — fused
+    ordering stays bf16-exact, mirroring hybrid_topk_batch's vecs-present
+    pallas_int8 mode.
     """
     n_shards = mesh.shape["shard"]
     cap = (vecs if vecs is not None else int8_tables[0]).shape[0]
@@ -424,19 +455,24 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
     mm = min(m, local)
     if use_pallas is None:
         use_pallas = _use_pallas_local(max(k, mm), local)
-    use_bs = (vecs is None and _block_scales_ok(
+    if int8_tables is None:
+        int8_mode = False        # plain bf16 per-shard scan
+    elif vecs is None:
+        int8_mode = True         # beyond-bf16-budget: every cosine from codes
+    else:
+        int8_mode = "select"     # int8 SELECT + per-shard bf16 re-score
+    use_bs = (int8_mode and _block_scales_ok(
         use_pallas, int8_block_scales, local, scale_block_rows))
     (queries, chunk_ids), b = _pad_to_replicas(mesh, queries, chunk_ids)
     fn = _sharded_hybrid_fn(mesh, k, mm, top_m_lex, local, use_pallas,
                             len(lex_tables), float(sem_weight), interpret,
-                            int8=vecs is None,
+                            int8=int8_mode,
                             scale_block_rows=scale_block_rows if use_bs else 0)
-    if vecs is not None:
-        sharded_cols = (vecs,)
-    elif use_bs:
-        sharded_cols = tuple(int8_tables) + (int8_block_scales,)
-    else:
-        sharded_cols = tuple(int8_tables)
+    sharded_cols = (vecs,) if vecs is not None else ()
+    if int8_tables is not None:
+        sharded_cols += tuple(int8_tables)
+        if use_bs:
+            sharded_cols += (int8_block_scales,)
     s, r = fn(*sharded_cols, mask, queries, chunk_ids, *lex_tables, wvec)
     return s[:b], r[:b]
 

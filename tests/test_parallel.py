@@ -294,3 +294,81 @@ class TestShardedInt8BlockScales:
         oracle = np.argsort(-(qn @ vecs.T), axis=1)[:, :5]
         got = set(np.asarray(r)[0].tolist())
         assert len(got & set(oracle[0].tolist())) / 5 >= 0.8
+
+
+class TestShardedHybridInt8Select:
+    """vecs + int8_tables together = per-shard int8 SELECT + bf16 re-score
+    (the sharded form of config.hybrid_select): docs and scores must match
+    the plain bf16 sharded hybrid when m covers each shard's live rows."""
+
+    def test_matches_bf16_sharded_hybrid(self, rng):
+        import jax.numpy as jnp
+        from rassengine_tpu.index.quant import quantize_int8_block
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+        from rassengine_tpu.lexical.device_bm25 import DeviceLexical
+        from rassengine_tpu.parallel.topk_merge import sharded_hybrid_topk
+
+        mesh = make_mesh()
+        cap, d, k = 2048, 64, 5
+        vecs = rng.normal(size=(cap, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vocab = [f"w{i:03d}" for i in range(40)]
+        lex = LexicalIndex()
+        for r in range(0, cap, 4):
+            lex.index_doc(r, {"unstructuredText":
+                              " ".join(rng.choice(vocab, 8))})
+        dl = DeviceLexical(lex)
+        queries = [" ".join(vocab[3 * i: 3 * i + 3]) for i in range(4)]
+        chunk_ids, view, wvec = dl.plan(queries, {"text": 1.5, "keyword": 1.0})
+        embs = vecs[:4] + 0.02 * rng.normal(size=(4, d)).astype(np.float32)
+
+        row = NamedSharding(mesh, P("shard"))
+        rep = NamedSharding(mesh, P())
+        put = lambda a, s: jax.device_put(jnp.asarray(a), s)  # noqa: E731
+        vd = put(vecs.astype(np.float32), row)
+        mask = put(np.zeros(cap, np.float32), row)
+        qd, ci = put(embs, rep), put(chunk_ids, rep)
+        codes, bs = quantize_int8_block(vecs, 128)
+        args = (mesh, vd, mask, qd, view.tables, ci, wvec, 2.0, k)
+
+        s0, r0 = sharded_hybrid_topk(*args, m=256, use_pallas=True,
+                                     interpret=True)
+        s1, r1 = sharded_hybrid_topk(
+            *args, m=256, use_pallas=True, interpret=True,
+            int8_tables=(put(codes, row), put(np.repeat(bs, 128), row)),
+            int8_block_scales=put(bs, row), scale_block_rows=128)
+        s0, r0, s1, r1 = map(np.asarray, (s0, r0, s1, r1))
+        assert (r0 == r1).all(), (r0, r1)
+        np.testing.assert_allclose(s1, s0, rtol=2e-2, atol=2e-2)
+
+    def test_select_respects_filter(self, rng):
+        import jax.numpy as jnp
+        from rassengine_tpu.index.quant import quantize_int8_block
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+        from rassengine_tpu.lexical.device_bm25 import DeviceLexical
+        from rassengine_tpu.parallel.topk_merge import (NEG_INF,
+                                                        sharded_hybrid_topk)
+
+        mesh = make_mesh()
+        cap, d, k = 1024, 32, 5
+        vecs = rng.normal(size=(cap, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        lex = LexicalIndex()
+        for r in range(0, cap, 4):
+            lex.index_doc(r, {"unstructuredText": f"w{r % 17}"})
+        dl = DeviceLexical(lex)
+        chunk_ids, view, wvec = dl.plan(["w3 w5"], {"text": 1.5})
+        m = np.zeros(cap, np.float32)
+        m[:512] = NEG_INF
+        row = NamedSharding(mesh, P("shard"))
+        rep = NamedSharding(mesh, P())
+        put = lambda a, s: jax.device_put(jnp.asarray(a), s)  # noqa: E731
+        codes, bs = quantize_int8_block(vecs, 128)
+        s, r = sharded_hybrid_topk(
+            mesh, put(vecs, row), put(m, row), put(vecs[:1], rep),
+            view.tables, put(chunk_ids, rep), wvec, 2.0, k, m=128,
+            use_pallas=True, interpret=True,
+            int8_tables=(put(codes, row), put(np.repeat(bs, 128), row)),
+            int8_block_scales=put(bs, row), scale_block_rows=128)
+        r = np.asarray(r)
+        assert np.all(r[r >= 0] >= 512), r

@@ -501,3 +501,34 @@ class TestShardedHybridBatch:
         assert any(got)
         for hits in got:
             assert all(h["patientId"] == "p3" for h, _ in hits)
+
+
+class TestShardedHybridSelectPolicy:
+    """hybrid_select="int8" on a meshed engine: the sharded batched hybrid
+    runs per-shard int8 SELECT + bf16 re-score and must return the same
+    docs/scores as the default bf16 sharded path (re-score is exact)."""
+
+    def test_meshed_select_matches_default(self, engines):
+        import dataclasses
+
+        single, sharded = engines
+        queries = ["hypertension management", "asthma note overview",
+                   "diabetes bronchitis"]
+        embs = single.embedder.embed_texts_in_batches(queries)
+        rt = sharded.tenant("u").retriever
+        want = rt.hybrid_search_batch(queries, embs, k=5)
+        old = rt.config
+        try:
+            rt.config = dataclasses.replace(old, hybrid_select="int8")
+            got = rt.hybrid_search_batch(queries, embs, k=5)
+        finally:
+            rt.config = old
+        for qa, qb, q in zip(want, got, queries):
+            sa = {src["doc_id"]: s for src, s in qa}
+            sb = {src["doc_id"]: s for src, s in qb}
+            for d in set(sa) & set(sb):
+                assert abs(sa[d] - sb[d]) <= 3e-2, (q, d, sa[d], sb[d])
+            kth = min(sa.values()) if sa else 0.0
+            for d in set(sa) ^ set(sb):  # near-tie flips only
+                sc = sa.get(d, sb.get(d))
+                assert abs(sc - kth) <= 6e-2, (q, d, sc, kth)

@@ -228,7 +228,7 @@ class TestInt8SelectPolicy:
         idx = TenantIndex.__new__(TenantIndex)  # policy reads shape only
         idx.capacity, idx.dim, idx.block_rows = cap, dim, block_rows
         r = Retriever.__new__(Retriever)
-        r.index, r.use_pallas = idx, pallas
+        r.index, r.use_pallas, r.mesh = idx, pallas, None
         r.config = EngineConfig(hybrid_select=mode)
         return r
 
