@@ -146,5 +146,20 @@ def main() -> None:
     }))
 
 
+def guarded_main(fn=None) -> None:
+    """Driver contract: ALWAYS one JSON line, even when the device backend is
+    unreachable (e.g. the axon relay dies — init raises UNAVAILABLE after a
+    long block, which would otherwise surface as a bare traceback)."""
+    try:
+        (fn or main)()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001
+        print(json.dumps({"metric": "hybrid_qps_per_chip_1Mx1024_b256_k5",
+                          "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: {e}"[:400]}))
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    guarded_main()
