@@ -258,7 +258,16 @@ class Retriever:
         cached = self._ivf_cache
         if cached is not None:
             built, log_len, _ivf = cached
-            tail = (idx.count - built) + (len(idx._update_log) - log_len)
+            # tail = appended rows + re-upserts of PRE-build rows (the log
+            # also records appends, so count them once via np.unique — raw
+            # log length would double-count every new row and trip rebuilds
+            # at half the configured bound)
+            entries = idx._update_log[log_len:]
+            n_dirty = 0
+            if entries:
+                dirty = np.unique(np.asarray(entries, np.int64))
+                n_dirty = int((dirty < built).sum())
+            tail = (idx.count - built) + n_dirty
             if idx.count <= int(1.25 * built) and tail <= cfg.ivf_tail_bound:
                 return cached
         built = idx.count
@@ -299,15 +308,22 @@ class Retriever:
                 vecs_dev = idx.device_columns()["vecs"]
                 scales = None
             q_all = np.atleast_2d(query_embs)
+            # int8 candidate scores carry ~0.5% quantization noise: SELECT
+            # with an oversampled probe, then score exactly from host f32
+            # rows — the same contract as every other int8 tier in this
+            # module (never surface quantized scores as final semantics)
+            k_fetch = min(2 * k_out, built) if use_int8 else k_out
             s_parts, r_parts = [], []
             for b0 in range(0, q_all.shape[0], 16):
                 sb, rb = ivf.probe_device(
                     vecs_dev, jnp.asarray(q_all[b0: b0 + 16]), add_mask,
-                    k_out, nprobe=cfg.ivf_nprobe, scales=scales)
+                    k_fetch, nprobe=cfg.ivf_nprobe, scales=scales)
                 s_parts.append(np.asarray(sb, np.float32))
                 r_parts.append(np.asarray(rb, np.int64))
             s = np.concatenate(s_parts, axis=0)
             r = np.concatenate(r_parts, axis=0)
+            if use_int8:
+                r, s = self._rerank_exact(q_all, r, k_out)
             # fresh tail = rows added after the build + re-upserted rows whose
             # vector may have moved to a different centroid's list (they would
             # otherwise be unretrievable until the next rebuild)
@@ -322,8 +338,8 @@ class Retriever:
                     ts = self._sem_scores_for(q2[b], tail)
                     # a dirty row can also surface from its (old) probed list —
                     # drop the probe copy so the merge never duplicates a row
-                    probed = r[b][(r[b] >= 0) & ~np.isin(r[b], tail)]
-                    pscores = s[b][(r[b] >= 0) & ~np.isin(r[b], tail)]
+                    keep = (r[b] >= 0) & ~np.isin(r[b], tail)
+                    probed, pscores = r[b][keep], s[b][keep]
                     rows_cat = np.concatenate([probed, tail])
                     scores_cat = np.concatenate([pscores, ts])
                     order = np.argsort(-scores_cat)[:k_out]

@@ -39,6 +39,10 @@ MAX_FILTER_VALUES = 4  # max OR'd values per keyword field in one filter
 _KW_POS = {f: i for i, f in enumerate(schema.KEYWORD_FIELDS)}
 _DATE_POS = {f: i for i, f in enumerate(schema.DATE_FIELDS)}
 
+# _update_log dedup threshold (see upsert): bounds the log at O(distinct
+# rows) for high-churn tenants that never trip an IVF rebuild
+UPDATE_LOG_DEDUP_AT = 131072
+
 # aggregation column → the doc key(s) it dictionary-encodes
 AGG_FIELDS: dict[str, tuple[str, ...]] = {
     "condition": ("conditionCodeText",),
@@ -282,6 +286,14 @@ class TenantIndex:
             self._dates[row, pos] = schema.date_to_epoch_days(doc.get(f))
         self.encode_agg(row, doc)
         self._update_log.append(row)
+        if len(self._update_log) > UPDATE_LOG_DEDUP_AT:
+            # tenants that never take the IVF path (hybrid/lexical-only, or
+            # below ann_threshold) would otherwise grow this forever under
+            # re-upsert churn; consumers (Retriever._ivf_index) always read
+            # the full list and np.unique it, so in-place dedup is lossless
+            # and bounds the log at O(distinct live rows)
+            self._update_log[:] = np.unique(
+                np.asarray(self._update_log, np.int64)).tolist()
         self._mutated()
         return row
 

@@ -225,8 +225,11 @@ def _pq4_kernel(win_ref, ord_ref, lut_ref, sc_ref, csum_ref, c_ref, m_ref,
                         ohc.astype(dot_dtype)) - acc_inv
         else:
             acc = -acc_inv
-            cw = min(512, coarse_cols)
-            for c0 in range(0, coarse_cols, cw):
+            for c0 in range(0, coarse_cols, 512):
+                # last chunk can be narrower than 512 (nlist_pad is only
+                # 128-aligned): width must track the remaining columns or the
+                # ref slice clamps while the iota does not
+                cw = min(512, coarse_cols - c0)
                 iota_c = c0 + jax.lax.broadcasted_iota(jnp.int32,
                                                        (block_rows, cw), 1)
                 # a - iota can be negative: abs distance instead of xor

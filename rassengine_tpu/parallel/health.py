@@ -42,24 +42,33 @@ import numpy as np
 log = logging.getLogger("rassengine.health")
 
 
-def probe_devices(devices=None, timeout_s: float = 20.0):
+def probe_devices(devices=None, timeout_s: float = 20.0, probe_op=None):
     """Round-trip a tiny op on each device → (healthy, failed) lists.
 
     Each probe is host→device put + add + device→host fetch: the fetch is the
     only sync that reliably blocks on every platform (CLAUDE.md: the axon
     tunnel's block_until_ready is unreliable — a device→host copy is not).
+    ``probe_op(device)`` is injectable for tests (e.g. a probe that hangs).
     """
     import jax
     import jax.numpy as jnp
 
     devs = list(devices) if devices is not None else jax.devices()
 
-    def one(dev):
+    def default_one(dev):
         x = jax.device_put(jnp.ones((8,), jnp.float32), dev)
         return float(np.asarray(x + 1.0)[0])
 
+    one = probe_op or default_one
+
     healthy, failed = [], []
-    with ThreadPoolExecutor(max_workers=len(devs)) as pool:
+    # NO context manager: its __exit__ is shutdown(wait=True), which would
+    # join a probe thread stuck on the very wedged device this function
+    # exists to detect — the per-future timeout would never surface. Stuck
+    # threads are abandoned (daemonized pool, doc note above) and the pool
+    # is torn down without waiting.
+    pool = ThreadPoolExecutor(max_workers=len(devs))
+    try:
         futs = [(d, pool.submit(one, d)) for d in devs]
         deadline = time.monotonic() + timeout_s
         for d, fut in futs:
@@ -68,6 +77,8 @@ def probe_devices(devices=None, timeout_s: float = 20.0):
                 healthy.append(d)
             except (FutureTimeout, Exception):  # noqa: BLE001 — dead is dead
                 failed.append(d)
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     return healthy, failed
 
 

@@ -93,10 +93,17 @@ def owning_process(patient_id: str, n_shards: int) -> int:
 
 def host_local_rows(cap: int, n_shards: int) -> tuple[int, int]:
     """[start, stop) of the global row space owned by THIS process's shards
-    (each shard's region is ``cap // n_shards`` rows, index/store)."""
+    (each shard's region is ``cap // n_shards`` rows, index/store).
+
+    The LAST process absorbs the remainder shards when ``n_shards`` does not
+    divide evenly (same split as index/checkpoint.save_engine's partitions —
+    every shard must belong to exactly one process or partitioned
+    checkpointing would silently drop rows)."""
     import jax
 
     rs = cap // n_shards
-    per_proc = n_shards // jax.process_count()
-    s0 = jax.process_index() * per_proc
-    return s0 * rs, (s0 + per_proc) * rs
+    n_proc, pid = jax.process_count(), jax.process_index()
+    per_proc = n_shards // n_proc
+    s0 = pid * per_proc
+    s1 = n_shards if pid == n_proc - 1 else s0 + per_proc
+    return s0 * rs, s1 * rs

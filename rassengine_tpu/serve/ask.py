@@ -167,9 +167,19 @@ class AskService:
         if not auth_t.done():
             await asyncio.wait({auth_t})
         if auth_t.exception() is not None:
-            ret_t.cancel()
-            hist_t.cancel()
-            await asyncio.gather(ret_t, hist_t, return_exceptions=True)
+            # cancel() cannot interrupt a to_thread task already running on
+            # the executor (Task.cancel defers until the inner future
+            # settles), so AWAITING the cancelled tasks would hold the 403
+            # until the whole speculative retrieval finishes. Abandon them
+            # instead: consume the eventual result/exception via callback so
+            # nothing is logged as never-retrieved, and raise now.
+            def _swallow(t: asyncio.Task) -> None:
+                if not t.cancelled():
+                    t.exception()
+
+            for t in (ret_t, hist_t):
+                t.cancel()
+                t.add_done_callback(_swallow)
             raise auth_t.exception()
         result, history = await asyncio.gather(ret_t, hist_t)
 

@@ -216,3 +216,32 @@ class TestFusedPq4:
         back = aug[:, -2].astype(np.int64) | (aug[:, -1].astype(np.int64) << 8)
         np.testing.assert_array_equal(back, pq.assign)
         np.testing.assert_array_equal(aug[:, :-2], pq.packed)
+
+
+class TestWideCoarseFallback:
+    """coarse_cols > 512 and not a multiple of 512 (nlist_pad 640/768/896
+    arises for ~33k-65k-row corpora via nlist = n//64): the full-width
+    coarse loop's last chunk is narrower than 512 — regression for a
+    trace-time crash where the LUT slice clamped but the iota did not."""
+
+    def test_nlist_pad_640_scores_match_numpy(self):
+        rng = np.random.default_rng(5)
+        n, d = 2048, 64
+        m_sub = Pq4Index.subvectors_for(d, 16)
+        v = clustered(rng, n, d, n_clusters=64)
+        pq = Pq4Index.build(v, m_sub, iters=2, seed=3, nlist=640)
+        q = clustered(rng, 2, d, n_clusters=64)
+        nlist_pad = ((pq.coarse.shape[0] + 127) // 128) * 128
+        assert nlist_pad == 640  # the regression regime
+        s, r = run_fused(pq, q, jnp.zeros(n, jnp.float32), m=8)
+        s, r = np.asarray(s), np.asarray(r)
+        codes = unpack_codes(pq.packed)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        ref = (qn @ pq.coarse.T)[:, pq.assign]
+        for j in range(pq.m_sub):
+            lut_j = qn[:, j * pq.ds:(j + 1) * pq.ds] @ pq.codebooks[j].T
+            ref += lut_j[:, codes[:, j]]
+        for b in range(q.shape[0]):
+            want = np.sort(ref[b])[::-1][:8]
+            np.testing.assert_allclose(np.sort(s[b])[::-1], want,
+                                       rtol=2e-2, atol=2e-2)

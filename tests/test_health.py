@@ -91,3 +91,27 @@ class TestAutoReshard:
         st = mon.status()
         assert st["healthy"] == len(jax.devices()) and st["failed"] == 0
         assert st["auto_reshards"] == 0
+
+
+def test_probe_returns_despite_hung_device():
+    """A wedged device hangs (not errors) — the probe must surface it as
+    failed within ~timeout_s. Regression: the executor's context-manager
+    exit joined the stuck thread, so probe_devices never returned."""
+    import threading
+    import time
+
+    release = threading.Event()
+
+    def probe_op(dev):
+        if str(dev) == "hung":
+            release.wait(30.0)   # simulates a device that never answers
+            return 0.0
+        return 1.0
+
+    t0 = time.monotonic()
+    healthy, failed = probe_devices(devices=["ok1", "hung", "ok2"],
+                                    timeout_s=1.0, probe_op=probe_op)
+    dt = time.monotonic() - t0
+    release.set()  # unblock the abandoned worker thread before teardown
+    assert failed == ["hung"] and set(healthy) == {"ok1", "ok2"}
+    assert dt < 10.0, f"probe blocked {dt:.1f}s on the hung device"

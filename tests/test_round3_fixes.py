@@ -186,3 +186,134 @@ class TestShardMoveLexicalEviction:
         assert t.lexical._n_docs == n_docs_before
         rows, _ = t.lexical.top_m("note", t.index.capacity, 16, "text")
         assert old_row not in rows.tolist()
+
+
+class TestReviewFixesR3b:
+    """Round-3 self-review findings (second batch)."""
+
+    def test_tail_bound_counts_appended_rows_once(self):
+        """The upsert log also records appends; the rebuild bound must not
+        double-count them (old code rebuilt at ~half ivf_tail_bound)."""
+        eng = mk_engine(ann_mode="ivf", ann_threshold=1, ivf_nprobe=1,
+                        ivf_nlist=8, ivf_tail_bound=8)
+        t = eng.tenant("ivf3")
+        rng = np.random.default_rng(1)
+        a = np.zeros(32); a[0] = 1.0
+        with t.lock:
+            for i in range(64):
+                v = a + 0.05 * rng.standard_normal(32)
+                d = {"doc_id": f"v{i}", "doc_type": "unstructured",
+                     "patientId": "p", "unstructuredText": f"vec doc {i}"}
+                t.index.upsert(d, v)
+                t.lexical.index_doc(t.index._id_to_row[f"v{i}"], d)
+        r = t.retriever
+        r._sem_top_m(a, r._spec(None, None), 5)
+        built0 = r._ivf_cache[0]
+        # 6 pure appends: tail = 6 <= 8 -> same build must survive (the old
+        # double count gave 12 > 8 and rebuilt here)
+        with t.lock:
+            for i in range(6):
+                t.index.upsert({"doc_id": f"x{i}", "doc_type": "unstructured",
+                                "patientId": "p",
+                                "unstructuredText": f"x {i}"},
+                               a + 0.05 * rng.standard_normal(32))
+        r._sem_top_m(a, r._spec(None, None), 5)
+        assert r._ivf_cache[0] == built0
+        # 4 more (tail 10 > 8) -> rebuild
+        with t.lock:
+            for i in range(4):
+                t.index.upsert({"doc_id": f"y{i}", "doc_type": "unstructured",
+                                "patientId": "p",
+                                "unstructuredText": f"y {i}"},
+                               a + 0.05 * rng.standard_normal(32))
+        r._sem_top_m(a, r._spec(None, None), 5)
+        assert r._ivf_cache[0] > built0
+
+    def test_int8_ivf_probe_scores_are_exact(self):
+        """When the IVF probe gathers from int8 codes, final scores must be
+        exact f32 re-ranks — never the ~0.5%-noisy quantized dot."""
+        from rassengine_tpu.fusion.strategies import Retriever
+        from rassengine_tpu.index.store import FilterSpec, TenantIndex
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+
+        rng = np.random.default_rng(3)
+        n, d = 512, 32
+        v = rng.normal(size=(n, d)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        idx = TenantIndex("t", d, capacity=n, block_rows=256)
+        for i in range(n):
+            idx.upsert({"doc_id": f"d{i}", "doc_type": "unstructured",
+                        "unstructuredText": "x"}, v[i])
+        # budget between cap*dim (16384) and 2*cap*dim: int8 gather regime,
+        # not the PQ4 route
+        cfg = EngineConfig(ann_mode="ivf", ann_threshold=1, ivf_nlist=8,
+                           ivf_nprobe=8, int8_hbm_budget_bytes=20000)
+        r = Retriever(idx, LexicalIndex(), cfg, use_pallas=False)
+        q = v[7]
+        rows, scores = r._sem_top_m(q, FilterSpec(require_embedding=True), 5)
+        assert int(rows[0]) == 7
+        exact = float(v[7] @ q)
+        assert abs(float(scores[0]) - exact) < 1e-5, (scores[0], exact)
+
+    def test_update_log_dedups_under_churn(self, monkeypatch):
+        """Re-upsert churn on tenants that never take the IVF path must not
+        grow the update log unboundedly."""
+        from rassengine_tpu.index import store as store_mod
+        from rassengine_tpu.index.store import TenantIndex
+
+        monkeypatch.setattr(store_mod, "UPDATE_LOG_DEDUP_AT", 64)
+        idx = TenantIndex("t", 8, capacity=128, block_rows=128)
+        v = np.ones(8, np.float32)
+        for _round in range(40):
+            for i in range(4):
+                idx.upsert({"doc_id": f"d{i}", "doc_type": "unstructured",
+                            "unstructuredText": "x"}, v)
+        assert len(idx._update_log) <= 65, len(idx._update_log)
+        assert set(idx._update_log) <= set(range(4))
+
+    def test_host_local_rows_covers_all_shards(self, monkeypatch):
+        """Remainder shards (n_shards % processes != 0) belong to the LAST
+        process; every row must be owned by exactly one process."""
+        import jax
+
+        from rassengine_tpu.parallel.multihost import host_local_rows
+
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        spans = []
+        for pid in range(3):
+            monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+            spans.append(host_local_rows(800, 8))
+        assert spans == [(0, 200), (200, 400), (400, 800)]
+
+    def test_403_not_blocked_by_slow_retrieval(self, monkeypatch):
+        """Auth failure must surface at sqlite speed: cancel() cannot stop a
+        running to_thread retrieval, so the 403 path must abandon it rather
+        than await it."""
+        import asyncio
+        import time
+
+        from rassengine_tpu.serve.ask import AskService, AuthorizationError
+        from rassengine_tpu.serve.db import ChatStore
+
+        eng = mk_engine()
+        eng.ingest_docs("owner", [], docs_for("p1", 4))
+        svc = AskService(eng, db=ChatStore(":memory:"))
+
+        async def scenario():
+            await svc.ask("hello there", "owner", "chatX")  # claim the chat
+            real = eng.retrieve
+
+            def slow_retrieve(*a, **kw):
+                time.sleep(1.5)
+                return real(*a, **kw)
+
+            monkeypatch.setattr(eng, "retrieve", slow_retrieve)
+            t0 = time.monotonic()
+            try:
+                await svc.ask("hypertension note", "intruder", "chatX")
+            except AuthorizationError:
+                return time.monotonic() - t0
+            raise AssertionError("403 expected")
+
+        dt = asyncio.run(scenario())
+        assert dt < 1.2, f"403 took {dt:.2f}s — waited on the retrieval"
