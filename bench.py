@@ -8,6 +8,11 @@ should-clause boosts, app/main.py:1562-1615). Correctness is gated inline:
 recall@5 against an exact fused oracle (f32 corpus scan with the dense
 host-BM25 additive vector) must be ≥ 0.99.
 
+Two serving paths are measured — the bf16 corpus scan and the int8-only
+hybrid (block-scale codes, half the HBM read, all-integer selection
+epilogue) — each against the SAME oracle gate; the headline is the fastest
+path that passes, with both paths' numbers reported in ``per_path``.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.md); its retrieval engine is
@@ -34,21 +39,25 @@ import time
 
 BASELINE_OPENSEARCH_QPS = 5000.0
 
+# headline config (module-level so smoke tests can shrink it)
+CAP, DIM, BATCH, TOPK = 1_048_576, 1024, 256, 5
+
 
 def main() -> None:
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from rassengine_tpu.index.exact import exact_topk
     from rassengine_tpu.lexical.bm25 import LexicalIndex
     from rassengine_tpu.lexical.device_bm25 import DeviceLexical, hybrid_topk_batch
 
-    cap, d, b, k = 1_048_576, 1024, 256, 5
+    cap, d, b, k = CAP, DIM, BATCH, TOPK
     rng = np.random.default_rng(0)
     v = rng.normal(size=(cap, d)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     vd = jnp.asarray(v, jnp.bfloat16)
     mask = jnp.zeros((cap,), jnp.float32)
+    on_tpu = jax.default_backend() not in ("cpu",)
 
     lex = LexicalIndex()
     vocab = [f"term{i}" for i in range(2000)]
@@ -75,17 +84,38 @@ def main() -> None:
         return hybrid_topk_batch(vd, mask, qq, vw.tables, ci, w,
                                  2.0, k, top_m_lex=64)
 
+    # candidate fast path: the whole hybrid from block-scale int8 codes
+    # (vecs=None — half the HBM read, all-integer selection epilogue). Used
+    # for the headline ONLY if it passes the same oracle recall gate as the
+    # bf16 path below; the 4M int8-only config measured recall 1.0 (BENCH.md)
+    paths = {"bf16": hybrid}
+    if on_tpu:
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        codes, bscales = quantize_int8_block(v, 2048)
+        cd = jnp.asarray(codes)
+        sd = jnp.asarray(np.repeat(bscales, 2048))
+        bsd = jnp.asarray(bscales)
+
+        def hybrid_int8(qq, ci, vw, w):
+            return hybrid_topk_batch(None, mask, qq, vw.tables, ci, w,
+                                     2.0, k, top_m_lex=64,
+                                     scan_mode="pallas_int8",
+                                     int8_tables=(cd, sd),
+                                     int8_block_scales=bsd)
+
+        paths["int8"] = hybrid_int8
+
     # correctness gate: tie-aware recall@5 vs a host f32 fused oracle — a
     # returned row counts when its true fused score reaches the oracle's k-th
     # score within 5e-3 + 2e-3·|kth| (the corpus is stored bf16: each cosine
     # carries ~2e-3 quantization shift vs the f32 oracle, so near-ties inside
     # that band flip without being retrieval errors; same methodology as the
-    # round-1 exact-scan gate, tolerance scaled to hybrid score magnitudes)
+    # round-1 exact-scan gate, tolerance scaled to hybrid score magnitudes;
+    # the int8 path must clear the same bar or it is not used)
     queries0, q0, ci0, view0, wv0 = batches[0]
-    top_s, top_r = hybrid(q0, ci0, view0, wv0)
-    top_r = np.asarray(top_r)
     q0h = np.asarray(q0, np.float32)
-    hits = []
+    oracle = []
     for i in range(16):
         add = np.zeros(cap, np.float32)
         for g, w in GW.items():
@@ -93,16 +123,22 @@ def main() -> None:
             add[rows] += w * vals
         fused = 2.0 * (v @ q0h[i]) + add
         kth = np.partition(fused, -k)[-k]
-        tol = 5e-3 + 2e-3 * abs(float(kth))
-        hits.append(float(np.mean(fused[top_r[i]] >= kth - tol)))
-    recall = float(np.mean(hits))
+        oracle.append((fused, kth, 5e-3 + 2e-3 * abs(float(kth))))
+
+    def gate(fn):
+        top_r = np.asarray(fn(q0, ci0, view0, wv0)[1])
+        return float(np.mean([np.mean(f[top_r[i]] >= kth - tol)
+                              for i, (f, kth, tol) in enumerate(oracle)]))
+
+    recalls = {name: gate(fn) for name, fn in paths.items()}
+    recall = recalls["bf16"]
     if recall < 0.99:
         print(json.dumps({"metric": "hybrid_qps_per_chip", "value": 0.0,
                           "unit": "qps", "vs_baseline": 0.0,
                           "error": f"recall gate failed: {recall:.3f}"}))
         sys.exit(1)
 
-    def chain(n, replan):
+    def chain(fn, n, replan):
         qq = batches[0][1]
         s = None
         for it in range(n):
@@ -112,36 +148,44 @@ def main() -> None:
                 ci = jnp.asarray(ci)
             else:
                 _qs, _q, ci, vw, w = batches[it % 4]
-            s, _i = hybrid(qq, ci, vw, w)
-            qq = batches[0][1] + 1e-12 * s[:, :1]
+            s, _i = fn(qq, ci, vw, w)
+            qq = batches[0][1] + 1e-12 * s[:, :1].astype(jnp.float32)
         return np.asarray(s)
 
-    def slope(replan, n_iter=40):
-        chain(4, replan)  # warm all batch shapes
+    def slope(fn, replan, n_iter=40):
+        chain(fn, 4, replan)  # warm all batch shapes
         ns = max(4, n_iter // 8)
         t0 = time.perf_counter()
-        chain(ns, replan)
+        chain(fn, ns, replan)
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        chain(n_iter + ns, replan)
+        chain(fn, n_iter + ns, replan)
         t_l = time.perf_counter() - t0
         return (t_l - t_s) / n_iter
 
     # the tunnel's dispatch constant drifts ±10% across minutes; report the
     # best of three slope measurements (each already cancels the constant —
     # the min tracks steady-state device throughput, which is the portable
-    # number)
-    dt = min(slope(replan=False) for _ in range(3))
-    dt_up = slope(replan=True)
+    # number). Every gate-passing path is timed; the headline is the fastest.
+    dts = {name: min(slope(fn, replan=False) for _ in range(3))
+           for name, fn in paths.items() if recalls[name] >= 0.99}
+    best = min(dts, key=dts.get)
+    dt = dts[best]
+    dt_up = slope(paths[best], replan=True)
     qps = b / dt
 
+    mstr = f"{cap // 1048576}M" if cap % 1048576 == 0 else str(cap)
     print(json.dumps({
-        "metric": f"hybrid_qps_per_chip_1Mx1024_b{b}_k5",
+        "metric": f"hybrid_qps_per_chip_{mstr}x{d}_b{b}_k{k}",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_OPENSEARCH_QPS, 2),
         "latency_ms_batch": round(dt * 1e3, 3),
-        "recall_vs_fused_oracle": round(recall, 4),
+        "path": best,
+        "recall_vs_fused_oracle": round(recalls[best], 4),
+        "per_path": {n_: {"ms": round(t_ * 1e3, 3),
+                          "recall": round(recalls[n_], 4)}
+                     for n_, t_ in dts.items()},
         "qps_with_per_batch_upload": round(b / dt_up, 1),
     }))
 
