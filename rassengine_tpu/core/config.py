@@ -127,6 +127,10 @@ class EngineConfig:
     # --- durability (HBM is volatile; no reference counterpart) ---
     checkpoint_dir: str = ""            # non-empty → restore at startup + periodic save
     checkpoint_interval_s: float = 300.0
+    # non-empty → persistent XLA compilation cache: serving restarts skip the
+    # 30-60 s first-compile of the big scan/encoder programs (torch.compile
+    # has no cross-process cache in the reference — this is a TPU-side win)
+    compile_cache_dir: str = ""
     # --- observability ---
     profile_dir: str = ""               # non-empty → jax.profiler traces per request
     audit_log_path: str = ""            # non-empty → JSONL audit trail (serve/audit.py)
@@ -192,6 +196,7 @@ class EngineConfig:
             port=_env_int("PORT", 8000),
             upload_port=_env_int("UPLOAD_PORT", 8001),
             checkpoint_dir=os.getenv("CHECKPOINT_DIR", ""),
+            compile_cache_dir=os.getenv("COMPILE_CACHE_DIR", ""),
             checkpoint_interval_s=_env_float("CHECKPOINT_INTERVAL_S", 300.0),
             profile_dir=os.getenv("PROFILE_DIR", ""),
             audit_log_path=os.getenv("AUDIT_LOG_PATH", ""),
@@ -219,3 +224,22 @@ def get_config() -> EngineConfig:
 def set_config(cfg: EngineConfig) -> None:
     global _GLOBAL_CONFIG
     _GLOBAL_CONFIG = cfg
+
+
+def enable_compile_cache(cfg: EngineConfig) -> bool:
+    """Arm JAX's persistent compilation cache when configured.
+
+    Serving restarts then reuse compiled programs instead of paying the
+    30-60 s first-compile of the scan/encoder kernels (COMPILE_CACHE_DIR;
+    the reference's torch.compile recompiles every process start,
+    main.py:153,173). Safe to call repeatedly; returns whether armed.
+    """
+    if not cfg.compile_cache_dir:
+        return False
+    import jax
+
+    os.makedirs(cfg.compile_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cfg.compile_cache_dir)
+    # default min compile time (1 s) skips tiny programs; cache the big ones
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return True

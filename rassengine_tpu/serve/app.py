@@ -349,6 +349,10 @@ async def main() -> None:
 
     maybe_init_distributed()
     cfg = EngineConfig.from_env()
+    from rassengine_tpu.core.config import enable_compile_cache
+
+    if enable_compile_cache(cfg):
+        log.info("persistent XLA compile cache at %s", cfg.compile_cache_dir)
     engine = RassEngine(cfg)
     service = AskService(engine)
     audit = _make_audit(engine)  # one writer for both services (rotation lock)

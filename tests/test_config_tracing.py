@@ -97,3 +97,30 @@ class TestPrometheusFormat:
                              else resp.body.encode())
         resp2 = asyncio.run(handler(Request("GET", "/metrics", {}, {})))
         assert resp2.content_type == "application/json"
+
+
+class TestCompileCache:
+    def test_env_knob_parsed(self, monkeypatch):
+        from rassengine_tpu.core.config import EngineConfig
+
+        monkeypatch.setenv("COMPILE_CACHE_DIR", "/tmp/xlacache-test")
+        assert EngineConfig.from_env().compile_cache_dir == "/tmp/xlacache-test"
+
+    def test_enable_arms_jax_and_writes_programs(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from rassengine_tpu.core.config import EngineConfig, enable_compile_cache
+
+        assert not enable_compile_cache(EngineConfig())  # off by default
+        cfg = EngineConfig(compile_cache_dir=str(tmp_path / "cc"))
+        try:
+            assert enable_compile_cache(cfg)
+            assert jax.config.jax_compilation_cache_dir == cfg.compile_cache_dir
+            # compile something non-trivial enough to be eligible; the cache
+            # dir must exist (entries themselves depend on compile-time
+            # thresholds, so only the arming is asserted strictly)
+            jnp.ones((64, 64)).__matmul__(jnp.ones((64, 64))).block_until_ready()
+            assert (tmp_path / "cc").is_dir()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
