@@ -262,6 +262,21 @@ Handler = Callable[[Request], Awaitable[Response | StreamingResponse]]
 WsHandler = Callable[[WebSocket, Request], Awaitable[None]]
 
 
+
+def _content_length(headers: dict) -> int | None:
+    """Parsed non-negative Content-Length; None when invalid (-> 400).
+
+    A hand-rolled parser must not let int() raise into the connection task:
+    a non-numeric or negative value from a hostile client would otherwise
+    kill the keep-alive loop with an unhandled exception."""
+    raw = headers.get("content-length", "0") or "0"
+    try:
+        clen = int(raw)
+    except ValueError:
+        return None
+    return clen if clen >= 0 else None
+
+
 class App:
     def __init__(self, name: str = "rassengine"):
         self.name = name
@@ -288,7 +303,10 @@ class App:
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         try:
             while True:
-                line = await reader.readline()
+                try:
+                    line = await reader.readline()
+                except ValueError:   # start line past the stream limit
+                    return
                 if not line:
                     return
                 try:
@@ -296,12 +314,17 @@ class App:
                 except ValueError:
                     return
                 headers: dict[str, str] = {}
-                while True:
-                    h = await reader.readline()
-                    if h in (b"\r\n", b"\n", b""):
-                        break
-                    k, _, v = h.decode("latin-1").partition(":")
-                    headers[k.strip().lower()] = v.strip()
+                try:
+                    while True:
+                        h = await reader.readline()
+                        if h in (b"\r\n", b"\n", b""):
+                            break
+                        k, _, v = h.decode("latin-1").partition(":")
+                        headers[k.strip().lower()] = v.strip()
+                except ValueError:   # a header line past the stream limit
+                    await self._write(writer,
+                                      Response.error(431, "header too large"))
+                    return
                 parsed = urlsplit(target)
                 path = unquote(parsed.path)
                 query = parse_qs(parsed.query)
@@ -313,7 +336,11 @@ class App:
                     # of buffering (incremental multipart with early size
                     # rejection); the connection closes afterwards since any
                     # unread remainder would desync keep-alive framing
-                    clen = int(headers.get("content-length", "0") or 0)
+                    clen = _content_length(headers)
+                    if clen is None:
+                        await self._write(writer,
+                                          Response.error(400, "bad content-length"))
+                        return
                     if clen > MAX_BODY:  # total bound; per-file limits are
                         await self._write(writer,  # enforced by the handler
                                           Response.error(413, "body too large"))
@@ -341,7 +368,11 @@ class App:
                         await self._write(writer, Response.error(413, "body too large"))
                         return
                 else:
-                    clen = int(headers.get("content-length", "0") or 0)
+                    clen = _content_length(headers)
+                    if clen is None:
+                        await self._write(writer,
+                                          Response.error(400, "bad content-length"))
+                        return
                     if clen > MAX_BODY:
                         await self._write(writer, Response.error(413, "body too large"))
                         return

@@ -762,3 +762,84 @@ class TestStreamingUpload:
             assert len(parts) == 2, (cs, len(parts))
             assert parts[0][1] == b"x" * 10000
             assert parts[1][1] == b"y" * 5000
+
+
+class TestHttpRobustness:
+    """Hostile/malformed input must never crash or hang the server: after
+    every attack the listener must still serve a valid request."""
+
+    def test_malformed_inputs_then_health(self, engine):
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+
+            async def raw(payload: bytes, read=True) -> bytes:
+                r, w = await asyncio.open_connection("127.0.0.1", port)
+                w.write(payload)
+                try:
+                    await w.drain()
+                    if not read:
+                        return b""
+                    return await asyncio.wait_for(r.read(), timeout=5.0)
+                except ConnectionError:
+                    # server answered-and-closed mid-write (flood rejection)
+                    return b""
+                finally:
+                    w.close()
+
+            async def health_ok():
+                out = await raw(b"GET /health HTTP/1.1\r\nHost: x\r\n"
+                                b"Connection: close\r\n\r\n")
+                assert b"200" in out.split(b"\r\n", 1)[0], out[:80]
+
+            # binary garbage start line: connection drops, no crash
+            await raw(b"\x00\xffgarbage\r\n\r\n")
+            await health_ok()
+
+            # non-numeric and negative Content-Length -> 400, not an
+            # unhandled int() in the connection task
+            out = await raw(b"POST /ask HTTP/1.1\r\nHost: x\r\n"
+                            b"Content-Length: banana\r\n\r\n")
+            assert b"400" in out.split(b"\r\n", 1)[0], out[:80]
+            out = await raw(b"POST /ask HTTP/1.1\r\nHost: x\r\n"
+                            b"Content-Length: -5\r\n\r\n")
+            assert b"400" in out.split(b"\r\n", 1)[0], out[:80]
+            await health_ok()
+
+            # header line beyond the stream limit -> 431 (or the server
+            # drops the flood mid-write), never an unhandled LimitOverrun
+            big = b"X-Big: " + b"a" * (1 << 20) + b"\r\n"
+            out = await raw(b"GET /health HTTP/1.1\r\nHost: x\r\n" + big
+                            + b"\r\n")
+            assert out == b"" or b"431" in out.split(b"\r\n", 1)[0], out[:80]
+            await health_ok()
+
+            # truncated body: client promises 100 bytes, sends 10, closes
+            await raw(b"POST /ask HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: 100\r\n\r\nshort body", read=False)
+            await health_ok()
+
+            # malformed chunked framing
+            out = await raw(b"POST /ask HTTP/1.1\r\nHost: x\r\n"
+                            b"Transfer-Encoding: chunked\r\n\r\nzz\r\nhi\r\n")
+            assert b"400" in out.split(b"\r\n", 1)[0], out[:80]
+            await health_ok()
+
+            # seeded random-bytes fuzz: never crash the listener
+            rng = np.random.default_rng(0)
+            for _ in range(25):
+                blob = rng.integers(0, 256,
+                                    size=int(rng.integers(1, 2048))) \
+                    .astype(np.uint8).tobytes()
+                try:
+                    await raw(blob)
+                except (ConnectionError, asyncio.TimeoutError):
+                    pass
+            await health_ok()
+
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
