@@ -179,6 +179,7 @@ class EngineConfig:
             bluehive_bearer_token=os.getenv("BLUEHIVE_BEARER_TOKEN", ""),
             openai_api_key=os.getenv("OPENAI_API_KEY", ""),
             llm_backend=os.getenv("LLM_BACKEND", "echo"),
+            use_llm_ner=_env_bool("USE_LLM_NER", False),
             max_llm_concurrency=_env_int("MAX_BLUEHIVE_CONCURRENCY", 5),
             max_embed_concurrency=_env_int("MAX_EMBED_CONCURRENCY", 5),
             database_path=os.getenv("DATABASE_PATH", "./rass_chat.db"),
