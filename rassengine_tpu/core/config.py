@@ -137,6 +137,14 @@ class EngineConfig:
     # --- serving protection (no reference counterpart; see serve/ratelimit.py) ---
     upload_rate_limit_per_min: float = 0.0  # per-user uploads/min; 0 = off
     admin_token: str = ""               # required header for /admin/* when set
+    # non-empty → every serving endpoint requires "Authorization: Bearer
+    # <token>". The reference's surface is unauthenticated (user_id is
+    # self-asserted, main.py:2996-3018) — that parity default is fine on a
+    # private network but NOT on an exposed one; this is the one-knob gate.
+    api_token: str = ""
+    # True → unknown chat_id is a 403 like the reference (main.py:2764-2767,
+    # chats provisioned out of band); False keeps standalone auto-provision
+    strict_chat_auth: bool = False
 
     @staticmethod
     def from_env(**overrides) -> "EngineConfig":
@@ -204,6 +212,8 @@ class EngineConfig:
             upload_rate_limit_per_min=_env_float(
                 "UPLOAD_RATE_LIMIT_PER_MIN", 0.0),
             admin_token=os.getenv("ADMIN_TOKEN", ""),
+            api_token=os.getenv("API_TOKEN", ""),
+            strict_chat_auth=_env_bool("STRICT_CHAT_AUTH", False),
         )
         base.update(overrides)
         return EngineConfig(**base)

@@ -70,6 +70,7 @@ class RassEngine:
         self.intent_classifier = IntentClassifier(self.config)
         self.ner = NerPipeline(self.config)
         self._tenants: dict[str, Tenant] = {}
+        self._tenants_lock = threading.Lock()
         if use_pallas is None:
             import jax
 
@@ -116,18 +117,29 @@ class RassEngine:
         name = self.index_name(user_id)
         t = self._tenants.get(name)
         if t is None:
-            index = TenantIndex(name, self.config.embed_dim,
-                                capacity=self.config.index_capacity,
-                                block_rows=self.config.index_block_rows,
-                                mesh=self.mesh)
-            lexical = LexicalIndex()
-            t = Tenant(name, index, lexical,
-                       Retriever(index, lexical, self.config, self.use_pallas,
-                                 mesh=self.mesh, router=self.router))
-            # sharded-region grows move rows; postings must follow (late-bound
-            # so compaction's lexical replacement stays hooked)
-            index.remap_hooks.append(lambda mv, _t=t: _t.lexical.shift_rows(mv))
-            self._tenants[name] = t
+            # first-touch is racy across worker threads (concurrent first
+            # /upload_data + /ask): without the lock, two Tenant instances
+            # get built and the one registered last silently orphans the
+            # other's ingested rows
+            with self._tenants_lock:
+                t = self._tenants.get(name)
+                if t is not None:
+                    return t
+                index = TenantIndex(name, self.config.embed_dim,
+                                    capacity=self.config.index_capacity,
+                                    block_rows=self.config.index_block_rows,
+                                    mesh=self.mesh)
+                lexical = LexicalIndex()
+                t = Tenant(name, index, lexical,
+                           Retriever(index, lexical, self.config,
+                                     self.use_pallas,
+                                     mesh=self.mesh, router=self.router))
+                # sharded-region grows move rows; postings must follow
+                # (late-bound so compaction's lexical replacement stays
+                # hooked)
+                index.remap_hooks.append(
+                    lambda mv, _t=t: _t.lexical.shift_rows(mv))
+                self._tenants[name] = t
         return t
 
     def reload_nlu(self) -> dict:
@@ -406,6 +418,14 @@ class RassEngine:
                                   patient_id=patient_id)
         if text_match:
             hits = _apply_text_match(hits, text_match)[:k] or hits[:k]
+        pid_eff = patient_id or spec.patient_id
+        if pid_eff:
+            # device filters compare 31-bit patient hashes — at hospital
+            # scale (~46k patients → ~50% chance of one colliding pair) a
+            # hash twin's documents would pass the mask; exact-match the
+            # string here so isolation never rests on the hash alone
+            hits = [(src, s) for src, s in hits
+                    if str(src.get("patientId") or "") == pid_eff]
         result.hits = hits[:k]
         return result
 

@@ -14,6 +14,7 @@ import logging
 import os
 import shutil
 import time
+from urllib.parse import quote
 
 import numpy as np
 
@@ -191,7 +192,12 @@ def save_engine(engine, root: str,
         pid, n_procs = jax.process_index(), jax.process_count()
     names = []
     for name, tenant in list(engine._tenants.items()):
-        safe = name.replace("/", "_")
+        # INJECTIVE dir encoding (percent-escape, '%' itself included):
+        # a lossy map like '/'→'_' would let tenants "a/b" and "a_b"
+        # collide on one directory and clobber each other's checkpoints.
+        # Ordinary names (letters, digits, '_-.') are unchanged, so
+        # existing checkpoint dirs keep loading.
+        safe = quote(name, safe="")
         with tenant.lock:
             if n_procs > 1:
                 idx = tenant.index

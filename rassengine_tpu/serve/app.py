@@ -50,6 +50,17 @@ def _make_audit(engine: RassEngine) -> AuditLog:
     return AuditLog(path) if path else null_audit()
 
 
+def _api_denied(cfg, req: Request) -> Response | None:
+    """Bearer-token gate for every serving endpoint (API_TOKEN; off by
+    default = reference parity, whose surface is unauthenticated)."""
+    if not cfg.api_token:
+        return None
+    auth = req.headers.get("authorization", "")
+    if auth == f"Bearer {cfg.api_token}":
+        return None
+    return Response.error(401, "missing or invalid bearer token")
+
+
 def build_app(engine: RassEngine, service: AskService | None = None,
               audit: AuditLog | None = None) -> App:
     """The query service (reference app/main.py, port 8000)."""
@@ -64,10 +75,24 @@ def build_app(engine: RassEngine, service: AskService | None = None,
         introspection; docker healthchecks gate on this)."""
         from rassengine_tpu.lexical.native.loader import get_native_bm25
 
-        tenants = {
-            name: {"docs": t.index.count, "capacity": t.index.capacity}
-            for name, t in engine._tenants.items()
-        }
+        cfg = engine.config
+        # tenant NAMES embed user ids — enumeration hands an unauthenticated
+        # caller the exact identifiers the self-asserted endpoints accept.
+        # When any token is configured, per-tenant detail requires it.
+        tokens = (cfg.admin_token, cfg.api_token)
+        authed = not any(tokens) or (
+            req.headers.get("x-admin-token") == cfg.admin_token != "") or (
+            req.headers.get("authorization") == f"Bearer {cfg.api_token}"
+            and cfg.api_token != "")
+        if authed:
+            tenants = {
+                name: {"docs": t.index.count, "capacity": t.index.capacity}
+                for name, t in engine._tenants.items()
+            }
+        else:
+            tenants = {"count": len(engine._tenants),
+                       "docs_total": sum(t.index.count
+                                         for t in engine._tenants.values())}
         body = {
             "status": "ok",
             "encoder": {"dim": engine.embedder.dim,
@@ -94,6 +119,9 @@ def build_app(engine: RassEngine, service: AskService | None = None,
     async def create_user(req: Request) -> Response:
         """User provisioning (the reference assumes out-of-band Prisma rows;
         standalone deployments need an endpoint)."""
+        denied = _api_denied(engine.config, req)
+        if denied is not None:
+            return denied
         try:
             payload = req.json() or {}
         except json.JSONDecodeError:
@@ -108,6 +136,9 @@ def build_app(engine: RassEngine, service: AskService | None = None,
 
     @app.route("POST", "/ask")
     async def ask_route(req: Request) -> Response:
+        denied = _api_denied(engine.config, req)
+        if denied is not None:
+            return denied
         try:
             payload = req.json() or {}
         except json.JSONDecodeError:
@@ -118,6 +149,10 @@ def build_app(engine: RassEngine, service: AskService | None = None,
         top_k = payload.get("top_k")
         if not query or not user_id or not chat_id:
             return Response.error(400, "query, user_id and chat_id are required")
+        if not _USER_ID_RE.match(user_id):
+            # same charset the provisioning/delete endpoints enforce; an
+            # un-validated id becomes a tenant name AND a checkpoint dir
+            return Response.error(400, "invalid user_id")
         try:
             answer = await service.ask(query, user_id, chat_id, top_k)
         except AuthorizationError as e:
@@ -132,10 +167,15 @@ def build_app(engine: RassEngine, service: AskService | None = None,
     async def ws_ask(ws: WebSocket, req: Request) -> None:
         # reference: one JSON request per connection, tokens streamed back,
         # "[DONE]" sentinel, connection stays open for the next query
+        if _api_denied(engine.config, req) is not None:
+            await ws.send_text("[ERROR] missing or invalid bearer token")
+            await ws.close()
+            return
         while True:
             raw = await ws.recv_text()
             if raw is None:
                 return
+            user_id = chat_id = ""
             try:
                 payload = json.loads(raw)
                 query = (payload.get("query") or "").strip()
@@ -145,9 +185,18 @@ def build_app(engine: RassEngine, service: AskService | None = None,
                 if not query or not user_id or not chat_id:
                     await ws.send_text("[ERROR] query, user_id and chat_id are required")
                     continue
+                if not _USER_ID_RE.match(user_id):
+                    await ws.send_text("[ERROR] invalid user_id")
+                    continue
                 async for chunk in service.ask_stream(query, user_id, chat_id, top_k):
                     await ws.send_text(chunk)
+                # the streaming surface must leave the same audit trail the
+                # REST path does, or WS access is invisible to investigations
+                audit.emit("ask", user_id, chat_id=chat_id,
+                           query_len=len(query), transport="ws")
             except AuthorizationError as e:
+                audit.emit("ask", user_id, status="denied", chat_id=chat_id,
+                           transport="ws")
                 await ws.send_text(f"[ERROR] {e}")
             except (json.JSONDecodeError, ValidationError) as e:
                 await ws.send_text(f"[ERROR] {e}")
@@ -196,6 +245,9 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None,
     async def delete_docs(req: Request) -> Response:
         """Delete indexed documents by id (no reference endpoint — OpenSearch
         owns deletes upstream; a standalone framework needs one)."""
+        denied = _api_denied(cfg, req)
+        if denied is not None:
+            return denied
         try:
             payload = req.json() or {}
         except json.JSONDecodeError:
@@ -221,6 +273,9 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None,
         embedding_gen.py:1239-1250)."""
         from rassengine_tpu.serve.http import MemoryBodyReader, MultipartStream
 
+        denied = _api_denied(cfg, req)
+        if denied is not None:
+            return denied  # before any body IO — tokens gate the stream cost
         ctype = req.headers.get("content-type", "")
         m = re.search(r'boundary="?([^";]+)"?', ctype)
         if not m:
@@ -229,6 +284,7 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None,
         stream = MultipartStream(body, m.group(1).encode())
 
         user_id: str | None = None
+        validated = False  # user checks ran at stream time (user_id part seen)
         saved: list[tuple[str, str]] = []  # (original name, tmp path)
         try:
             async for headers, chunks in stream.parts():
@@ -259,22 +315,42 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None,
                         if len(data) < 4096:
                             data += c
                     user_id = data.decode("utf-8", "replace").strip()
+                    # validate as soon as the id is known: when the client
+                    # sends user_id before its files (our clients do), a bad
+                    # user or an exhausted rate bucket stops the stream HERE
+                    # instead of after 5×10 MB of temp-file IO
+                    if not _USER_ID_RE.match(user_id):
+                        return Response.error(400, "invalid user_id")
+                    if not await db.a_user_exists(user_id):
+                        audit.emit("upload", user_id, status="denied")
+                        return Response.error(403, "user not authorized")
+                    if not limiter.allow(user_id):
+                        audit.emit("upload", user_id, status="rate_limited")
+                        retry = limiter.retry_after(user_id)
+                        return Response(429, json.dumps(
+                            {"detail": "upload rate limit exceeded"}).encode(),
+                            "application/json",
+                            {"Retry-After": str(max(1, int(retry + 0.5)))})
+                    validated = True
 
-            # validation chain (reference embedding_gen.py:1233-1294)
+            # validation chain (reference embedding_gen.py:1233-1294) — for
+            # clients whose user_id part arrived AFTER the files (already
+            # ran at stream time otherwise; don't re-charge the rate bucket)
             if not user_id or not _USER_ID_RE.match(user_id):
                 return Response.error(400, "invalid user_id")
-            if not await db.a_user_exists(user_id):
-                audit.emit("upload", user_id, status="denied")
-                return Response.error(403, "user not authorized")
+            if not validated:
+                if not await db.a_user_exists(user_id):
+                    audit.emit("upload", user_id, status="denied")
+                    return Response.error(403, "user not authorized")
+                if not limiter.allow(user_id):
+                    audit.emit("upload", user_id, status="rate_limited")
+                    retry = limiter.retry_after(user_id)
+                    return Response(429, json.dumps(
+                        {"detail": "upload rate limit exceeded"}).encode(),
+                        "application/json",
+                        {"Retry-After": str(max(1, int(retry + 0.5)))})
             if not saved:
                 return Response.error(400, "no files provided")
-            if not limiter.allow(user_id):
-                audit.emit("upload", user_id, status="rate_limited")
-                retry = limiter.retry_after(user_id)
-                return Response(429, json.dumps(
-                    {"detail": "upload rate limit exceeded"}).encode(),
-                    "application/json",
-                    {"Retry-After": str(max(1, int(retry + 0.5)))})
 
             user_dir = os.path.join(cfg.upload_dir, user_id)
             os.makedirs(user_dir, exist_ok=True)

@@ -110,12 +110,17 @@ class AskService:
     async def _authorize(self, user_id: str, chat_id: str) -> None:
         owner = await self.db.a_chat_owner(chat_id)
         if owner is None:
-            # unknown chat → create it for this user (reference 403s instead,
-            # main.py:2764-2767, because chats are provisioned out of band;
-            # auto-creating keeps the standalone framework usable end-to-end)
+            if self.config.strict_chat_auth:
+                # reference parity (main.py:2764-2767): chats are provisioned
+                # out of band, an unknown chat is a 403
+                raise AuthorizationError("chat does not belong to user")
+            # unknown chat → create it for this user (standalone usability);
+            # create_chat is INSERT OR IGNORE, so a concurrent creator may
+            # win the race — re-read the owner instead of assuming we did,
+            # or the loser would proceed "authorized" on someone else's chat
             self.db.create_user(user_id)
             self.db.create_chat(user_id, chat_id)
-            return
+            owner = await self.db.a_chat_owner(chat_id)
         if owner != user_id:
             raise AuthorizationError("chat does not belong to user")
 
@@ -203,7 +208,12 @@ class AskService:
         # the tunneled chip); non-embedding intents embed lazily off-loop,
         # and only when the cache is actually on
         q_emb = result.query_emb
-        scope = f"{user_id}:{result.patient_ids[0] if result.patient_ids else '*'}"
+        # cache scope: per patient when one resolved, else per CHAT — a
+        # 'user:*' scope would replay an answer generated with another
+        # chat's history (and possibly another patient's context) into this
+        # chat whenever two questions embed near each other
+        scope = (f"{user_id}:{result.patient_ids[0]}" if result.patient_ids
+                 else f"{user_id}:chat:{chat_id}")
         if self.cache is not None:
             if q_emb is None:
                 q_emb = await asyncio.to_thread(

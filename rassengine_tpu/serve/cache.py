@@ -42,7 +42,7 @@ class SemanticCache:
         n = float(np.linalg.norm(q))
         if n == 0:
             return None
-        q /= n
+        q = q / n  # NOT in-place: jax-derived arrays arrive read-only
         sims = np.stack(self._embs) @ q
         order = np.argsort(-sims)
         for i in order:
