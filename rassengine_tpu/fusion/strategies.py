@@ -467,7 +467,8 @@ class Retriever:
                 cols = idx.device_columns()
                 s, r = sharded_topk(self.mesh, cols["vecs"], mask, q,
                                     min(m, idx.capacity),
-                                    use_pallas=None if self.use_pallas else False)
+                                    use_pallas=None if self.use_pallas else False,
+                                    candidate_grade=True)
                 s = to_host(s)
                 # filter-masked rows (score NEG_INF+ε) must not surface as
                 # hits — under a patient filter they are other patients' docs

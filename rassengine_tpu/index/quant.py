@@ -60,7 +60,9 @@ def int8_scan_topm(codes, scales, queries, add_mask, m: int):
     """
     q = queries.astype(jnp.float32)
     qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-    qs = jnp.abs(qn).max(axis=1) / 127.0
+    # eps guard like every sibling int8 path: an all-zero query gives qs=0
+    # and 0/0=NaN codes otherwise
+    qs = jnp.maximum(jnp.abs(qn).max(axis=1) / 127.0, 1e-12)
     qcodes = jnp.clip(jnp.round(qn / qs[:, None]), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         qcodes, codes,
@@ -76,17 +78,24 @@ def int8_topk_rerank(codes, scales, vecs_f32_host: np.ndarray, queries, add_mask
                      k: int, oversample: int = 8):
     """int8 scan → top (k·oversample) candidates → exact f32 re-rank → top-k."""
     m = min(k * oversample, codes.shape[0])
-    _s, rows = int8_scan_topm(codes, scales, queries, add_mask, m)
-    rows = np.asarray(rows)
+    s, rows = int8_scan_topm(codes, scales, queries, add_mask, m)
+    s, rows = np.asarray(s), np.asarray(rows)
     q = np.asarray(queries, np.float32)
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    out_s = np.zeros((q.shape[0], k), np.float32)
-    out_i = np.zeros((q.shape[0], k), np.int64)
+    out_s = np.full((q.shape[0], k), -1.0e30, np.float32)
+    out_i = np.full((q.shape[0], k), -1, np.int64)
     for b in range(q.shape[0]):
-        cand = vecs_f32_host[rows[b]]
+        # drop filter-masked candidates BEFORE the exact re-rank: when the
+        # in-filter population is smaller than m, masked rows (scan score
+        # ~NEG_INF) pad the candidate tail, and re-ranking them by raw
+        # cosine would resurrect other patients' docs into the top-k
+        rb = rows[b][s[b] > -5.0e29]
+        if rb.size == 0:
+            continue
+        cand = vecs_f32_host[rb]
         norms = np.linalg.norm(cand, axis=1)
         exact = (cand @ q[b]) / np.maximum(norms, 1e-12)
         order = np.argsort(-exact)[:k]
-        out_s[b] = exact[order]
-        out_i[b] = rows[b][order]
+        out_s[b, : order.size] = exact[order]
+        out_i[b, : order.size] = rb[order]
     return out_s, out_i

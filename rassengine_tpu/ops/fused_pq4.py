@@ -335,12 +335,28 @@ def pq4_topk_fused(codes_aug, lutq, add_mask, m: int, block_rows: int = 1024,
         slack = scale * ((msub + 2) * 0.5)
     else:
         # bf16 rounding is RELATIVE (≤2⁻⁹ per term), so the error is bounded
-        # by the term-magnitude bound (|coarse| max + residual norm), not
-        # msub × the max LUT entry
+        # by the term-MAGNITUDE bound — which must use |lut| (Cauchy-Schwarz
+        # norm when block_resid is given, Σ-of-|maxima| otherwise): the
+        # SIGNED resid_bound can be ~0 for a query anti-aligned with the
+        # codebooks while the accumulated |terms| (hence rounding error) is
+        # large, and an under-covered slack lets the gate prune a block
+        # holding a true top-m candidate
+        if block_resid is not None:
+            resid_mag = resid_bound
+        else:
+            resid_mag = jnp.sum(jnp.max(jnp.abs(code_part), axis=1), axis=1,
+                                keepdims=True)
         slack = (jnp.max(jnp.abs(clut_part), axis=1, keepdims=True)
-                 + resid_bound) * (1.0 / 256.0) + 1e-6
+                 + resid_mag) * (1.0 / 256.0) + 1e-6
     bounds = (coarse_bound + resid_bound + slack + mask_max[None, :]).T
     bounds = bounds.reshape(nb, b, 1).astype(jnp.float32)
+    if b != b0:
+        # batch-padding queries (zero LUTs) score exactly 0 but inherit the
+        # positive residual/slack bound — their `bnd > pmin` would stay true
+        # for every block and fully defeat the branch-and-bound gate (the
+        # whole point of the B=1 probe path). Their bound is truly NEG_INF.
+        qpos = jnp.arange(b)[None, :, None]
+        bounds = jnp.where(qpos >= b0, NEG_INF, bounds)
     if order_by_bound:
         blk_order = jnp.argsort(-jnp.max(bounds[:, :, 0], axis=1)
                                 ).astype(jnp.int32)

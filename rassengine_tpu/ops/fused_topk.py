@@ -80,6 +80,10 @@ def _merge_block(s, best_s, best_i, base, *, k: int, block_rows: int):
         first = jnp.min(jnp.where(is_max, pos, width), axis=1, keepdims=True)
         sel = pos == first
         idx = jnp.max(jnp.where(sel, cand_i, -1), axis=1, keepdims=True)
+        # unfilled slot (< k rows survive the mask): every candidate is
+        # NEG_INF and `first` lands on position 0, which holds a REAL row id
+        # from an earlier merge — return the -1 sentinel, not a duplicate
+        idx = jnp.where(m > NEG_INF / 2, idx, -1)
         picked_s.append(m)
         picked_i.append(idx)
         cand_s = jnp.where(sel, NEG_INF, cand_s)
@@ -475,7 +479,9 @@ def fused_topk_int8_pooled(codes, scales, queries, add_mask, k: int,
     the additive mask is pre-quantized to integer score units with a shared
     (batch-max) query scale, and scores come back in TRUE units (cosine +
     mask) with filtered rows at NEG_INF — no per-query rescale. Without it,
-    the per-row-scale path returns scores ·qs-rescaled as before.
+    the per-row-scale path returns scores ·qs-rescaled as before, and its
+    ``add_mask`` must be filter-only (0 / NEG_INF — see fused_topk_int8's
+    contract note; boost masks would be ~qs×-attenuated).
     """
     cap, d = codes.shape
     assert cap % block_rows == 0 and block_rows % LANES == 0, (cap, block_rows)
@@ -603,7 +609,14 @@ def fused_topk(vecs, queries, add_mask, k: int, block_rows: int = 2048,
 def fused_topk_int8(codes, scales, queries, add_mask, k: int,
                     block_rows: int = 2048, interpret: bool = False):
     """int8 corpus scan: codes [cap, d] int8, scales [cap] f32 per row,
-    queries [B, d] float (unit-norm) → (approx cosine scores [B, k], rows)."""
+    queries [B, d] float (unit-norm) → (approx cosine scores [B, k], rows).
+
+    CONTRACT: ``add_mask`` must be filter-only (0 / NEG_INF). The kernel
+    selects on ``cos/qs + mask`` (qs = per-query quantization scale), so a
+    non-binary boost mask would be attenuated ~qs× in both selection and
+    output — unlike the bf16 twin. Boost masks need the block-scale pooled
+    path (true-unit contract) or caller-side qs compensation
+    (fusion/fused_query.py does this for B=1)."""
     cap, d = codes.shape
     assert cap % block_rows == 0 and block_rows % LANES == 0, (cap, block_rows)
     nb = cap // block_rows

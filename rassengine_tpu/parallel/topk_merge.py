@@ -70,11 +70,20 @@ def _pick_block_rows(local_rows: int, cap_br: int = 2048) -> int | None:
     return None
 
 
-def _use_pallas_local(k: int, local_rows: int) -> bool:
+def _use_pallas_local(k: int, local_rows: int,
+                      candidate_grade: bool = False) -> bool:
     """Whether the per-shard scan can run the fused Pallas kernel (VERDICT
     r2 #4: sharded serving previously always fell back to jnp.dot+top_k,
-    materializing the full [B, local_rows] score matrix per shard)."""
-    return (jax.default_backend() != "cpu" and k <= 256
+    materializing the full [B, local_rows] score matrix per shard).
+
+    The pooled kernel keeps the best 2 rows per 128-lane class, so it is
+    statistically lossy as k grows (expected losses ~C(k,3)/128², see
+    ops/fused_topk.py). For the EXACT public contract the auto-detect
+    stops at k=64; candidate-generation callers that exact-re-rank
+    afterwards (strategies._sharded_top_m) opt into the full pool width.
+    """
+    k_bound = 256 if candidate_grade else 64
+    return (jax.default_backend() != "cpu" and k <= k_bound
             and _pick_block_rows(local_rows) is not None
             and local_rows >= 256)
 
@@ -135,21 +144,25 @@ def _sharded_topk_fn(mesh: Mesh, k: int, local_rows: int, use_pallas: bool,
 
 
 def sharded_topk(mesh: Mesh, vecs, mask, queries, k: int,
-                 use_pallas: bool | None = None, interpret: bool = False):
+                 use_pallas: bool | None = None, interpret: bool = False,
+                 candidate_grade: bool = False):
     """Row-sharded exact top-k with all-gather merge.
 
     vecs [cap, d] sharded on rows over ``shard``; mask [cap] likewise;
     queries [B, d] replicated → (scores [B, k], global row ids [B, k]),
     replicated on every chip; filter-masked slots return row -1. The local
     scan runs the fused Pallas kernel on TPU (``use_pallas=None`` →
-    auto-detect), the XLA scan elsewhere.
+    auto-detect), the XLA scan elsewhere. The pooled kernel is engaged only
+    up to k=64 by default (beyond that its lane-class pool is statistically
+    lossy); ``candidate_grade=True`` extends it to k≤256 for callers that
+    exact-re-rank the returned candidates.
     """
     n_shards = mesh.shape["shard"]
     cap = vecs.shape[0]
     assert cap % n_shards == 0, (cap, n_shards)
     local = cap // n_shards
     if use_pallas is None:
-        use_pallas = _use_pallas_local(k, local)
+        use_pallas = _use_pallas_local(k, local, candidate_grade)
     (queries,), b = _pad_to_replicas(mesh, queries)
     s, i = _sharded_topk_fn(mesh, k, local, use_pallas,
                             interpret)(vecs, mask, queries)
@@ -234,7 +247,10 @@ def sharded_topk_int8(mesh: Mesh, codes, scales, mask, queries, k: int,
     # CPU (tests) has no int8 dot; TPU wants int8 MXU inputs
     use_int8 = jax.default_backend() != "cpu"
     if use_pallas is None:
-        use_pallas = _use_pallas_local(k, local)
+        # int8 scores are approximate by contract and every serving caller
+        # exact-re-ranks, so the pooled kernel's candidate-grade k bound is
+        # the right auto-detect here
+        use_pallas = _use_pallas_local(k, local, candidate_grade=True)
     (queries,), b = _pad_to_replicas(mesh, queries)
     if _block_scales_ok(use_pallas, block_scales, local, scale_block_rows):
         fn = _sharded_topk_int8_fn(mesh, k, local, use_int8, use_pallas,
@@ -454,7 +470,10 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
     local = cap // n_shards
     mm = min(m, local)
     if use_pallas is None:
-        use_pallas = _use_pallas_local(max(k, mm), local)
+        # the semantic top-m inside the fused hybrid is candidate
+        # selection (final fused top-k is small and oracle-gated in bench)
+        use_pallas = _use_pallas_local(max(k, mm), local,
+                                       candidate_grade=True)
     if int8_tables is None:
         int8_mode = False        # plain bf16 per-shard scan
     elif vecs is None:

@@ -277,3 +277,27 @@ class TestIvfPqProbe:
                                     pq.assign[None, :]]        # [B, N]
         oracle = np.sort(adc + coarse, axis=1)[:, ::-1][:, :16]
         np.testing.assert_allclose(np.asarray(s_probe), oracle, atol=2e-3)
+
+
+class TestInt8RerankMask:
+    def test_masked_rows_not_resurrected(self, rng):
+        """Filter leaves fewer rows than the candidate width: masked rows pad
+        the scan's candidate tail and the exact re-rank must NOT re-rank
+        them back in by raw cosine."""
+        v = corpus(rng, 512)
+        codes, scales = quantize_int8(v)
+        mask = np.full(512, -1.0e30, np.float32)
+        mask[:8] = 0.0  # only 8 in-filter rows; k*oversample = 40 > 8
+        s, rows = int8_topk_rerank(jnp.asarray(codes), jnp.asarray(scales), v,
+                                   jnp.asarray(v[:2]), jnp.asarray(mask),
+                                   k=5, oversample=8)
+        rows = np.asarray(rows)
+        assert np.all((rows < 8) | (rows == -1)), rows
+        assert rows[0, 0] == 0 and rows[1, 0] == 1  # self-match survives
+
+    def test_zero_query_no_nan(self, rng):
+        v = corpus(rng, 256)
+        codes, scales = quantize_int8(v)
+        s, rows = int8_scan_topm(jnp.asarray(codes), jnp.asarray(scales),
+                                 jnp.zeros((1, 64)), jnp.zeros(256), 5)
+        assert np.isfinite(np.asarray(s)).all()

@@ -350,3 +350,27 @@ class TestIntEpiloguePoolFold:
         approx = np.argsort(-(qn @ deq.T), axis=1)[:, :20]
         hit = np.mean([len(set(w) & set(a)) / 5 for w, a in zip(want, approx)])
         assert hit >= 0.95
+
+
+class TestUnfilledSlots:
+    def test_multiblock_merge_pads_minus_one(self, rng):
+        """< k rows survive the mask, spread over multiple merging blocks:
+        unfilled slots must return -1, not a duplicate of the top-1 row."""
+        from rassengine_tpu.ops.fused_topk import fused_topk
+
+        cap, d, k = 512, 64, 10
+        v = rng.normal(size=(cap, d)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        mask = np.full(cap, -1.0e30, np.float32)
+        for r in (3, 130, 260, 390):  # one survivor per 128-block
+            mask[r] = 0.0
+        q = v[:2]
+        s, rows = fused_topk(jnp.asarray(v, jnp.bfloat16), jnp.asarray(q),
+                             jnp.asarray(mask), k, block_rows=128,
+                             interpret=True)
+        rows = np.asarray(rows)
+        for b in range(2):
+            live = rows[b][rows[b] >= 0]
+            assert len(set(live.tolist())) == len(live), rows[b]
+            assert set(live.tolist()) <= {3, 130, 260, 390}
+            assert np.all(rows[b][4:] == -1), rows[b]

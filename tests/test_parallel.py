@@ -372,3 +372,19 @@ class TestShardedHybridInt8Select:
             int8_block_scales=put(bs, row), scale_block_rows=128)
         r = np.asarray(r)
         assert np.all(r[r >= 0] >= 512), r
+
+
+class TestPallasLocalPolicy:
+    def test_exact_contract_bounds_k(self, monkeypatch):
+        """The pooled kernel is statistically lossy past k~64: the EXACT
+        sharded_topk auto-detect must refuse it there, while candidate-grade
+        callers (exact re-rank downstream) keep the full pool width."""
+        import jax as _jax
+
+        from rassengine_tpu.parallel.topk_merge import _use_pallas_local
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        assert _use_pallas_local(64, 1 << 20)
+        assert not _use_pallas_local(200, 1 << 20)
+        assert _use_pallas_local(200, 1 << 20, candidate_grade=True)
+        assert not _use_pallas_local(300, 1 << 20, candidate_grade=True)
