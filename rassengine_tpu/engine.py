@@ -301,15 +301,17 @@ class RassEngine:
         from rassengine_tpu.ingest.textfile import parse_markdown_file, parse_text_file
 
         cs = chunk_size or self.config.chunk_size
+        ck = {"adaptive": self.config.adaptive_chunking,
+              "overlap": self.config.chunk_overlap}
         ext = os.path.splitext(path)[1].lower()
         if ext == ".json":
             with open(path, encoding="utf-8") as f:
                 bundle = json.load(f)
-            s, u = parse_fhir_bundle_with_path(bundle, path, cs)
+            s, u = parse_fhir_bundle_with_path(bundle, path, cs, **ck)
         elif ext == ".md":
-            s, u = [], parse_markdown_file(path, cs)
+            s, u = [], parse_markdown_file(path, cs, **ck)
         elif ext == ".txt":
-            s, u = [], parse_text_file(path, cs)
+            s, u = [], parse_text_file(path, cs, **ck)
         else:
             raise ValueError(f"unsupported extension: {ext}")
         return self.ingest_docs(user_id, s, u)

@@ -307,7 +307,8 @@ def _resolve_patient_id(rtype: str, resource: dict, fields: dict) -> str | None:
 
 
 def parse_fhir_bundle(bundle: dict, chunk_size: int = 512,
-                      file_path: str | None = None) -> tuple[list[dict], list[dict]]:
+                      file_path: str | None = None, *, adaptive: bool = False,
+                      overlap: int = 0) -> tuple[list[dict], list[dict]]:
     """Parse a FHIR bundle → (structured_docs, unstructured_docs)."""
     structured: list[dict] = []
     unstructured: list[dict] = []
@@ -358,7 +359,9 @@ def parse_fhir_bundle(bundle: dict, chunk_size: int = 512,
                 pieces.append(str(v))
         narrative = " ".join(p for p in pieces if p).strip()
         if narrative:
-            for ci, chunk in enumerate(chunk_text(narrative, chunk_size)):
+            for ci, chunk in enumerate(chunk_text(narrative, chunk_size,
+                                                  adaptive=adaptive,
+                                                  overlap=overlap)):
                 unstructured.append({
                     "doc_id": f"{rtype}-{rid}-unstructured-{ci}",
                     "doc_type": "unstructured",
@@ -372,6 +375,10 @@ def parse_fhir_bundle(bundle: dict, chunk_size: int = 512,
 
 
 def parse_fhir_bundle_with_path(bundle: dict, file_path: str,
-                                chunk_size: int = 512) -> tuple[list[dict], list[dict]]:
+                                chunk_size: int = 512, *,
+                                adaptive: bool = False,
+                                overlap: int = 0) -> tuple[list[dict], list[dict]]:
     """Reference parse_fhir_bundle_with_path (main.py:1135-1155)."""
-    return parse_fhir_bundle(bundle, chunk_size=chunk_size, file_path=file_path)
+    return parse_fhir_bundle(bundle, chunk_size=chunk_size,
+                             file_path=file_path, adaptive=adaptive,
+                             overlap=overlap)

@@ -39,11 +39,13 @@ def _read_text(path: str) -> str:
 
 
 def _docs_from_text(text: str, path: str, file_type: str, chunk_size: int,
-                    patient_id: str | None) -> list[dict]:
+                    patient_id: str | None, adaptive: bool = False,
+                    overlap: int = 0) -> list[dict]:
     stem = os.path.splitext(os.path.basename(path))[0]
     pid = patient_id or infer_patient_id_from_filename(path)
     docs = []
-    for i, chunk in enumerate(chunk_text(text, chunk_size)):
+    for i, chunk in enumerate(chunk_text(text, chunk_size, adaptive=adaptive,
+                                         overlap=overlap)):
         docs.append({
             "doc_id": f"{file_type}-{stem}-{i}",
             "doc_type": "unstructured",
@@ -57,12 +59,15 @@ def _docs_from_text(text: str, path: str, file_type: str, chunk_size: int,
 
 
 def parse_text_file(path: str, chunk_size: int = 512,
-                    patient_id: str | None = None) -> list[dict]:
-    return _docs_from_text(_read_text(path), path, FILE_TYPE_TEXT, chunk_size, patient_id)
+                    patient_id: str | None = None, *, adaptive: bool = False,
+                    overlap: int = 0) -> list[dict]:
+    return _docs_from_text(_read_text(path), path, FILE_TYPE_TEXT, chunk_size,
+                           patient_id, adaptive, overlap)
 
 
 def parse_markdown_file(path: str, chunk_size: int = 512,
-                        patient_id: str | None = None) -> list[dict]:
+                        patient_id: str | None = None, *,
+                        adaptive: bool = False, overlap: int = 0) -> list[dict]:
     raw = _read_text(path)
     try:
         import markdown as md
@@ -73,4 +78,5 @@ def parse_markdown_file(path: str, chunk_size: int = 512,
     except Exception:  # markdown lib unavailable → index the raw text
         log.warning("markdown render failed for %s; indexing raw", path)
         text = raw
-    return _docs_from_text(text, path, FILE_TYPE_MARKDOWN, chunk_size, patient_id)
+    return _docs_from_text(text, path, FILE_TYPE_MARKDOWN, chunk_size,
+                           patient_id, adaptive, overlap)

@@ -108,7 +108,12 @@ class ModelIntentClassifier:
         meta = load_model_meta(path)
         cfg = BertConfig(**meta["bert_config"]) if meta else BertConfig.tiny()
         self.model = BertForSequenceClassification(cfg, num_labels=len(ALL_INTENTS))
-        self.tokenizer = load_tokenizer(path, cfg.vocab_size, 128)
+        # bucket to the TRAINED sequence length (train/intent_train.py
+        # truncates to 64): longer buckets would feed position embeddings
+        # training never updated. Shipped checkpoints predate the meta key,
+        # so the default matches their recipe.
+        self.max_len = int((meta or {}).get("max_seq_len", 64))
+        self.tokenizer = load_tokenizer(path, cfg.vocab_size, self.max_len)
         dummy = np.zeros((1, 8), np.int32)
         template = self.model.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
         params = load_params(path, template)
@@ -175,7 +180,7 @@ class ModelIntentClassifier:
         to bound the jit cache."""
         import jax.nn
 
-        ids, mask = self.tokenizer.encode_batch(queries, 128)
+        ids, mask = self.tokenizer.encode_batch(queries, self.max_len)
         nb = 1 << (len(queries) - 1).bit_length()
         if nb != ids.shape[0]:
             ids = np.concatenate(

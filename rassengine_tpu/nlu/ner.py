@@ -137,9 +137,15 @@ class RuleNER:
         lower = q.lower()
         for label, words in _GAZETTEER.items():
             for w in words:
+                # walk EVERY occurrence: the first may be an unbounded
+                # substring ("diabetes" inside "prediabetes") while a
+                # word-bounded one follows later in the query
                 i = lower.find(w)
-                if i >= 0 and _word_bounded(lower, i, len(w)):
-                    add(q[i : i + len(w)], label, 0.85, i, i + len(w))
+                while i >= 0:
+                    if _word_bounded(lower, i, len(w)):
+                        add(q[i : i + len(w)], label, 0.85, i, i + len(w))
+                        break
+                    i = lower.find(w, i + 1)
         for m in _PERSON_RE.finditer(q):
             first = m.group(1).split()[0]
             if first in _SENTENCE_STARTERS:
@@ -172,7 +178,9 @@ class ModelNER:
         meta = load_model_meta(path)
         cfg = BertConfig(**meta["bert_config"]) if meta else BertConfig.tiny()
         self.model = BertForTokenClassification(cfg, num_labels=NUM_BIO_LABELS)
-        self.tokenizer = load_tokenizer(path, cfg.vocab_size, 128)
+        # trained length (train/ner_train.py MAX_LEN) — see intent.py note
+        self.max_len = int((meta or {}).get("max_seq_len", 64))
+        self.tokenizer = load_tokenizer(path, cfg.vocab_size, self.max_len)
         dummy = np.zeros((1, 8), np.int32)
         template = self.model.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
         params = load_params(path, template)
@@ -193,7 +201,7 @@ class ModelNER:
         # tokenizer.encode_words is the exact training-time scheme
         # (train/ner_train.py encode_ner): word-aligned for both the hash and
         # WordPiece tokenizers; each word's label reads from its FIRST subtoken
-        ids, mask, word_ids = self.tokenizer.encode_words(words, 128)
+        ids, mask, word_ids = self.tokenizer.encode_words(words, self.max_len)
         logits = self._fwd(self.params, ids, mask)
         probs = np.asarray(jax.nn.softmax(logits[0]))  # [L, num_labels]
         return self._decode(words, probs, word_ids[0])
@@ -210,7 +218,8 @@ class ModelNER:
         idxs = [i for i, w in enumerate(words_list) if w]
         if not idxs:
             return out
-        encs = [self.tokenizer.encode_words(words_list[i], 128) for i in idxs]
+        encs = [self.tokenizer.encode_words(words_list[i], self.max_len)
+                for i in idxs]
         length = max(e[0].shape[1] for e in encs)
         nb = 1 << (len(idxs) - 1).bit_length()
         ids = np.zeros((nb, length), np.int32)
@@ -417,7 +426,19 @@ def entities_to_filter(entities: list[Entity]) -> tuple[FilterSpec, dict[str, li
             if rng:
                 for f in target:
                     if f in DATE_FIELDS:
-                        date_ranges[f] = rng
+                        # several DATE entities ("from 2019 and 2021") widen
+                        # to their union — last-writer-wins silently dropped
+                        # all but one requested period (FilterSpec holds one
+                        # range per field)
+                        old = date_ranges.get(f)
+                        if old is not None:
+                            lo = (None if old[0] is None or rng[0] is None
+                                  else min(old[0], rng[0]))
+                            hi = (None if old[1] is None or rng[1] is None
+                                  else max(old[1], rng[1]))
+                            date_ranges[f] = (lo, hi)
+                        else:
+                            date_ranges[f] = rng
             continue
         if label == "GENDER":
             text = _GENDER_NORMALIZE.get(text.lower(), text.lower())

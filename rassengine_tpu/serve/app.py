@@ -371,15 +371,20 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None,
                                 errors.append(f"{fname}: not a FHIR bundle (no entry)")
                                 return
                             shutil.move(tmp, final)
-                            s, u = parse_fhir_bundle_with_path(bundle, final,
-                                                               cfg.chunk_size)
+                            ck = {"adaptive": cfg.adaptive_chunking,
+                                  "overlap": cfg.chunk_overlap}
+                            s, u = parse_fhir_bundle_with_path(
+                                bundle, final, cfg.chunk_size, **ck)
                             all_structured.extend(s)
                             all_unstructured.extend(u)
                         else:
                             shutil.move(tmp, final)
                             parser = (parse_markdown_file if ext == ".md"
                                       else parse_text_file)
-                            all_unstructured.extend(parser(final, cfg.chunk_size))
+                            all_unstructured.extend(parser(
+                                final, cfg.chunk_size,
+                                adaptive=cfg.adaptive_chunking,
+                                overlap=cfg.chunk_overlap))
                     except json.JSONDecodeError:
                         errors.append(f"{fname}: invalid JSON")
 

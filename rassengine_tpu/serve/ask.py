@@ -253,9 +253,11 @@ class AskService:
         answer = "".join(pieces) or "I could not generate an answer."
 
         if (self.cache is not None and answer and context
-                and not answer.startswith("[ERROR]")):
+                and "[ERROR]" not in answer):
             # only cache answers grounded in retrieved context — caching
-            # "no records found" poisons later queries that would match
+            # "no records found" poisons later queries that would match.
+            # substring (not prefix) check: a stream can fail mid-answer,
+            # yielding "partial text…[ERROR] …" that must not be cached
             self.cache.put(scope, q_emb, answer)
         await self._persist(chat_id, query, answer)
         log.info("ask done %s", trace.summary())

@@ -89,7 +89,13 @@ class OpenAiLlm(LlmClient):
         self.model = "gpt-4o"
 
     async def generate(self, prompt: str, system_msg: str = "") -> str | None:
+        """Non-streaming form: None on error (BlueHiveLlm's contract) — the
+        stream yields failures as inline "[ERROR] ..." tokens (reference
+        main.py:3049), which non-stream callers (llm_ner_extract) must never
+        receive as content."""
         chunks = [c async for c in self.generate_stream(prompt, system_msg)]
+        if any(c.startswith("[ERROR]") for c in chunks):
+            return None
         text = "".join(chunks)
         return text or None
 

@@ -173,7 +173,8 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
     if init_from:
         cfg, enc_params, pre_vocab = load_pretrained(init_from)
         params = {"params": enc_params}
-        copy_vocab(pre_vocab, out)
+        if pre_vocab:  # hash-tokenizer pretrains ship no vocab.txt
+            copy_vocab(pre_vocab, out)
     else:
         cfg = {"tiny": BertConfig.tiny, "small": BertConfig.small,
                "base": BertConfig.base, "prod": BertConfig.production,

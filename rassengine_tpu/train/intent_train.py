@@ -171,6 +171,7 @@ def main(samples: int = 2000, epochs: int = 5, size: str = "tiny",
     tcfg = TrainConfig(epochs=epochs, batch_size=batch_size,
                        learning_rate=learning_rate, seed=seed)
     trainer = Trainer(model, tcfg, token_level=False, out_dir=out,
+                      meta_extra={"max_seq_len": 64},
                       bert_config=cfg, extra_files=extra_files,
                       init_params=init_params)
     result = trainer.fit(

@@ -135,6 +135,7 @@ def main(samples: int = 10_000, epochs: int = 4, size: str = "tiny",
     tcfg = TrainConfig(epochs=epochs, batch_size=batch_size,
                        learning_rate=learning_rate, checkpoint_every=0, seed=seed)
     trainer = Trainer(model, tcfg, token_level=True, out_dir=out,
+                      meta_extra={"max_seq_len": MAX_LEN},
                       bert_config=cfg, extra_files=extra_files,
                       init_params=init_params)
     result = trainer.fit(

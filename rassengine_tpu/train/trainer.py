@@ -136,13 +136,17 @@ def _match_sharding(leaf, params, p_sh, mesh):
 class Trainer:
     def __init__(self, model, cfg: TrainConfig, token_level: bool, out_dir: str,
                  bert_config, tokenizer=None, extra_files: list[str] | None = None,
-                 init_params=None):
+                 init_params=None, meta_extra: dict | None = None):
         self.model = model
         self.cfg = cfg
         self.token_level = token_level
         self.out_dir = out_dir
         self.bert_config = bert_config
         self.extra_files = extra_files or []  # e.g. vocab.txt → every ckpt dir
+        # recorded into model_meta.json (e.g. max_seq_len: inference must
+        # bucket to the TRAINED length — longer buckets feed position
+        # embeddings training never touched)
+        self.meta_extra = meta_extra or {}
         self.init_override = init_params      # e.g. MLM-pretrained encoder
         self.optimizer = make_optimizer(cfg)
         self.train_step = make_train_step(model, self.optimizer, token_level)
@@ -191,7 +195,7 @@ class Trainer:
 
     def _save(self, params, path: str) -> None:
         save_params(path, params)
-        save_model_meta(path, self.bert_config)
+        save_model_meta(path, self.bert_config, extra=self.meta_extra or None)
         for f in self.extra_files:
             if os.path.exists(f):
                 shutil.copy(f, path)

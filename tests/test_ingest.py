@@ -251,3 +251,31 @@ class TestFhirFuzz:
         # junk fields are dropped or the single entry skipped, never fatal:
         # the well-typed majority must land (deterministic with this seed)
         assert len(s) >= 150
+
+
+class TestAdaptiveChunkingPropagates:
+    def test_engine_config_reaches_chunker(self, tmp_path):
+        """ADAPTIVE_CHUNKING was documented as 'implemented for real here'
+        but never propagated past the config object — a tiny tail chunk
+        must merge into its predecessor when the flag is on."""
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.engine import RassEngine
+        from rassengine_tpu.models.bert import BertConfig
+
+        text = " ".join(f"w{i}" for i in range(21))  # 20 + tail of 1
+        p = tmp_path / "patient_7_note.txt"
+        p.write_text(text)
+
+        def mk(adaptive):
+            cfg = EngineConfig(embed_dim=16, embed_batch_size=4,
+                               index_capacity=256, index_block_rows=256,
+                               chunk_size=10, adaptive_chunking=adaptive,
+                               database_path=":memory:", llm_backend="echo",
+                               intent_model_path="/none",
+                               ner_model_path="/none")
+            return RassEngine(cfg, bert_cfg=BertConfig.tiny(),
+                              use_pallas=False)
+
+        n_adaptive = mk(True).ingest_file("u", str(p))
+        n_plain = mk(False).ingest_file("u", str(p))
+        assert n_plain == 3 and n_adaptive == 2, (n_plain, n_adaptive)

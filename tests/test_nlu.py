@@ -244,3 +244,40 @@ class TestCueEvidenceGate:
         # precise rule patterns still outrank the vote channel
         assert clf.classify("how many exact matches")[0] == \
             QueryIntent.AGGREGATE
+
+
+class TestReviewFixesNlu:
+    def test_gazetteer_finds_bounded_later_occurrence(self):
+        from rassengine_tpu.nlu.ner import RuleNER
+
+        ents = RuleNER().extract("patients with prediabetes and diabetes")
+        texts = {(e["label"], e["text"].lower()) for e in ents}
+        assert ("CONDITION", "prediabetes") in texts
+        assert ("CONDITION", "diabetes") in texts, texts
+
+    def test_multiple_dates_union_not_overwrite(self):
+        from rassengine_tpu.core.schema import date_to_epoch_days
+        from rassengine_tpu.nlu.ner import entities_to_filter
+
+        ents = [{"label": "DATE", "text": "2019", "confidence": 0.9},
+                {"label": "DATE", "text": "2021", "confidence": 0.9}]
+        spec, _tm = entities_to_filter(ents)
+        assert spec.date_ranges
+        lo, hi = next(iter(spec.date_ranges.values()))
+        assert lo <= date_to_epoch_days("2019-06-01")
+        assert hi >= date_to_epoch_days("2021-06-01"), (lo, hi)
+
+    def test_model_nlu_uses_trained_seq_len(self):
+        """Inference must bucket to the length training truncated to (64) —
+        longer buckets feed untrained position embeddings."""
+        from rassengine_tpu.nlu.intent import ModelIntentClassifier
+        from rassengine_tpu.nlu.ner import ModelNER
+
+        for cls, path in ((ModelIntentClassifier, "./intent_model/final"),
+                          (ModelNER, "./ner_model/final")):
+            import os
+
+            if not os.path.exists(os.path.join(path, "params.msgpack")):
+                continue
+            m = cls(path)
+            assert m.max_len == 64, (cls.__name__, m.max_len)

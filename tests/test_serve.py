@@ -843,3 +843,37 @@ class TestHttpRobustness:
             await server.wait_closed()
 
         run(scenario())
+
+
+class TestLlmErrorContract:
+    def test_openai_generate_returns_none_on_stream_error(self):
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.serve.llm import OpenAiLlm
+
+        llm = OpenAiLlm(EngineConfig(openai_api_key="k"))
+
+        async def fake_stream(prompt, system_msg=""):
+            yield "partial "
+            yield "[ERROR] ReadTimeout"
+
+        llm.generate_stream = fake_stream
+        out = run(llm.generate("q"))
+        assert out is None  # BlueHive None-on-error contract
+
+    def test_mid_stream_error_answer_not_cached(self, engine):
+        import types
+
+        from rassengine_tpu.serve.cache import SemanticCache
+
+        svc = AskService(engine, db=ChatStore(":memory:"))
+        svc.cache = SemanticCache(8, 0.2, 300.0)
+
+        async def failing_stream(prompt, system_msg=""):
+            yield "partial answer "
+            yield "[ERROR] boom"
+
+        svc.llm = types.SimpleNamespace(generate_stream=failing_stream,
+                                        generate=None)
+        ans = run(svc.ask("hypertension note", "u1", "errchat"))
+        assert "[ERROR]" in ans
+        assert not svc.cache._entries  # never cached
