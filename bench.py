@@ -80,14 +80,23 @@ def main() -> None:
 
     assert len({bt[2].shape[1] for bt in batches}) == 1  # one jit variant
 
+    # serving parity: strategies._hybrid_batch_device never overrides
+    # top_m_lex, so the bench measures the same default (128) production
+    # fuses; on CPU (smoke) the Pallas kernel has no lowering — pick the
+    # XLA mode the serving path would
+    scan = "pallas" if on_tpu else (
+        "xla_direct" if cap <= 65536 else "xla_scan")
+
     def hybrid(qq, ci, vw, w):
         return hybrid_topk_batch(vd, mask, qq, vw.tables, ci, w,
-                                 2.0, k, top_m_lex=64)
+                                 2.0, k, scan_mode=scan)
 
     # candidate fast path: the whole hybrid from block-scale int8 codes
-    # (vecs=None — half the HBM read, all-integer selection epilogue). Used
-    # for the headline ONLY if it passes the same oracle recall gate as the
-    # bf16 path below; the 4M int8-only config measured recall 1.0 (BENCH.md)
+    # (vecs=None — half the HBM read, all-integer selection epilogue). This
+    # is the serving path for HYBRID_SELECT=int8only (strategies
+    # ._hybrid_batch_device int8_only mode) — production-reachable at this
+    # config by explicit opt-in. Used for the headline ONLY if it passes
+    # the same oracle recall gate as the bf16 path below
     paths = {"bf16": hybrid}
     if on_tpu:
         from rassengine_tpu.index.quant import quantize_int8_block
@@ -99,8 +108,7 @@ def main() -> None:
 
         def hybrid_int8(qq, ci, vw, w):
             return hybrid_topk_batch(None, mask, qq, vw.tables, ci, w,
-                                     2.0, k, top_m_lex=64,
-                                     scan_mode="pallas_int8",
+                                     2.0, k, scan_mode="pallas_int8",
                                      int8_tables=(cd, sd),
                                      int8_block_scales=bsd)
 
@@ -115,8 +123,9 @@ def main() -> None:
     # the int8 path must clear the same bar or it is not used)
     queries0, q0, ci0, view0, wv0 = batches[0]
     q0h = np.asarray(q0, np.float32)
-    oracle = []
-    for i in range(16):
+    n_gate = min(64, b)  # 64x k = 320 rows: a single flipped row still
+    oracle = []          # resolves (0.997), unlike a 16-query sample
+    for i in range(n_gate):
         add = np.zeros(cap, np.float32)
         for g, w in GW.items():
             rows, vals = lex.score_sparse(queries0[i], cap, g)
@@ -182,6 +191,8 @@ def main() -> None:
         "vs_baseline": round(qps / BASELINE_OPENSEARCH_QPS, 2),
         "latency_ms_batch": round(dt * 1e3, 3),
         "path": best,
+        "serving_config": ("HYBRID_SELECT=int8only" if best == "int8"
+                           else "default"),
         "recall_vs_fused_oracle": round(recalls[best], 4),
         "per_path": {n_: {"ms": round(t_ * 1e3, 3),
                           "recall": round(recalls[n_], 4)}

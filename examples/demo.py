@@ -28,10 +28,17 @@ QUESTIONS = [
 
 
 async def main() -> None:
-    cfg = EngineConfig.from_env().replace(
-        embed_dim=64, embed_batch_size=8, index_capacity=1024,
+    env_cfg = EngineConfig.from_env()
+    custom_weights = (env_cfg.encoder_weights_path
+                      and env_cfg.encoder_weights_path
+                      not in ("./encoder_model_prod", "encoder_model_prod"))
+    cfg = env_cfg.replace(
+        # a custom ENCODER_WEIGHTS_PATH must keep ITS embed dim — forcing
+        # 64 against e.g. a 1024-d checkpoint mismatches index vs encoder
+        embed_dim=env_cfg.embed_dim if custom_weights else 64,
+        embed_batch_size=8, index_capacity=1024,
         database_path=":memory:", llm_backend="echo")
-    bert_cfg = BertConfig.tiny()
+    bert_cfg = None if custom_weights else BertConfig.tiny()
     if os.path.isdir("encoder_model_prod") and (
             not cfg.encoder_weights_path
             or cfg.encoder_weights_path == "./encoder_model_prod"):

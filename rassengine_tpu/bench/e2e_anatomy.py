@@ -96,6 +96,10 @@ def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
     engine.config = b_cfg
     batched_service = AskService(engine)
 
+    def _mb_stat():
+        st = METRICS.snapshot()["latency"].get("microbatch_size", {})
+        return st.get("count", 0), st.get("mean_ms", 0.0)
+
     async def concurrent(n_inflight: int):
         # warm the BATCHED shapes too: the first window of each in-flight
         # level compiles batch-bucketed NLU/embed/scan programs (tens of
@@ -103,6 +107,7 @@ def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
         await asyncio.gather(*[
             batched_service.ask(q, "u", f"w{j % 8}")
             for j, q in enumerate(queries[:n_inflight])])
+        c0, m0 = _mb_stat()  # exclude warmup windows from the phase's mean
         t0 = time.perf_counter()
         done = 0
         while done < len(queries):
@@ -111,10 +116,15 @@ def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
                 batched_service.ask(q, "u", f"b{j % 8}")
                 for j, q in enumerate(grab)])
             done += len(grab)
-        return (time.perf_counter() - t0) / len(queries)
+        dt = (time.perf_counter() - t0) / len(queries)
+        c1, m1 = _mb_stat()
+        mean = ((m1 * c1 - m0 * c0) / max(1, c1 - c0)) / 1e3
+        mb_means[n_inflight] = round(mean, 1)
+        return dt
 
     per_q_seq = asyncio.run(seq())
     stages = METRICS.snapshot()["latency"]
+    mb_means: dict = {}  # per-phase microbatch mean (warmup excluded)
     per_q_16 = asyncio.run(concurrent(16))
     per_q_64 = asyncio.run(concurrent(64))
     snap = METRICS.snapshot()
@@ -134,10 +144,10 @@ def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
                                                                per_q_64), 2),
         "microbatch_window_ms": round(win_ms, 1),
         "stage_ms_accounted_per_query": round(accounted, 2),
-        # observe() stores sizes through the latency path (×1e3 in snapshot)
-        "microbatch_mean_size": round(
-            snap["latency"].get("microbatch_size", {}).get("mean_ms", 0) / 1e3,
-            1),
+        # per-phase means, warmup windows excluded — a single lifetime mean
+        # mixed warmup bursts with both in-flight levels and supported no
+        # per-level claim
+        "microbatch_mean_size": mb_means,
         "ingest_docs_per_sec": round(n_docs / ingest_s, 1),
         "stages": {name: {"p50_ms": p50, "mean_ms": mean, "count": cnt}
                    for name, p50, mean, cnt in stage_rows},

@@ -208,14 +208,22 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                             round(100.0 * (dt_hs - dt_hyb) / dt_hyb, 1)})
 
         # int8-only sharded hybrid (vecs=None): the beyond-bf16-budget
-        # meshed regime — every cosine from row-sharded int8 codes
-        codes3s, scales3s = quantize_int8(v3)
-        c3s, sc3s = jnp.asarray(codes3s), jnp.asarray(scales3s)
+        # meshed regime — every cosine from row-sharded int8 codes. Serving
+        # parity: TenantIndex.device_columns_int8 serves BLOCK-scale codes
+        # (all-integer epilogue), so the bench quantizes the same way
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        codes3s, bs3s = quantize_int8_block(v3, 2048)
+        c3s = jnp.asarray(codes3s)
+        sc3s = jnp.asarray(np.repeat(bs3s, 2048))
+        bsd3s = jnp.asarray(bs3s)
 
         def hybrid_sh8_fn(qq):
             return sharded_hybrid_topk(mesh1, None, mask3, qq, view.tables,
                                        ci3, wvec, 2.0, k, top_m_lex=64,
-                                       int8_tables=(c3s, sc3s))
+                                       int8_tables=(c3s, sc3s),
+                                       int8_block_scales=bsd3s,
+                                       scale_block_rows=2048)
 
         s38, r38 = hybrid_sh8_fn(q3)
         agree8 = float(np.mean([len(set(a) & set(b)) / k for a, b in
@@ -310,8 +318,13 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     if on_tpu and scale == "full":
         n4h = 4_194_304
         v4h = unit(n4h, d)
-        c4h, s4h = quantize_int8(v4h)
-        cd4h, sd4h = jnp.asarray(c4h), jnp.asarray(s4h)
+        # serving parity: block-scale codes, like device_columns_int8
+        from rassengine_tpu.index.quant import quantize_int8_block
+
+        c4h, bs4h = quantize_int8_block(v4h, 2048)
+        cd4h = jnp.asarray(c4h)
+        sd4h = jnp.asarray(np.repeat(bs4h, 2048))
+        bsd4h = jnp.asarray(bs4h)
         mask4h = jnp.zeros(n4h, jnp.float32)
         lex4h = LexicalIndex()
         for r in range(0, n4h, max(1, n4h // 20_000)):
@@ -326,7 +339,8 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
             return hybrid_topk_batch(None, mask4h, qq, view4h.tables,
                                      ci4h, wvec4h, 2.0, k, top_m_lex=64,
                                      scan_mode="pallas_int8",
-                                     int8_tables=(cd4h, sd4h))
+                                     int8_tables=(cd4h, sd4h),
+                                     int8_block_scales=bsd4h)
 
         dt_4h = _chain_time(hybrid_i8_fn, q4h, 20)
         results.append({"config": f"hybrid_int8only_{n4h // 1000}k_b{b3}",
@@ -334,7 +348,7 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
                         "value": round(b3 / dt_4h, 1),
                         "ms_batch_one_dispatch": round(dt_4h * 1e3, 3),
                         "codes_gb": round(n4h * d / 2**30, 1)})
-        del v4h, c4h, s4h, cd4h, sd4h, mask4h
+        del v4h, c4h, cd4h, sd4h, bsd4h, mask4h
 
     # --- config 4c: device IVF probe — single-query latency (VERDICT r2 #6) ---
     # The probe reads nprobe lists instead of the corpus; its win regime is

@@ -81,7 +81,10 @@ class EngineConfig:
     # "int8" selects candidates with the block-scale int8 scan (half the HBM
     # read, all-integer epilogue) and re-scores them from bf16 in-dispatch
     # (double residency: 3 B/dim). "auto" picks int8 when both forms fit.
-    hybrid_select: str = "auto"         # auto | bf16 | int8
+    # "int8only" serves the WHOLE hybrid from the codes even in budget
+    # (max QPS; final scores carry ~0.5% bounded quantization noise —
+    # bench.py gates its recall vs the f32 fused oracle).
+    hybrid_select: str = "auto"         # auto | bf16 | int8 | int8only
     lexical_packed_min_rows: int = 1 << 20  # ≥this, 4 B/posting packed CSR
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
     ner_model_path: str = "./ner_model/final"

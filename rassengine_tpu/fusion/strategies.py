@@ -766,9 +766,13 @@ class Retriever:
         # beyond the bf16 hybrid budget the dispatch runs from int8 codes
         # ONLY (~0.5% bounded score noise, 6× more rows/chip); bf16 rows
         # never upload. Within budget, bf16 rows are the single resident
-        # form — exact scores, no double residency.
-        int8_only = (2 * idx.capacity * idx.dim > HYBRID_BF16_BUDGET_BYTES
-                     and self.use_pallas)
+        # form — exact scores, no double residency — unless the operator
+        # opts into HYBRID_SELECT=int8only (max-QPS mode: half the HBM
+        # read, all-integer epilogue, quantized final scores; the bench
+        # gate measures its recall vs the f32 fused oracle).
+        int8_only = self.use_pallas and (
+            2 * idx.capacity * idx.dim > HYBRID_BF16_BUDGET_BYTES
+            or getattr(self.config, "hybrid_select", "auto") == "int8only")
         int8_tables = None
         int8_bscales = None
         if int8_only:
@@ -853,7 +857,9 @@ class Retriever:
         q = np.atleast_2d(np.asarray(query_embs, np.float32))
         m = min(max(4 * k, 64), 128, idx.capacity)
         int8_bscales, sbr = None, 2048
-        if self._bf16_fits():
+        int8only = (self.use_pallas and getattr(
+            self.config, "hybrid_select", "auto") == "int8only")
+        if self._bf16_fits() and not int8only:
             vecs_arg, int8_tables = idx.device_columns()["vecs"], None
             if self.use_pallas and self._int8_select():
                 # speed mode: per-shard int8 SELECT + bf16 re-score

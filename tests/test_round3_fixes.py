@@ -317,3 +317,68 @@ class TestReviewFixesR3b:
 
         dt = asyncio.run(scenario())
         assert dt < 1.2, f"403 took {dt:.2f}s — waited on the retrieval"
+
+
+class TestHybridSelectInt8Only:
+    """HYBRID_SELECT=int8only: the in-budget hybrid serves entirely from
+    block-scale int8 codes (the max-QPS opt-in bench.py's fast path
+    measures) — docs must substantially agree with the default bf16 path."""
+
+    def _hits(self, eng, mode):
+        import dataclasses
+
+        rt = eng.tenant("u").retriever
+        old = rt.config
+        queries = ["hypertension management", "diabetes bronchitis note"]
+        embs = eng.embedder.embed_texts_in_batches(queries)
+        try:
+            rt.config = dataclasses.replace(old, hybrid_select=mode)
+            return rt.hybrid_search_batch(queries, embs, k=5)
+        finally:
+            rt.config = old
+
+    def test_single_and_sharded_agree_with_default(self):
+        for shards in (1, 8):
+            eng = mk_engine(shard_count=shards)
+            eng.ingest_docs("u", [], docs_for("p1", 24)
+                            + docs_for("p2", 24, topic="diabetes"))
+            want = self._hits(eng, "auto")
+            got = self._hits(eng, "int8only")
+            for qa, qb in zip(want, got):
+                sa = {h[0]["doc_id"] for h in qa}
+                sb = {h[0]["doc_id"] for h in qb}
+                assert len(sa & sb) >= min(3, len(sa)), (shards, sa, sb)
+
+    def test_policy_routes_to_codes_only_dispatch(self, monkeypatch):
+        """With pallas available, int8only must dispatch vecs=None +
+        pallas_int8 (codes are the only operand) even in budget."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        import rassengine_tpu.lexical.device_bm25 as db
+
+        eng = mk_engine()
+        eng.ingest_docs("u", [], docs_for("p1", 32))
+        rt = eng.tenant("u").retriever
+        rt.use_pallas = True
+        seen = {}
+
+        def stub(vecs, mask, q, tables, ci, wvec, w, k, **kw):
+            seen["vecs"] = vecs
+            seen["scan_mode"] = kw.get("scan_mode")
+            seen["bscales"] = kw.get("int8_block_scales") is not None
+            b = q.shape[0]
+            return (jnp.zeros((b, k), jnp.float32),
+                    jnp.full((b, k), -1, jnp.int32))
+
+        monkeypatch.setattr(db, "hybrid_topk_batch", stub)
+        old = rt.config
+        try:
+            rt.config = dataclasses.replace(old, hybrid_select="int8only")
+            rt.hybrid_search_batch(["hypertension"], np.zeros((1, 32)), k=3)
+        finally:
+            rt.config = old
+            rt.use_pallas = False
+        assert seen["vecs"] is None and seen["scan_mode"] == "pallas_int8"
+        assert seen["bscales"]

@@ -36,6 +36,14 @@ def main():
             done = os.path.join(JOBS, base + ".done")
             if os.path.exists(done) or name in seen:
                 continue
+            path_ = os.path.join(JOBS, name)
+            try:
+                # cp is not atomic: a file copied into the dir can be read
+                # half-written; wait until it has been stable for a second
+                if time.time() - os.path.getmtime(path_) < 1.0:
+                    continue
+            except OSError:
+                continue
             seen.add(name)
             path = os.path.join(JOBS, name)
             print(f"tpu_worker: running {name}", flush=True)
