@@ -239,10 +239,15 @@ class WebSocket:
             if opcode == 0x8:  # close
                 await self.close()
                 return None
-            if opcode == 0x9:  # ping → pong
+            if opcode == 0x9:  # ping → pong (control payloads are ≤125 by
+                # RFC; clamp so a hostile longer ping can't make the pong
+                # length byte overflow into the mask bit)
+                payload = payload[:125]
                 self.writer.write(bytes([0x8A, len(payload)]) + payload)
                 await self.writer.drain()
                 continue
+            if opcode == 0xA:  # unsolicited pong: ignore, never append —
+                continue       # it would corrupt text reassembly
             buf += payload
             if fin:
                 return buf.decode("utf-8")

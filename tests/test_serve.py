@@ -877,3 +877,68 @@ class TestLlmErrorContract:
         ans = run(svc.ask("hypertension note", "u1", "errchat"))
         assert "[ERROR]" in ans
         assert not svc.cache._entries  # never cached
+
+
+class TestWsControlFrames:
+    def test_pong_and_ping_interleaved_with_text(self, engine):
+        """Unsolicited pong frames must not corrupt text reassembly, and a
+        ping inside a fragmented message must be answered without breaking
+        the fragments (RFC 6455 §5.4-5.5)."""
+        import struct
+
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            w.write(
+                b"GET /ws/ask HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                b"Connection: Upgrade\r\n"
+                b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                b"Sec-WebSocket-Version: 13\r\n\r\n")
+            await w.drain()
+            head = await r.readuntil(b"\r\n\r\n")
+            assert b"101" in head.split(b"\r\n")[0]
+
+            def frame(opcode, payload, fin=True):
+                mask = b"\x01\x02\x03\x04"
+                masked = bytes(b ^ mask[i % 4]
+                               for i, b in enumerate(payload))
+                assert len(payload) < 126
+                return (bytes([(0x80 if fin else 0) | opcode,
+                               0x80 | len(payload)]) + mask + masked)
+
+            payload = json.dumps({"query": "hypertension", "user_id": "u1",
+                                  "chat_id": "wsctl"}).encode()
+            half = len(payload) // 2
+            # text fragment 1 | unsolicited pong | ping | continuation
+            w.write(frame(0x1, payload[:half], fin=False))
+            w.write(frame(0xA, b"late-pong"))
+            w.write(frame(0x9, b"hello"))
+            w.write(frame(0x0, payload[half:], fin=True))
+            await w.drain()
+
+            got_pong = False
+            text = b""
+            for _ in range(200):
+                hdr = await asyncio.wait_for(r.readexactly(2), timeout=10)
+                op, n = hdr[0] & 0x0F, hdr[1] & 0x7F
+                if n == 126:
+                    n = struct.unpack(">H", await r.readexactly(2))[0]
+                body = await r.readexactly(n)
+                if op == 0xA:
+                    got_pong = True
+                    assert body == b"hello"
+                elif op == 0x1:
+                    text += body
+                    if b"[DONE]" in body:
+                        break
+            assert got_pong
+            assert b"[ERROR]" not in text, text
+            w.close()
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
