@@ -59,6 +59,8 @@ def train_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
+    assert dp >= 1 and dp * tp <= n, (
+        f"train_mesh needs dp*tp <= devices: dp={dp} tp={tp} devices={n}")
     if dp * tp != n:
         devices = devices[: dp * tp]
     arr = np.array(devices).reshape(dp, tp)

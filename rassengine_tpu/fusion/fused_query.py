@@ -56,12 +56,14 @@ def encode_scan_topk(embed_fn, params, proj, ids, tok_mask, vecs, add_mask,
     output scores come out exact: ``cos8 + add``. B must be 1 (the lone
     ask); batches take strategies._hybrid_batch_device.
     """
+    from rassengine_tpu.fusion.strategies import _scatter_scale
+
     emb = embed_fn(params, ids, tok_mask, proj)
-    add = add_mask
     if scatter_rows is not None:
-        add = add_mask + jnp.zeros_like(add_mask).at[scatter_rows].add(
-            scatter_vals)
-    add = add * jnp.float32(inv_sem_weight)
+        add = _scatter_scale(add_mask, scatter_rows, scatter_vals,
+                             jnp.float32(inv_sem_weight))
+    else:
+        add = add_mask * jnp.float32(inv_sem_weight)
     if mode == "pallas_int8":
         from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
 
@@ -106,12 +108,14 @@ def _encode_sharded_fn(mesh, embed_fn, k: int, local_rows: int,
 
     def fn(params, proj, ids, tok_mask, vecs, add_mask, scatter_rows,
            scatter_vals, inv_sem_weight):
+        from rassengine_tpu.fusion.strategies import _scatter_scale
+
         emb = embed_fn(params, ids, tok_mask, proj)
-        add = add_mask
         if scatter_rows is not None:
-            add = add_mask + jnp.zeros_like(add_mask).at[scatter_rows].add(
-                scatter_vals)
-        add = add * inv_sem_weight
+            add = _scatter_scale(add_mask, scatter_rows, scatter_vals,
+                                 inv_sem_weight)
+        else:
+            add = add_mask * inv_sem_weight
         s, r = inner(vecs, add, emb)
         return emb, s, r
 

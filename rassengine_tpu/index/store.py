@@ -21,6 +21,7 @@ arrays"). Upserts by doc_id overwrite in place like OpenSearch ``_id`` indexing.
 from __future__ import annotations
 
 import hashlib
+import logging
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -31,10 +32,12 @@ import numpy as np
 from rassengine_tpu.core import schema
 from rassengine_tpu.core.meshes import STORE_DTYPE
 
+log = logging.getLogger("rassengine.store")
+
 NEG_INF = -1.0e30
 N_KEYWORD = len(schema.KEYWORD_FIELDS)
 N_DATE = len(schema.DATE_FIELDS)
-MAX_FILTER_VALUES = 4  # max OR'd values per keyword field in one filter
+MAX_FILTER_VALUES = 8  # max OR'd values per keyword field in one filter
 
 _KW_POS = {f: i for i, f in enumerate(schema.KEYWORD_FIELDS)}
 _DATE_POS = {f: i for i, f in enumerate(schema.DATE_FIELDS)}
@@ -108,6 +111,12 @@ class FilterSpec:
             pos = _KW_POS.get(fname)
             if pos is None:
                 continue
+            if len(values) > MAX_FILTER_VALUES:
+                # fixed-shape device filter: values beyond the cap cannot be
+                # OR'd in and their docs would be silently excluded — surface
+                # it (merged multi-entity specs can pile up values)
+                log.warning("keyword filter %s truncated to %d of %d values",
+                            fname, MAX_FILTER_VALUES, len(values))
             for j, v in enumerate(values[:MAX_FILTER_VALUES]):
                 kw[pos, j] = stable_hash32(str(v).strip().lower())
         dates = np.zeros((N_DATE, 2), dtype=np.int32)
@@ -126,8 +135,13 @@ class FilterSpec:
         return {
             "patient": np.int32(stable_hash32(self.patient_id or "")),
             "doc_type": np.int32(-1 if self.doc_type is None else self.doc_type),
+            # a REQUESTED-but-unknown resource type must match NOTHING
+            # (OpenSearch term semantics) — lowering it to 0 would drop the
+            # clause entirely and return every resource type; -1 can never
+            # equal a row's code
             "resource": np.int32(
-                schema.RESOURCE_TYPE_IDS.get(self.resource_type, 0) if self.resource_type else 0
+                schema.RESOURCE_TYPE_IDS.get(self.resource_type, -1)
+                if self.resource_type else 0
             ),
             "keyword": kw,
             "date_lo_hi": dates,
@@ -240,7 +254,19 @@ class TenantIndex:
         re-upsert relocates the doc to a different shard region, so external
         row-id holders (lexical postings) can evict the tombstoned row.
         """
-        doc_id = str(doc.get("doc_id") or f"doc-{self.count}")
+        doc_id = str(doc.get("doc_id") or "")
+        if not doc_id:
+            # auto id: monotonic sequence, WRITTEN BACK into the doc — the
+            # rebuild paths (compact, sharded grow) re-key _id_to_row from
+            # self.docs, so an id that lives only in the map would vanish
+            # there; and compaction resets count, so f"doc-{count}" could
+            # collide with an existing auto id
+            self._auto_id_seq = getattr(self, "_auto_id_seq", 0)
+            while f"doc-{self._auto_id_seq}" in self._id_to_row:
+                self._auto_id_seq += 1
+            doc_id = f"doc-{self._auto_id_seq}"
+            self._auto_id_seq += 1
+            doc["doc_id"] = doc_id
         row = self._id_to_row.get(doc_id)
         if row is not None and self.n_shards > 1:
             # re-upsert with a different patientId must move shard regions,
@@ -502,7 +528,13 @@ class TenantIndex:
         """
         if self._device is not None and self._flushed["cols"] == self.generation:
             if include_vecs and "vecs" not in self._device:
-                self._device["vecs"] = jnp.asarray(self._vecs, dtype=STORE_DTYPE)
+                # MUST go through _put_rows like the fresh path below: a
+                # plain jnp.asarray lands the full bf16 corpus un-sharded on
+                # one device — jit reshards it per dispatch and a
+                # beyond-one-chip corpus OOMs
+                self._device["vecs"] = self._put_rows(
+                    jnp.asarray(self._vecs, dtype=STORE_DTYPE)
+                    if self.mesh is None else self._vecs.astype(STORE_DTYPE))
             return self._device
         valid = self._allocated & ~self._deleted
         put = self._put_rows

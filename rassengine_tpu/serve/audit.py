@@ -49,7 +49,9 @@ class AuditLog:
         line = json.dumps(rec, default=str) + "\n"
         try:
             with self._lock:
-                self._maybe_rotate(len(line))
+                # rotation accounting must use the UTF-8 byte length that
+                # actually lands on disk, not the character count
+                self._maybe_rotate(len(line.encode("utf-8")))
                 with open(self.path, "a", encoding="utf-8") as f:
                     f.write(line)
         except OSError:

@@ -25,6 +25,7 @@ class RateLimiter:
         self._now = now
         self._lock = threading.Lock()
         self._buckets: dict[str, tuple[float, float]] = {}  # key → (tokens, t)
+        self._prune_at = 4096
 
     def allow(self, key: str, cost: float = 1.0) -> bool:
         if self.rate <= 0:
@@ -37,8 +38,11 @@ class RateLimiter:
             if ok:
                 tokens -= cost
             self._buckets[key] = (tokens, t)
-            if len(self._buckets) > 4096:
+            if len(self._buckets) > self._prune_at:
                 self._prune(t)
+                # if nothing was freeable (every key mid-refill), back off
+                # the next sweep instead of paying O(n) on EVERY allow()
+                self._prune_at = max(4096, 2 * len(self._buckets))
             return ok
 
     def retry_after(self, key: str, cost: float = 1.0) -> float:

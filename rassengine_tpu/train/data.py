@@ -504,9 +504,14 @@ def generate_intent_data(n: int, seed: int = 0,
         else:  # None or "train": every training template
             pool = INTENT_TEMPLATES[intent]
         template = rng.choice(pool)
-        text = _fill(template, rng)
         if augment and not is_eval:
-            text = _augment_text(text, rng, word_dropout=0.12)
+            # augment BEFORE filling: _augment_text's "{" guard protects
+            # slot placeholders from word dropout — post-fill no word
+            # contains "{" and the guard was dead, letting dropout delete
+            # the filled slot value itself
+            text = _fill(_augment_text(template, rng, word_dropout=0.12), rng)
+        else:
+            text = _fill(template, rng)
         out.append((text, ALL_INTENTS.index(intent)))
     return out
 

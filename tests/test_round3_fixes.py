@@ -382,3 +382,88 @@ class TestHybridSelectInt8Only:
             rt.use_pallas = False
         assert seen["vecs"] is None and seen["scan_mode"] == "pallas_int8"
         assert seen["bscales"]
+
+
+class TestStoreReviewFixes:
+    def test_unknown_resource_type_matches_nothing(self):
+        """A requested-but-unknown resourceType must return NO docs
+        (OpenSearch term semantics), not every resource type."""
+        from rassengine_tpu.index.store import FilterSpec
+
+        eng = mk_engine()
+        eng.ingest_docs("u", [], docs_for("p1", 8))
+        t = eng.tenant("u")
+        spec = FilterSpec(resource_type="NoSuchResource")
+        assert not t.index.host_mask(spec).any()
+        mask = np.asarray(t.index.filter_mask(spec))
+        assert (mask < -1e29).all()
+
+    def test_auto_doc_id_written_back_and_survives_compact(self):
+        from rassengine_tpu.index.store import TenantIndex
+
+        idx = TenantIndex("t", 8, capacity=128, block_rows=128)
+        v = np.ones(8, np.float32)
+        d1, d2 = {"doc_type": "unstructured", "unstructuredText": "a"}, \
+                 {"doc_type": "unstructured", "unstructuredText": "b"}
+        r1 = idx.upsert(d1, v)
+        r2 = idx.upsert(d2, v)
+        assert d1["doc_id"] != d2["doc_id"]  # written back, distinct
+        assert idx.delete(d1["doc_id"])      # deletable by the auto id
+        idx.compact()
+        # the survivor keeps its id through the rebuild, and a NEW auto id
+        # must not collide with it (count reset by compact)
+        assert idx._id_to_row.get(d2["doc_id"]) is not None
+        d3 = {"doc_type": "unstructured", "unstructuredText": "c"}
+        idx.upsert(d3, v)
+        assert d3["doc_id"] != d2["doc_id"]
+        assert idx.count == 2
+
+    def test_filter_allows_up_to_eight_or_values(self):
+        from rassengine_tpu.index.store import FilterSpec, TenantIndex
+
+        idx = TenantIndex("t", 8, capacity=128, block_rows=128)
+        v = np.ones(8, np.float32)
+        for i in range(8):
+            idx.upsert({"doc_id": f"d{i}", "doc_type": "structured",
+                        "conditionCategory": f"cat{i}"}, None)
+        spec = FilterSpec(keyword_terms={
+            "conditionCategory": [f"cat{i}" for i in range(6)]})
+        hm = idx.host_mask(spec)
+        assert hm.sum() == 6  # value #5 and #6 no longer truncated away
+        mask = np.asarray(idx.filter_mask(spec))
+        assert (mask > -1.0).sum() == 6
+
+    def test_cached_device_columns_stay_row_sharded(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rassengine_tpu.core.meshes import shard_mesh
+        from rassengine_tpu.index.store import FilterSpec, TenantIndex
+
+        mesh = shard_mesh(8)
+        idx = TenantIndex("t", 8, capacity=1024, block_rows=128, mesh=mesh)
+        v = np.ones(8, np.float32)
+        for i in range(16):
+            idx.upsert({"doc_id": f"d{i}", "doc_type": "unstructured",
+                        "patientId": f"p{i % 3}",
+                        "unstructuredText": "x"}, v)
+        # serving order: filter mask first (no vecs), THEN the scan's vecs —
+        # the lazily-added vecs must come back row-sharded, not replicated
+        # on one device
+        idx.filter_mask(FilterSpec())
+        vecs = idx.device_columns()["vecs"]
+        want = NamedSharding(mesh, P("shard"))
+        assert vecs.sharding == want, vecs.sharding
+
+
+class TestAuditRotationBytes:
+    def test_rotation_counts_utf8_bytes(self, tmp_path):
+        import os
+
+        from rassengine_tpu.serve.audit import AuditLog
+
+        p = tmp_path / "a.jsonl"
+        audit = AuditLog(str(p), max_bytes=2048)
+        for i in range(64):
+            audit.emit("ask", "ü" * 40, note="é" * 40)  # 2-byte chars
+        assert os.path.getsize(p) <= 2048, os.path.getsize(p)
