@@ -35,6 +35,10 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     dtype: str = "bfloat16"
     pooling: str = "cls"             # "cls" (mxbai) | "mean"
+    remat: bool = False              # rematerialize layers (training only:
+    #   trades recompute FLOPs for activation HBM so 24L fits a v5e with
+    #   optimizer state resident; inference never takes grads, so shipped
+    #   checkpoints save remat=False)
 
     @property
     def head_dim(self) -> int:
@@ -71,6 +75,20 @@ class BertConfig:
         return BertConfig(vocab_size=vocab_size, hidden_size=1024,
                           num_layers=8, num_heads=16, intermediate_size=4096,
                           max_position=128)
+
+    @staticmethod
+    def production_large(vocab_size: int = 16384) -> "BertConfig":
+        """The round-4 shipped bi-encoder: mxbai-embed-large DEPTH class
+        (24L/1024h/16 heads/4096 mlp — reference app/main.py:67) with a
+        WordPiece vocabulary trained in-framework on the wide corpus
+        (train/corpus.py: mined real-English prose + clinical narratives).
+        max_position=128 matches the serving bucket the embedder feeds
+        (chunker emits ~512-word chunks; the first 128 subword tokens are
+        what the encoder sees, same truncation class as the reference's
+        512-token cap on much longer chunks)."""
+        return BertConfig(vocab_size=vocab_size, hidden_size=1024,
+                          num_layers=24, num_heads=16,
+                          intermediate_size=4096, max_position=128)
 
     @staticmethod
     def large() -> "BertConfig":
@@ -147,8 +165,9 @@ class BertEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="embed_norm")(tok + pos + typ).astype(dt)
         mask = attention_mask.astype(bool)
+        layer_cls = nn.remat(_Layer) if cfg.remat else _Layer
         for i in range(cfg.num_layers):
-            x = _Layer(cfg, name=f"layer_{i}")(x, mask)
+            x = layer_cls(cfg, name=f"layer_{i}")(x, mask)
         return x  # [B, L, H]
 
     def pool(self, hidden, attention_mask):
@@ -198,6 +217,33 @@ class BertForMaskedLM(nn.Module):
         x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="mlm_norm")(x)
         return nn.Dense(self.cfg.vocab_size, dtype=jnp.float32,
                         name="mlm_head")(x)
+
+
+class BertForMaskedLMIndexed(nn.Module):
+    """MLM head applied only at the masked positions (train/pretrain_wide.py).
+
+    Full [B, L, V] logits at 24L/16k-vocab/seq-128 scale cost >1 GB of
+    activation HBM plus the same again in the backward pass — the classic
+    fix is to gather the ~15% masked hidden states before the vocab
+    projection, cutting the head's HBM and FLOPs by ~6×. Submodule names
+    match BertForMaskedLM exactly ("encoder", "mlm_dense", "mlm_norm",
+    "mlm_head"), so checkpoints are interchangeable and
+    trainer.load_pretrained reads either.
+    """
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, positions):
+        hidden = BertEncoder(self.cfg, name="encoder")(input_ids, attention_mask)
+        h = jnp.take_along_axis(
+            hidden, positions[..., None].astype(jnp.int32), axis=1)
+        x = nn.Dense(self.cfg.hidden_size, dtype=jnp.float32,
+                     name="mlm_dense")(h.astype(jnp.float32))
+        x = nn.gelu(x)
+        x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="mlm_norm")(x)
+        return nn.Dense(self.cfg.vocab_size, dtype=jnp.float32,
+                        name="mlm_head")(x)  # [B, P, V]
 
 
 class BertForTokenClassification(nn.Module):

@@ -134,6 +134,34 @@ def build_app(engine: RassEngine, service: AskService | None = None,
         audit.emit("user.create", user_id)
         return Response.json_response({"user_id": uid}, 201)
 
+    @app.route("POST", "/internal/chat")
+    async def internal_chat(req: Request) -> Response:
+        """Chat-primary op endpoint for multi-host fleets (VERDICT r3
+        missing #4; reference counterpart: shared Postgres,
+        prisma/schema.prisma). Follower hosts set
+        ``DATABASE_PATH=http://this-host:port`` and their RemoteChatStore
+        calls land here, so ownership/403 semantics are fleet-consistent.
+        Requires API_TOKEN: the ops manipulate chat ownership, so the
+        endpoint refuses to exist on an unauthenticated deployment."""
+        from rassengine_tpu.serve.chatdb_remote import handle_chat_op
+
+        if not engine.config.api_token:
+            return Response.error(
+                403, "shared chat store requires API_TOKEN on the primary")
+        denied = _api_denied(engine.config, req)
+        if denied is not None:
+            return denied
+        try:
+            payload = req.json() or {}
+        except json.JSONDecodeError:
+            return Response.error(400, "invalid JSON body")
+        try:
+            result = await asyncio.to_thread(handle_chat_op, service.db,
+                                             payload)
+        except (ValueError, TypeError) as exc:
+            return Response.error(400, str(exc))
+        return Response.json_response({"result": result})
+
     @app.route("POST", "/ask")
     async def ask_route(req: Request) -> Response:
         denied = _api_denied(engine.config, req)

@@ -80,7 +80,12 @@ class AskService:
                  llm: LlmClient | None = None, config: EngineConfig | None = None):
         self.engine = engine
         self.config = config or engine.config
-        self.db = db or ChatStore(self.config.database_path)
+        # DATABASE_PATH may be a local sqlite path (primary / single host)
+        # or http://chat-primary:port (fleet follower — chatdb_remote.py)
+        from rassengine_tpu.serve.chatdb_remote import open_chat_store
+
+        self.db = db or open_chat_store(self.config.database_path,
+                                        self.config.api_token)
         self.llm = llm or make_llm(self.config)
         use_cache = self.config.cache_enabled and getattr(
             engine.embedder, "trusted_semantics", True)

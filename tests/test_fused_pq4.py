@@ -152,7 +152,7 @@ class TestFusedPq4:
 
     def test_adaptive_oversample_escalates_on_hard_corpus(self):
         """VERDICT r2 #8: low ADC/exact rank agreement must escalate the
-        oversample stickily; benign corpora must not escalate."""
+        oversample; benign corpora must not escalate."""
         from rassengine_tpu.core.config import EngineConfig
         from rassengine_tpu.fusion.strategies import Retriever
         from rassengine_tpu.index.store import FilterSpec, TenantIndex
@@ -187,6 +187,57 @@ class TestFusedPq4:
         rows, _ = r2._sem_top_m_batch(v_easy[:4], FilterSpec(), 5)
         assert not r2._pq_escalated
         assert (rows[np.arange(4), 0] == np.arange(4)).all()  # self-hits
+
+    def test_escalation_decays_on_benign_corpus(self):
+        """VERDICT r3 weak #4: escalation must DECAY — a freak batch may
+        escalate a benign tenant, but the periodic agreement re-probe must
+        drop it back to the base configuration; a genuinely hard corpus must
+        stay escalated; recall gates hold in both states."""
+        from rassengine_tpu.core.config import EngineConfig
+        from rassengine_tpu.fusion.strategies import Retriever
+        from rassengine_tpu.index.store import FilterSpec, TenantIndex
+        from rassengine_tpu.lexical.bm25 import LexicalIndex
+
+        rng = np.random.default_rng(11)
+        n, d = 4096, 64
+
+        def mk(v, sub):
+            idx = TenantIndex("dc", d, capacity=n, block_rows=512)
+            for i in range(n):
+                idx.upsert({"doc_id": f"d{i}", "doc_type": "unstructured",
+                            "unstructuredText": "x"}, v[i])
+            cfg = EngineConfig(ann_mode="pq", pq_subvectors=sub,
+                               pq_oversample=1)
+            return Retriever(idx, LexicalIndex(), cfg, use_pallas=False)
+
+        # benign corpus escalated by fiat (the "freak batch" scenario):
+        # the re-probe must de-escalate within one re-probe period
+        v_easy = clustered(rng, n, d, n_clusters=16)
+        r = mk(v_easy, 16)
+        r._pq_esc.active = True
+        r._pq_esc.reprobe_every = 4
+        for b in range(4):
+            rows, _ = r._sem_top_m_batch(v_easy[4 * b: 4 * b + 4],
+                                         FilterSpec(), 5)
+            # recall gate holds while escalated and after the flip
+            assert (rows[np.arange(4), 0] == 4 * b + np.arange(4)).all()
+        assert not r._pq_escalated, "benign corpus must de-escalate"
+        assert r._pq_esc.flips == 1
+        rows, _ = r._sem_top_m_batch(v_easy[:4], FilterSpec(), 5)
+        assert (rows[np.arange(4), 0] == np.arange(4)).all()
+
+        # hard corpus: stays escalated through many re-probe periods
+        centers = rng.normal(size=(4, d)).astype(np.float32)
+        v_hard = centers[rng.integers(0, 4, size=n)] \
+            + 0.01 * rng.normal(size=(n, d)).astype(np.float32)
+        v_hard /= np.linalg.norm(v_hard, axis=1, keepdims=True)
+        rh = mk(v_hard, 8)
+        rh._pq_esc.reprobe_every = 2
+        rh._sem_top_m_batch(v_hard[:4], FilterSpec(), 5)
+        assert rh._pq_escalated
+        for b in range(6):
+            rh._sem_top_m_batch(v_hard[4 * b: 4 * b + 4], FilterSpec(), 5)
+        assert rh._pq_escalated, "hard corpus must stay escalated"
 
     def test_order_by_bound_matches_sequential(self, built):
         """Best-bound-first block ordering (the device IVF probe, VERDICT r2
