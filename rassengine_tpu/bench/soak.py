@@ -1,0 +1,307 @@
+"""Serving soak: sustained mixed traffic against the real HTTP server.
+
+VERDICT r3 weak #6: a server meant to run for weeks had no sustained-load
+evidence — no RSS trend, no fd-leak check on the hand-rolled HTTP/WS stack,
+no proof that cache eviction / compaction / audit rotation fire under load.
+
+This drives BOTH apps (query on one port, upload on another — the docker
+topology) with a mixed workload for ``--minutes`` wall-clock:
+
+- 70% ``POST /ask``      (rotating users/chats; semantic-cache hits + misses)
+- 10% ``WS /ws/ask``     (handshake + one streamed answer per connection)
+- 10% ``POST /upload_data`` (small FHIR bundles; exercises ingest + rate limiter)
+- 5%  ``POST /delete_docs`` (tombstones → compaction under churn)
+- 5%  ``GET /metrics``
+
+Sampled every ``--sample-s``: RSS (``/proc/self/status``), open fds
+(``/proc/self/fd``), ask-latency percentiles. Pass criteria printed at the
+end (and enforced by tests/test_soak.py at a 30 s scale):
+
+- RSS: mean of the last third ≤ 1.20 × mean of the second third (no
+  unbounded growth after warmup)
+- fds: final count within +8 of the post-warmup count (no socket/file leak)
+- every op class saw ≥1 success and zero 5xx
+
+Run: ``python -m rassengine_tpu.bench.soak --minutes 30``  (CPU-safe; uses
+the tiny encoder so it exercises the serving machinery, not the MXU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import os
+import random
+import struct
+import time
+
+import numpy as np
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for ln in f:
+            if ln.startswith("VmRSS"):
+                return int(ln.split()[1]) / 1024.0
+    return -1.0
+
+
+def _nfds() -> int:
+    return len(os.listdir("/proc/self/fd"))
+
+
+def _bundle(rng: random.Random, n: int = 6) -> bytes:
+    from rassengine_tpu.bench.ingest_bench import gen_fhir_bundle
+
+    return json.dumps(gen_fhir_bundle(n, rng)).encode()
+
+
+QUERIES = [
+    "what medications is the patient taking",
+    "latest hemoglobin a1c results",
+    "history of hypertension treatment",
+    "when was the last colonoscopy",
+    "any allergies to penicillin",
+    "summarize the recent encounters",
+]
+
+
+async def run(minutes: float = 30.0, concurrency: int = 4,
+              sample_s: float = 10.0, seed: int = 0) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from rassengine_tpu.core.config import EngineConfig
+    from rassengine_tpu.core.tracing import METRICS
+    from rassengine_tpu.engine import RassEngine
+    from rassengine_tpu.models.bert import BertConfig
+    from rassengine_tpu.serve.app import build_app, build_upload_app
+    from rassengine_tpu.serve.ask import AskService
+
+    import tempfile
+
+    audit_dir = tempfile.mkdtemp(prefix="soak_audit_")
+    cfg = EngineConfig(
+        embed_dim=64, embed_batch_size=8, index_capacity=1 << 12,
+        index_block_rows=1 << 12, database_path=":memory:",
+        llm_backend="echo", intent_model_path="/nonexistent",
+        ner_model_path="/nonexistent",
+        audit_log_path=os.path.join(audit_dir, "audit.jsonl"),
+        cache_max_items=256,  # small: eviction MUST fire during the soak
+        upload_rate_limit_per_min=0.0,
+    )
+    engine = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+    service = AskService(engine)
+    rng = random.Random(seed)
+    for u in range(8):
+        service.db.create_user(f"soak-u{u}")
+    app = build_app(engine, service=service)
+    upapp = build_upload_app(engine, service=service)
+    server = await app.start("127.0.0.1", 0)
+    upserver = await upapp.start("127.0.0.1", 0)
+    port = server.sockets[0].getsockname()[1]
+    upport = upserver.sockets[0].getsockname()[1]
+
+    # seed corpus so asks retrieve something
+    from rassengine_tpu.ingest.fhir import parse_fhir_bundle
+
+    for u in range(8):
+        s, uns = parse_fhir_bundle(json.loads(_bundle(rng, 24).decode()))
+        engine.ingest_docs(f"soak-u{u}", s, uns)
+
+    stats = {"ask": [], "upload": [], "delete": [], "metrics": [], "ws": []}
+    errors: dict[str, int] = {}
+    stop_at = time.time() + minutes * 60.0
+    uploaded_ids: list[tuple[str, str]] = []
+
+    def post(p: int, path: str, body: bytes, ctype: str) -> tuple[int, bytes]:
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", p, timeout=60)
+        try:
+            conn.request("POST", path, body, {"Content-Type": ctype})
+            r = conn.getresponse()
+            return r.status, r.read()
+        finally:
+            conn.close()
+
+    def get(p: int, path: str) -> tuple[int, bytes]:
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", p, timeout=60)
+        try:
+            conn.request("GET", path)
+            r = conn.getresponse()
+            return r.status, r.read()
+        finally:
+            conn.close()
+
+    def ws_ask(p: int, payload: dict) -> int:
+        """Minimal RFC6455 client: handshake, one masked text frame, read
+        until the server's final frame, close. Exercises the WS path + fd
+        hygiene."""
+        import socket as so
+
+        s = so.create_connection(("127.0.0.1", p), timeout=60)
+        try:
+            key = base64.b64encode(os.urandom(16)).decode()
+            s.sendall((f"GET /ws/ask HTTP/1.1\r\nHost: x\r\n"
+                       f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                       f"Sec-WebSocket-Key: {key}\r\n"
+                       f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(4096)
+            data = json.dumps(payload).encode()
+            mask = os.urandom(4)
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+            ln = len(data)
+            if ln < 126:
+                hdr = struct.pack("!BB", 0x81, 0x80 | ln)
+            else:
+                hdr = struct.pack("!BBH", 0x81, 0x80 | 126, ln)
+            s.sendall(hdr + mask + masked)
+            # read frames until a text frame with FIN + "[DONE]"-ish or close
+            deadline = time.time() + 60
+            got = 0
+            while time.time() < deadline:
+                head = s.recv(2)
+                if len(head) < 2:
+                    break
+                fin_op, l7 = head[0], head[1] & 0x7F
+                if l7 == 126:
+                    l7 = struct.unpack("!H", s.recv(2))[0]
+                elif l7 == 127:
+                    l7 = struct.unpack("!Q", s.recv(8))[0]
+                body = b""
+                while len(body) < l7:
+                    body += s.recv(l7 - len(body))
+                if fin_op & 0x0F == 0x8:  # close
+                    break
+                got += 1
+                if b"done" in body or b"DONE" in body:
+                    break
+            return 200 if got else 500
+        finally:
+            s.close()
+
+    async def worker(wid: int) -> None:
+        w_rng = random.Random(seed * 100 + wid)
+        while time.time() < stop_at:
+            roll = w_rng.random()
+            u = f"soak-u{w_rng.randrange(8)}"
+            try:
+                if roll < 0.70:
+                    t0 = time.perf_counter()
+                    st, _ = await asyncio.to_thread(
+                        post, port, "/ask",
+                        json.dumps({"query": w_rng.choice(QUERIES),
+                                    "user_id": u,
+                                    "chat_id": f"c{w_rng.randrange(64)}-{u}"}
+                                   ).encode(), "application/json")
+                    stats["ask"].append((time.perf_counter() - t0, st))
+                elif roll < 0.80:
+                    t0 = time.perf_counter()
+                    st = await asyncio.to_thread(
+                        ws_ask, port, {"query": w_rng.choice(QUERIES),
+                                       "user_id": u,
+                                       "chat_id": f"w{w_rng.randrange(64)}-{u}"})
+                    stats["ws"].append((time.perf_counter() - t0, st))
+                elif roll < 0.90:
+                    boundary = "soakboundary"
+                    payload = _bundle(w_rng)
+                    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                            f'name="user_id"\r\n\r\n{u}\r\n--{boundary}\r\n'
+                            f"Content-Disposition: form-data; "
+                            f'name="files"; filename="b.json"\r\n\r\n'
+                            ).encode() + payload \
+                        + f"\r\n--{boundary}--\r\n".encode()
+                    t0 = time.perf_counter()
+                    st, _ = await asyncio.to_thread(
+                        post, upport, "/upload_data", body,
+                        f"multipart/form-data; boundary={boundary}")
+                    stats["upload"].append((time.perf_counter() - t0, st))
+                    if st == 200:
+                        bundle = json.loads(payload.decode())
+                        for e in bundle["entry"][1:3]:
+                            r = e["resource"]
+                            uploaded_ids.append(
+                                (u, f"{r['resourceType']}-{r['id']}-structured"))
+                elif roll < 0.95 and uploaded_ids:
+                    uu, did = uploaded_ids.pop(w_rng.randrange(len(uploaded_ids)))
+                    t0 = time.perf_counter()
+                    st, _ = await asyncio.to_thread(
+                        post, upport, "/delete_docs",
+                        json.dumps({"user_id": uu, "doc_ids": [did]}).encode(),
+                        "application/json")
+                    stats["delete"].append((time.perf_counter() - t0, st))
+                else:
+                    t0 = time.perf_counter()
+                    st, _ = await asyncio.to_thread(get, port, "/metrics")
+                    stats["metrics"].append((time.perf_counter() - t0, st))
+            except Exception as exc:  # noqa: BLE001 — count, keep soaking
+                errors[type(exc).__name__] = errors.get(
+                    type(exc).__name__, 0) + 1
+
+    samples: list[dict] = []
+
+    async def sampler() -> None:
+        while time.time() < stop_at:
+            samples.append({"t": round(time.time(), 1), "rss_mb": _rss_mb(),
+                            "fds": _nfds()})
+            await asyncio.sleep(sample_s)
+
+    tasks = [asyncio.create_task(worker(i)) for i in range(concurrency)]
+    tasks.append(asyncio.create_task(sampler()))
+    await asyncio.gather(*tasks)
+    server.close()
+    upserver.close()
+    await server.wait_closed()
+    await upserver.wait_closed()
+
+    def pct(lat: list[tuple[float, int]]) -> dict:
+        if not lat:
+            return {}
+        s = sorted(t for t, _ in lat)
+        n = len(s)
+        bad = sum(1 for _, st in lat if st >= 500)
+        return {"n": n, "p50_ms": round(s[n // 2] * 1e3, 1),
+                "p99_ms": round(s[min(n - 1, int(n * 0.99))] * 1e3, 1),
+                "5xx": bad}
+
+    rss = [s["rss_mb"] for s in samples]
+    third = max(1, len(rss) // 3)
+    warm, late = rss[third: 2 * third], rss[2 * third:]
+    result = {
+        "minutes": minutes,
+        "ops": {k: pct(v) for k, v in stats.items()},
+        "errors": errors,
+        "rss_first_mb": rss[0] if rss else None,
+        "rss_warm_mean_mb": round(float(np.mean(warm)), 1) if warm else None,
+        "rss_late_mean_mb": round(float(np.mean(late)), 1) if late else None,
+        "rss_bounded": (bool(np.mean(late) <= 1.20 * np.mean(warm))
+                        if warm and late else None),
+        "fds_start": samples[third]["fds"] if len(samples) > third else None,
+        "fds_end": samples[-1]["fds"] if samples else None,
+        "fds_bounded": (samples[-1]["fds"] <= samples[third]["fds"] + 8
+                        if len(samples) > third else None),
+        "metrics_counters": {k: v for k, v in METRICS.snapshot()
+                             ["counters"].items()},
+        "samples": samples,
+    }
+    return result
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--minutes", type=float, default=30.0)
+    p.add_argument("--concurrency", type=int, default=4)
+    p.add_argument("--sample-s", type=float, default=10.0)
+    a = p.parse_args()
+    out = asyncio.run(run(a.minutes, a.concurrency, a.sample_s))
+    out_small = {k: v for k, v in out.items() if k != "samples"}
+    print(json.dumps(out_small, indent=2))
+    print("SAMPLES", json.dumps(out["samples"]))

@@ -59,6 +59,129 @@ SYNONYMS: dict[str, list[str]] = {
     "influenza vaccination": ["flu shot"],
 }
 
+# round-4 widened lay↔clinical map (VERDICT r3 #1: "lay/clinical synonym
+# pairs beyond the current generator") — queries speak the LAY column,
+# chunks the clinical one, so token overlap cannot solve the pairing
+SYNONYMS_WIDE: dict[str, list[str]] = {
+    **SYNONYMS,
+    "hyperlipidemia": ["high cholesterol", "elevated blood fats"],
+    "gastroesophageal reflux disease": ["acid reflux", "chronic heartburn"],
+    "chronic obstructive pulmonary disease": ["smoker's lung disease",
+                                              "chronic breathing obstruction"],
+    "myocardial infarction": ["heart attack"],
+    "cerebrovascular accident": ["stroke", "brain attack"],
+    "deep vein thrombosis": ["blood clot in the leg"],
+    "pulmonary embolism": ["blood clot in the lung"],
+    "nephrolithiasis": ["kidney stones"],
+    "urinary tract infection": ["bladder infection", "water infection"],
+    "benign prostatic hyperplasia": ["enlarged prostate"],
+    "hypothyroidism": ["underactive thyroid", "low thyroid"],
+    "hyperthyroidism": ["overactive thyroid"],
+    "osteoporosis": ["brittle bones", "thinning bones"],
+    "gout": ["uric acid arthritis", "painful big toe flare"],
+    "migraine": ["severe recurring headache"],
+    "epilepsy": ["seizure disorder"],
+    "eczema": ["itchy skin rash", "atopic skin condition"],
+    "psoriasis": ["scaly skin plaques"],
+    "cellulitis": ["skin infection"],
+    "conjunctivitis": ["pink eye"],
+    "otitis externa": ["swimmer's ear"],
+    "gastroenteritis": ["stomach bug", "stomach flu"],
+    "irritable bowel syndrome": ["sensitive bowel", "spastic colon"],
+    "cholelithiasis": ["gallstones"],
+    "hemorrhoids": ["piles"],
+    "insomnia": ["trouble sleeping", "sleeplessness"],
+    "generalized anxiety disorder": ["constant worrying", "chronic anxiety"],
+    "obstructive sleep apnea": ["breathing pauses during sleep",
+                                "severe snoring disorder"],
+    "peripheral neuropathy": ["nerve damage in the feet",
+                              "numb tingling feet"],
+    "vitamin d deficiency": ["low vitamin d"],
+    "iron deficiency anemia": ["low iron blood"],
+    "atorvastatin": ["the cholesterol pill", "the statin drug"],
+    "omeprazole": ["the acid reducer", "the heartburn capsule"],
+    "levothyroxine": ["the thyroid replacement pill"],
+    "warfarin": ["the blood thinner"],
+    "gabapentin": ["the nerve pain medicine"],
+    "sertraline": ["the antidepressant tablet"],
+    "prednisone": ["the steroid course"],
+    "furosemide": ["the water pill", "the fluid pill"],
+    "sumatriptan": ["the migraine rescue tablet"],
+    "alendronate": ["the bone strengthening pill"],
+    "thyroid stimulating hormone": ["thyroid blood level", "tsh check"],
+    "comprehensive metabolic panel": ["full chemistry blood work"],
+    "complete blood count": ["full blood count", "cbc blood test"],
+    "urinalysis": ["urine test"],
+    "prostate specific antigen": ["prostate blood screen", "psa check"],
+    "vitamin b12": ["b twelve level"],
+    "estimated glomerular filtration rate": ["kidney filtering score"],
+    "troponin": ["heart damage blood marker"],
+    "d-dimer": ["clot blood screen"],
+    "upper endoscopy": ["camera down the throat", "stomach scope"],
+    "bronchoscopy": ["lung scope"],
+    "cystoscopy": ["bladder scope"],
+    "dexa scan": ["bone density test"],
+    "mammography": ["breast cancer screening x-ray"],
+    "polysomnography": ["overnight sleep study"],
+    "lumbar puncture": ["spinal tap"],
+    "tonsillectomy": ["tonsil removal"],
+    "cholecystectomy": ["gallbladder removal surgery"],
+    "total knee replacement": ["knee replacement surgery"],
+    "percutaneous coronary intervention": ["heart artery stent procedure"],
+    "hemodialysis": ["kidney machine treatment"],
+    "pneumococcal vaccination": ["pneumonia shot"],
+    "herpes zoster": ["shingles"],
+}
+
+_QUERY_TEMPLATES_WIDE = [
+    "what is being done about {PERSON}'s {ALT}",
+    "which medicine does {PERSON} get for {ALT}",
+    "notes about {ALT} for {PERSON}",
+    "how is the {ALT} of {PERSON} managed",
+    "treatment record of {PERSON} concerning {ALT}",
+    "does {PERSON} have any history of {ALT}",
+    "show me what the chart says about {ALT} for {PERSON}",
+    "latest updates on {PERSON} and the {ALT}",
+    "i want to know about {PERSON}'s {ALT} situation",
+    "was anything documented on {ALT} in {PERSON}'s record",
+    "pull up {PERSON}'s documentation regarding {ALT}",
+    "{ALT} findings for {PERSON}",
+]
+
+
+def generate_pairs_wide(n: int, seed: int = 0) -> list[tuple[str, str]]:
+    """Round-4 pair generator: multi-sentence clinical-note chunks (the
+    corpus.py narrative generator — the distribution serving actually
+    embeds) paired with lay-phrased queries through SYNONYMS_WIDE. The
+    clinical term appears once inside a realistic note; distractor sentences
+    mention OTHER conditions/meds, so the encoder must bind the synonym to
+    the right span, not just detect domain."""
+    from rassengine_tpu.train.corpus import clinical_sentence
+    from rassengine_tpu.train.data import FIRST_NAMES, LAST_NAMES
+
+    rng = random.Random(seed)
+    terms = list(SYNONYMS_WIDE)
+    out = []
+    for _ in range(n):
+        person = f"{rng.choice(FIRST_NAMES)} {rng.choice(LAST_NAMES)}"
+        term = rng.choice(terms)
+        anchor = rng.choice([
+            f"{person} is followed for {term}, reviewed at today's visit.",
+            f"Active problem list for {person} includes {term}.",
+            f"Assessment: {term}, plan discussed with {person}.",
+            f"{person} reports the {term} is stable on current therapy.",
+        ])
+        distractors = [clinical_sentence(rng)
+                       for _ in range(rng.randint(1, 3))]
+        pos = rng.randrange(len(distractors) + 1)
+        sents = distractors[:pos] + [anchor] + distractors[pos:]
+        chunk = " ".join(sents)
+        query = rng.choice(_QUERY_TEMPLATES_WIDE).format(
+            PERSON=person, ALT=rng.choice(SYNONYMS_WIDE[term]))
+        out.append((query, chunk))
+    return out
+
+
 _CHUNK_TEMPLATES = [
     "{PERSON} was seen in clinic for {COND}. {MED} was continued and a "
     "{LAB} was ordered. Symptoms are currently {SEV}.",
@@ -163,12 +286,15 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
          init_from: str = "", n_pairs: int = 30_000,
          n_eval: int = 1024, temperature: float = 0.05,
          pooling: str | None = None, grad_clip: float = 1.0,
-         save_floor: float = 0.0) -> dict:
+         save_floor: float = 0.0, wide: bool = False,
+         max_len: int | None = None, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
 
     from rassengine_tpu.train.trainer import copy_vocab, load_pretrained
+
+    L = max_len or MAX_LEN
 
     if init_from:
         cfg, enc_params, pre_vocab = load_pretrained(init_from)
@@ -182,16 +308,21 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
         params = None
         pre_vocab = None
 
-    if pooling is not None and pooling != cfg.pooling:
-        import dataclasses
+    import dataclasses
 
+    if pooling is not None and pooling != cfg.pooling:
         cfg = dataclasses.replace(cfg, pooling=pooling)
-    pairs = generate_pairs(n_pairs + n_eval, seed)
+    if remat and not cfg.remat:
+        # 24L fine-tune runs TWO forwards per step (query + chunk towers);
+        # without remat the activation footprint OOMs next to f32 Adam state
+        cfg = dataclasses.replace(cfg, remat=True)
+    pairs = (generate_pairs_wide if wide else generate_pairs)(
+        n_pairs + n_eval, seed)
     train_pairs, eval_pairs = pairs[:n_pairs], pairs[n_pairs:]
     if pre_vocab is None:
         texts = [t for p in train_pairs for t in p]
         train_wordpiece_vocab(texts, out, min(4096, cfg.vocab_size))
-    tokenizer = load_tokenizer(out, cfg.vocab_size, MAX_LEN)
+    tokenizer = load_tokenizer(out, cfg.vocab_size, L)
 
     model = BertEncoder(cfg)
     if params is None:
@@ -202,11 +333,11 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
                                jnp.ones((1, 8), jnp.int32))
 
     def encode_texts(texts):
-        ids, mask = tokenizer.encode_batch(texts, MAX_LEN)
-        if ids.shape[1] < MAX_LEN:
-            ids = np.pad(ids, ((0, 0), (0, MAX_LEN - ids.shape[1])))
-            mask = np.pad(mask, ((0, 0), (0, MAX_LEN - mask.shape[1])))
-        return ids[:, :MAX_LEN], mask[:, :MAX_LEN]
+        ids, mask = tokenizer.encode_batch(texts, L)
+        if ids.shape[1] < L:
+            ids = np.pad(ids, ((0, 0), (0, L - ids.shape[1])))
+            mask = np.pad(mask, ((0, 0), (0, L - mask.shape[1])))
+        return ids[:, :L], mask[:, :L]
 
     q_ids, q_mask = encode_texts([p[0] for p in train_pairs])
     c_ids, c_mask = encode_texts([p[1] for p in train_pairs])
@@ -300,7 +431,12 @@ if __name__ == "__main__":
     p.add_argument("--save-floor", type=float, default=0.0,
                    help="refuse to save below this eval recall@1 "
                         "(collapse guard)")
+    p.add_argument("--wide", action="store_true",
+                   help="round-4 lay↔clinical corpus (multi-sentence chunks)")
+    p.add_argument("--max-len", type=int, default=None)
+    p.add_argument("--remat", action="store_true")
     a = p.parse_args()
     main(a.steps, a.batch_size, a.out, a.lr, size=a.size,
          init_from=a.init_from, n_pairs=a.pairs, pooling=a.pooling,
-         save_floor=a.save_floor)
+         save_floor=a.save_floor, wide=a.wide, max_len=a.max_len,
+         remat=a.remat)

@@ -180,16 +180,38 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
                 seed: int = 0, vocab_size: int = 16384,
                 n_clinical: int = 250_000, prose_lines: int | None = 450_000,
                 max_seconds: float = 1500.0, ckpt_every: int = 500,
-                log_every: int = 50) -> dict:
-    """Train one bounded-wall-clock segment; resume from ``out/resume``."""
+                log_every: int = 50, size: str = "production_large",
+                vocab_dir: str | None = None) -> dict:
+    """Train one bounded-wall-clock segment; resume from ``out/resume``.
+
+    ``size`` picks the backbone scale: ``production_large`` (24L/1024h, the
+    serving encoder) or ``nlu`` (6L/384h — the intent/NER backbone, same
+    wide corpus + vocabulary so fine-tunes share subword statistics).
+    ``vocab_dir`` reuses an already-trained vocab.txt from another out dir
+    (the packed-corpus cache is keyed by the vocab hash, so both scales
+    share one tokenized corpus)."""
+    import dataclasses
+    import shutil
+
     import flax.serialization as ser
     import jax
     import jax.numpy as jnp
     import optax
 
-    import dataclasses
-
-    cfg = BertConfig.production_large(vocab_size)
+    if size == "production_large":
+        cfg = BertConfig.production_large(vocab_size)
+    elif size == "nlu":
+        cfg = BertConfig(vocab_size=vocab_size, hidden_size=384,
+                         num_layers=6, num_heads=6, intermediate_size=1536,
+                         max_position=128)
+    else:
+        raise ValueError(f"unknown size {size!r}")
+    if vocab_dir and vocab_dir != out:
+        os.makedirs(out, exist_ok=True)
+        src = os.path.join(vocab_dir, "vocab.txt")
+        dst = os.path.join(out, "vocab.txt")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
     os.makedirs(out, exist_ok=True)
     build_vocab(out, vocab_size, seed)
     ids_all = packed_corpus(out, seq_len, n_clinical, prose_lines, seed)
@@ -213,7 +235,15 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
             meta = json.load(f)
         start_step = meta["step"]
         losses_hist = meta.get("losses", [])
-        template = _init_state(model, optimizer, cfg, seed)
+        # restore into a HOST template: a device init here would hold a
+        # second full params+opt copy (~4 GB) next to the restored one and
+        # OOM the v5e before the first step (observed: RESOURCE_EXHAUSTED
+        # at resume). eval_shape traces the init without allocating.
+        import jax as _jax
+        abstract = _jax.eval_shape(
+            lambda: _init_state(model, optimizer, cfg, seed))
+        template = _jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), abstract)
         with open(rp["state"], "rb") as f:
             params, opt_state = ser.from_bytes(template, f.read())
         log.info("resumed at step %d", start_step)
@@ -262,12 +292,18 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
             params, opt_state, jnp.asarray(m_ids), jnp.asarray(attn),
             jnp.asarray(pos), jnp.asarray(labels), jnp.asarray(lmask))
         step += 1
-        seg_losses.append(float(loss))  # host sync each step: keeps timing honest
+        # keep the loss ON DEVICE: a float() here costs a full tunnel
+        # round-trip (~25 ms) EVERY step — syncing only at log boundaries
+        # lets dispatch run ahead of the device
+        seg_losses.append(loss)
         if step % log_every == 0:
+            window = float(np.mean([float(x) for x in
+                                    seg_losses[-log_every:]]))
             sps = (step - start_step) / (time.time() - t0)
             log.info("step %d/%d mlm_loss %.4f (%.2f steps/s)", step,
-                     total_steps, float(np.mean(seg_losses[-log_every:])), sps)
-            losses_hist.append(round(float(np.mean(seg_losses[-log_every:])), 4))
+                     total_steps, window, sps)
+            losses_hist.append(round(window, 4))
+            del seg_losses[:-log_every]
         if step % ckpt_every == 0:
             save_resume(step)
             if os.path.exists(rp["stop"]):
@@ -285,7 +321,8 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
               "stopped": stopped,
               "seg_steps_per_sec": round((step - start_step) /
                                          max(time.time() - t0, 1e-9), 3),
-              "seg_loss": round(float(np.mean(seg_losses[-100:])), 4)
+              "seg_loss": round(float(np.mean([float(x) for x in
+                                               seg_losses[-100:]])), 4)
               if seg_losses else None,
               "n_examples": int(n)}
     log.info("segment done: %s", result)
