@@ -1,0 +1,157 @@
+"""Stage ablation of the one-dispatch hybrid (VERDICT r4 work item #4).
+
+The pure int8 block-scale scan runs 1.88 ms/batch256 at 1M×1024 while the
+int8-only hybrid dispatch runs ~3.98 ms (BENCH.md §Headline). This bench
+isolates where the extra ~2.1 ms goes by timing nested prefixes of the same
+dispatch on the same corpus/queries (suite config-3 shape):
+
+- ``scan``      : fused int8 block-scale scan alone (the 1.88 ms floor)
+- ``lex``       : sparse BM25 stage alone (chunk gather + sort + run-sum)
+- ``scan_lex``  : both, no fusion epilogue
+- ``full``      : the shipping hybrid_topk_batch (scan + lex + fuse)
+- ``full_M32``  : fuse with top_m_lex=32 (halves the lex-candidate gather
+                  and the [B, P, m] join width)
+- ``full_m32``  : semantic oversample m=32 (halves the join + rescore width)
+
+Differences between rows attribute cost to the stage added. Run on-chip via
+tools/tpu_worker.py:
+
+    from rassengine_tpu.bench.hybrid_ablate import run
+    print(run(scale="full"))
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def run(scale: str = "full", seed: int = 0, k: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from rassengine_tpu.bench.suite import _chain_time
+    from rassengine_tpu.index.quant import quantize_int8, quantize_int8_block
+    from rassengine_tpu.lexical.bm25 import LexicalIndex
+    from rassengine_tpu.lexical.device_bm25 import (DeviceLexical,
+                                                    _lex_scores_dispatch,
+                                                    hybrid_topk_batch)
+    from rassengine_tpu.ops.fused_topk import fused_topk_int8_pooled
+
+    f = {"full": 1, "small": 16, "tiny": 128}[scale]
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    rng = np.random.default_rng(seed)
+    n = 1_048_576 // f
+    d = {"full": 1024, "small": 256, "tiny": 64}[scale]
+    b = 256 if scale != "tiny" else 32
+
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    lex = LexicalIndex()
+    vocab = [f"term{i}" for i in range(2000)]
+    for r in range(0, n, max(1, n // 20_000)):
+        lex.index_doc(r, {"unstructuredText": " ".join(rng.choice(vocab, 12))})
+    codes, scales = quantize_int8(v)
+    codes_b, bscales = quantize_int8_block(v, 2048)
+    cd = jnp.asarray(codes_b)
+    sd = jnp.asarray(scales)
+    bsd = jnp.asarray(bscales)
+    mask = jnp.zeros(n, jnp.float32)
+    q0 = rng.normal(size=(b, d)).astype(np.float32)
+    q0 /= np.linalg.norm(q0, axis=1, keepdims=True)
+    q0 = jnp.asarray(q0)
+    dl = DeviceLexical(lex)
+    queries = [" ".join(vocab[7 * i % 1996: 7 * i % 1996 + 4])
+               for i in range(b)]
+    chunk_ids, view, wvec = dl.plan(queries, {"text": 1.5, "keyword": 1.0})
+    ci = jnp.asarray(chunk_ids)
+    block_rows = min(2048, n)
+    m = min(max(4 * k, 64), 128, n)
+    res: dict = {"n": n, "d": d, "b": b, "k": k, "m": m,
+                 "postings_cols": int(chunk_ids.shape[1]) * 128,
+                 "on_tpu": on_tpu}
+    it = 40 if on_tpu else 2
+
+    import functools
+
+    # off-TPU the Pallas kernel runs in interpret mode — correctness-only,
+    # the timings that matter come from the chip
+    interp = not on_tpu
+
+    @jax.jit
+    def scan_fn(qq):
+        qn = qq / jnp.maximum(jnp.linalg.norm(qq, axis=-1, keepdims=True),
+                              1e-12)
+        return fused_topk_int8_pooled(cd, sd, qn, mask, m, block_rows,
+                                      block_scales=bsd, interpret=interp)
+
+    @jax.jit
+    def lex_fn(qq):
+        rows, scores = _lex_scores_dispatch(view.tables, ci, wvec)
+        s, pos = jax.lax.top_k(scores, k)
+        # chain hook: tie the output to qq so _chain_time serializes
+        return s + 0.0 * qq[:, :1], jnp.take_along_axis(rows, pos, axis=1)
+
+    @jax.jit
+    def scan_lex_fn(qq):
+        qn = qq / jnp.maximum(jnp.linalg.norm(qq, axis=-1, keepdims=True),
+                              1e-12)
+        ss, sr = fused_topk_int8_pooled(cd, sd, qn, mask, m, block_rows,
+                                        block_scales=bsd, interpret=interp)
+        rows, scores = _lex_scores_dispatch(view.tables, ci, wvec)
+        ls, pos = jax.lax.top_k(scores, k)
+        return ss[:, :k] + ls, sr[:, :k]
+
+    def full_fn(top_m_lex=64, mm=None):
+        @functools.partial(jax.jit)
+        def fn(qq):
+            return hybrid_topk_batch(None, mask, qq, view.tables, ci, wvec,
+                                     2.0, k, m=mm or m, top_m_lex=top_m_lex,
+                                     block_rows=block_rows,
+                                     scan_mode="pallas_int8",
+                                     int8_tables=(cd, sd),
+                                     int8_block_scales=bsd,
+                                     interpret=interp)
+        return fn
+
+    stages = [("scan", scan_fn), ("lex", lex_fn), ("scan_lex", scan_lex_fn),
+              ("full", full_fn()), ("full_M32", full_fn(top_m_lex=32)),
+              ("full_m32", full_fn(mm=32))]
+    for name, fn in stages:
+        dt = _chain_time(fn, q0, it)
+        res[name + "_ms"] = round(dt * 1e3, 3)
+        res[name + "_qps"] = round(b / dt, 1)
+
+    # oracle gate for the full path (same tie-aware method as the suite)
+    s_full, r_full = full_fn()(q0)
+    qn = np.asarray(q0, np.float64)
+    lex_rows, lex_scores = (np.asarray(x) for x in
+                            _lex_scores_dispatch(view.tables, ci, wvec))
+    cos = qn @ v.T.astype(np.float64)
+    fused = 2.0 * cos
+    for bi in range(b):
+        ok = lex_scores[bi] > -1e30
+        np.add.at(fused[bi], lex_rows[bi][ok].clip(0, n - 1),
+                  lex_scores[bi][ok])
+    kth = -np.sort(-fused, axis=1)[:, k - 1]
+    rn = np.asarray(r_full)
+    rec = float(np.mean([
+        np.mean(fused[bi, rn[bi]] >= kth[bi] - 2e-2) for bi in range(b)]))
+    res["full_recall_vs_f32_oracle"] = round(rec, 4)
+    res["fuse_cost_ms"] = round(res["full_ms"] - res["scan_lex_ms"], 3)
+    res["lex_cost_ms"] = round(res["scan_lex_ms"] - res["scan_ms"], 3)
+    return res
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", default="small")
+    a = p.parse_args()
+    t0 = time.time()
+    out = run(a.scale)
+    out["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(out, indent=2))

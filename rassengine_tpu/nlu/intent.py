@@ -132,6 +132,13 @@ class ModelIntentClassifier:
         # in-distribution — collisions admit wrong predictions), while the
         # stem table feeds the VOTE channel, where occurrence-purity
         # filtering keeps only stems that still discriminate.
+        # round 4: MLM-pretrained backbones ship a train-time-calibrated
+        # OOV confidence bound (train/intent_train.py:calibrate_oov_conf) —
+        # above it the model is trusted even WITHOUT cue support. From-
+        # scratch checkpoints never set it (their softmax is confidently
+        # wrong on unseen cue vocabularies, VERDICT r2 #2), so absence keeps
+        # the round-3 gate semantics exactly.
+        self.oov_conf: float | None = (meta or {}).get("oov_conf")
         self.cue_intent: dict[str, str] | None = None
         self.stem_cues: dict[str, str] = {}
         cue_path = os.path.join(path, "cue_words.json")
@@ -240,6 +247,16 @@ class IntentClassifier:
             supported = (support is None or "*" in support
                          or intent.value in support)
             if supported and conf >= self.config.intent_threshold:
+                out.append((intent, conf))
+                continue
+            # calibrated OOV trust: a pretrained-backbone model whose
+            # confidence is measured to be reliable on held-out unseen-cue
+            # data (oov_conf from train-time calibration) may win without
+            # cue support — the subword vocabulary gives unseen surface
+            # forms trained embeddings, unlike the from-scratch models the
+            # cue gate was built for
+            oov_conf = getattr(self.model, "oov_conf", None)
+            if not supported and oov_conf is not None and conf >= oov_conf:
                 out.append((intent, conf))
                 continue
             rule_intent, rule_conf = self.rules.classify(q)

@@ -245,6 +245,37 @@ class TestCueEvidenceGate:
         assert clf.classify("how many exact matches")[0] == \
             QueryIntent.AGGREGATE
 
+    def test_oov_conf_trusts_calibrated_model_without_cue(self):
+        """A pretrained-backbone checkpoint ships a calibrated oov_conf:
+        unsupported predictions at confidence ≥ tau win; below tau (or with
+        no oov_conf, the round-3 default) the old gate semantics hold."""
+        from rassengine_tpu.nlu.intent import (IntentClassifier,
+                                               ModelIntentClassifier)
+
+        class FakeModel:
+            cue_intent = {"compare": "COMPARISON"}  # query has NO cue
+            stem_cues = {}
+            supported_intents = ModelIntentClassifier.supported_intents
+            cue_votes = ModelIntentClassifier.cue_votes
+            conf = 0.92
+
+            def classify_batch(self, qs):
+                return [(QueryIntent.EXPLANATORY, self.conf) for _ in qs]
+
+        cfg = EngineConfig(intent_model_path="/none", ner_model_path="/none")
+        clf = IntentClassifier(cfg)
+        clf.model = FakeModel()
+        q = "clarify the situation for me"  # no trained cue word
+        rules_pick = clf.rules.classify(q)[0]
+        # no oov_conf attribute → unsupported → rules decide (round-3 gate)
+        assert clf.classify(q)[0] == rules_pick
+        # calibrated bound below the model's confidence → model trusted
+        clf.model.oov_conf = 0.9
+        assert clf.classify(q)[0] == QueryIntent.EXPLANATORY
+        # confidence under the bound → gate again
+        clf.model.conf = 0.7
+        assert clf.classify(q)[0] == rules_pick
+
 
 class TestReviewFixesNlu:
     def test_gazetteer_finds_bounded_later_occurrence(self):

@@ -16,10 +16,11 @@ Usage:
 import contextlib
 import io
 import os
+import sys
 import time
 import traceback
 
-JOBS = "/tmp/tpu_jobs"
+JOBS = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_jobs"
 os.makedirs(JOBS, exist_ok=True)
 
 
@@ -47,13 +48,14 @@ def main():
             seen.add(name)
             path = os.path.join(JOBS, name)
             print(f"tpu_worker: running {name}", flush=True)
-            buf = io.StringIO()
+            # line-buffered file, not StringIO: long jobs (training
+            # segments) stream progress so the session can watch them
+            buf = open(os.path.join(JOBS, base + ".out"), "w", buffering=1)
             ok = True
             t0 = time.time()
             try:
                 # edits between jobs must be visible: purge the package from
                 # the module cache so each job re-imports current sources
-                import sys
                 for mod in [m for m in sys.modules
                             if m.startswith("rassengine_tpu")]:
                     del sys.modules[mod]
@@ -65,9 +67,9 @@ def main():
             except BaseException:
                 ok = False
                 buf.write("\n" + traceback.format_exc())
+            finally:
+                buf.close()
             dt = time.time() - t0
-            with open(os.path.join(JOBS, base + ".out"), "w") as f:
-                f.write(buf.getvalue())
             with open(done, "w") as f:
                 f.write(f"{'OK' if ok else 'FAIL'} {dt:.1f}s\n")
             print(f"tpu_worker: {name} -> {'OK' if ok else 'FAIL'} "
