@@ -28,8 +28,12 @@ import time
 import numpy as np
 
 
-def run(scale: str = "full", seed: int = 0, k: int = 5) -> dict:
+def run(scale: str = "full", seed: int = 0, k: int = 5,
+        use_tpu: bool = True) -> dict:
     import jax
+
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from rassengine_tpu.bench.suite import _chain_time
@@ -150,8 +154,11 @@ if __name__ == "__main__":
 
     p = argparse.ArgumentParser()
     p.add_argument("--scale", default="small")
+    p.add_argument("--tpu", action="store_true",
+                   help="attach the real chip (default: CPU interpret — "
+                        "chip runs go through tools/tpu_worker.py)")
     a = p.parse_args()
     t0 = time.time()
-    out = run(a.scale)
+    out = run(a.scale, use_tpu=a.tpu)
     out["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(out, indent=2))

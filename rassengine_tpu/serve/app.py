@@ -222,6 +222,14 @@ def build_app(engine: RassEngine, service: AskService | None = None,
                 # REST path does, or WS access is invisible to investigations
                 audit.emit("ask", user_id, chat_id=chat_id,
                            query_len=len(query), transport="ws")
+            except ConnectionError:
+                # client went away mid-stream (soak-observed): a normal
+                # disconnect, not a server error — no traceback, and no
+                # further writes to the dead socket. The ask DID run, so it
+                # still leaves an audit record.
+                audit.emit("ask", user_id, chat_id=chat_id,
+                           status="client_gone", transport="ws")
+                return
             except AuthorizationError as e:
                 audit.emit("ask", user_id, status="denied", chat_id=chat_id,
                            transport="ws")
@@ -231,7 +239,10 @@ def build_app(engine: RassEngine, service: AskService | None = None,
             except Exception as e:
                 log.exception("ws error")
                 await ws.send_text(f"[ERROR] {e}")
-            await ws.send_text("[DONE]")
+            try:
+                await ws.send_text("[DONE]")
+            except ConnectionError:
+                return
 
     return app
 

@@ -340,6 +340,39 @@ def _init_state(model, optimizer, cfg, seed: int):
     return params, optimizer.init(params)
 
 
+def finalize_from_resume(out: str, size: str = "production_large",
+                         vocab_size: int = 16384) -> None:
+    """Ship the checkpoint from ``out/resume`` at its current step — for
+    runs the wall clock ends before ``total_steps`` (the optax schedule is
+    cosine-to-5%, so a mid-run checkpoint is a usable model, just trained
+    less). Loads on host (no device residency): finalize casts to bf16."""
+    import flax.serialization as ser
+    import jax
+
+    if size == "production_large":
+        cfg = BertConfig.production_large(vocab_size)
+    else:
+        cfg = BertConfig(vocab_size=vocab_size, hidden_size=384,
+                         num_layers=6, num_heads=6, intermediate_size=1536,
+                         max_position=128)
+    model = BertForMaskedLMIndexed(cfg)
+    import optax
+
+    optimizer = optax.adamw(1e-4)
+    abstract = jax.eval_shape(lambda: _init_state(model, optimizer, cfg, 0))
+    # the resume blob was written by a chain(clip, adamw) optimizer; only
+    # the params leaves matter here, so restore into (params, anything) by
+    # matching the params subtree and ignoring opt-state mismatches
+    rp = _resume_paths(out)
+    with open(rp["state"], "rb") as f:
+        blob = f.read()
+    template_params = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), abstract[0])
+    state = ser.msgpack_restore(blob)
+    params = ser.from_state_dict(template_params, state["0"])
+    finalize(out, cfg, params)
+
+
 def finalize(out: str, cfg: BertConfig, params) -> None:
     """Write the shipping checkpoint: bf16 params + meta + coverage eval."""
     import jax.numpy as jnp
