@@ -39,6 +39,14 @@ class BertConfig:
     #   trades recompute FLOPs for activation HBM so 24L fits a v5e with
     #   optimizer state resident; inference never takes grads, so shipped
     #   checkpoints save remat=False)
+    pre_ln: bool = False             # pre-LayerNorm residual blocks. Post-LN
+    #   (the HF BERT layout, default — convert_hf_bert requires it) does not
+    #   TRAIN from scratch at 24L: measured round 4, 3000 steps at
+    #   24L/1024h left the encoder context-blind (hidden states identical
+    #   across inputs, MLM loss pinned at the unigram entropy). Pre-LN keeps
+    #   every submodule name (checkpoints stay loadable by the same code;
+    #   the flag rides model_meta.json) and adds the standard final_norm +
+    #   1/sqrt(2L)-scaled residual out-projections.
 
     @property
     def head_dim(self) -> int:
@@ -122,8 +130,21 @@ class _SelfAttention(nn.Module):
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(dt)
         out = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1), dtype=dt,
-                              name="out")(ctx)
+                              kernel_init=_resid_init(cfg), name="out")(ctx)
         return out
+
+
+def _resid_init(cfg: BertConfig):
+    """Residual-branch out-projection initializer: BERT's 0.02 truncated
+    normal, scaled 1/sqrt(2·num_layers) in pre-LN mode (GPT-2 recipe) so the
+    residual stream's variance stays O(1) at 24 layers. Post-LN keeps flax
+    defaults — shipped round-3 checkpoints reproduce bit-for-bit."""
+    if not cfg.pre_ln:
+        return nn.initializers.lecun_normal()  # flax Dense default
+    import numpy as _np
+
+    return nn.initializers.truncated_normal(
+        0.02 / _np.sqrt(2.0 * cfg.num_layers))
 
 
 class _Layer(nn.Module):
@@ -133,14 +154,26 @@ class _Layer(nn.Module):
     def __call__(self, x, attention_mask):
         cfg = self.cfg
         dt = cfg.compute_dtype
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name=name)
+        if cfg.pre_ln:
+            # pre-LN: normalize the BRANCH input, leave the residual stream
+            # unnormalized (trains at depth; see BertConfig.pre_ln)
+            a = _SelfAttention(cfg, name="attention")(
+                ln("attention_norm")(x).astype(dt), attention_mask)
+            x = x + a
+            h = ln("mlp_norm")(x).astype(dt)
+            h = nn.Dense(cfg.intermediate_size, dtype=dt, name="mlp_in")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(cfg.hidden_size, dtype=dt,
+                         kernel_init=_resid_init(cfg), name="mlp_out")(h)
+            return x + h
         attn = _SelfAttention(cfg, name="attention")(x, attention_mask)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         name="attention_norm")(x + attn).astype(dt)
+        x = ln("attention_norm")(x + attn).astype(dt)
         h = nn.Dense(cfg.intermediate_size, dtype=dt, name="mlp_in")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=dt, name="mlp_out")(h)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         name="mlp_norm")(x + h).astype(dt)
+        x = ln("mlp_norm")(x + h).astype(dt)
         return x
 
 
@@ -168,6 +201,9 @@ class BertEncoder(nn.Module):
         layer_cls = nn.remat(_Layer) if cfg.remat else _Layer
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, name=f"layer_{i}")(x, mask)
+        if cfg.pre_ln:  # pre-LN's unnormalized stream needs a final norm
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="final_norm")(x).astype(cfg.compute_dtype)
         return x  # [B, L, H]
 
     def pool(self, hidden, attention_mask):

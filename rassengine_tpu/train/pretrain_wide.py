@@ -198,12 +198,16 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
     import jax.numpy as jnp
     import optax
 
+    # pre_ln: post-LN does not train from scratch at depth (BertConfig.pre_ln
+    # docstring — round-4 measured pathology); every from-scratch pretrain
+    # here uses the pre-LN variant. convert_hf_bert checkpoints stay post-LN.
     if size == "production_large":
-        cfg = BertConfig.production_large(vocab_size)
+        cfg = dataclasses.replace(BertConfig.production_large(vocab_size),
+                                  pre_ln=True)
     elif size == "nlu":
         cfg = BertConfig(vocab_size=vocab_size, hidden_size=384,
                          num_layers=6, num_heads=6, intermediate_size=1536,
-                         max_position=128)
+                         max_position=128, pre_ln=True)
     else:
         raise ValueError(f"unknown size {size!r}")
     if vocab_dir and vocab_dir != out:
@@ -349,12 +353,15 @@ def finalize_from_resume(out: str, size: str = "production_large",
     import flax.serialization as ser
     import jax
 
+    import dataclasses
+
     if size == "production_large":
-        cfg = BertConfig.production_large(vocab_size)
+        cfg = dataclasses.replace(BertConfig.production_large(vocab_size),
+                                  pre_ln=True)
     else:
         cfg = BertConfig(vocab_size=vocab_size, hidden_size=384,
                          num_layers=6, num_heads=6, intermediate_size=1536,
-                         max_position=128)
+                         max_position=128, pre_ln=True)
     model = BertForMaskedLMIndexed(cfg)
     import optax
 

@@ -28,6 +28,14 @@ def main():
     print("tpu_worker: warming up jax…", flush=True)
     import jax
 
+    try:
+        # worker processes are disposable (sessions get poisoned by relay
+        # hiccups — CLAUDE.md); a persistent compile cache makes the next
+        # worker's warmup cheap
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as exc:  # experimental backend: cache is best-effort
+        print("tpu_worker: no persistent compile cache:", exc, flush=True)
     print("tpu_worker: devices:", jax.devices(), flush=True)
     seen = set()
     while True:
