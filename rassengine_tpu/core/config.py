@@ -157,11 +157,14 @@ class EngineConfig:
             embed_batch_size=_env_int("BATCH_SIZE", 64),
             # serving default: the shipped production 1024-d bi-encoder
             # (reference serves mxbai-embed-large, main.py:67; tests construct
-            # EngineConfig directly and stay weightless)
+            # EngineConfig directly and stay weightless). Round 4 ships the
+            # 24L/16k-vocab pre-LN encoder; the 8L round-3 checkpoint remains
+            # the fallback (and the low-latency choice via this env var).
             encoder_weights_path=os.getenv(
                 "ENCODER_WEIGHTS_PATH",
-                "./encoder_model_prod"
-                if os.path.isdir("./encoder_model_prod") else ""),
+                next((d for d in ("./encoder_model_prod24",
+                                  "./encoder_model_prod")
+                      if os.path.isdir(d)), "")),
             chunk_size=_env_int("CHUNK_SIZE", 512),
             adaptive_chunking=_env_bool("ADAPTIVE_CHUNKING", True),
             top_k=_env_int("TOP_K", 3),
@@ -182,8 +185,19 @@ class EngineConfig:
             int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),
             hybrid_select=os.getenv("HYBRID_SELECT", "auto"),
             lexical_packed_min_rows=_env_int("LEXICAL_PACKED_MIN_ROWS", 1 << 20),
-            ner_model_path=os.getenv("NER_MODEL_PATH", "./ner_model/final"),
-            intent_model_path=os.getenv("INTENT_MODEL_PATH", "./intent_model/final"),
+            # round-4 NLU checkpoints (6L/384 MLM-pretrained backbone, 16k
+            # shared vocab) take precedence when present; the round-3 tiny
+            # models remain the fallback
+            ner_model_path=os.getenv(
+                "NER_MODEL_PATH",
+                "./ner_model_wide/final"
+                if os.path.isdir("./ner_model_wide/final")
+                else "./ner_model/final"),
+            intent_model_path=os.getenv(
+                "INTENT_MODEL_PATH",
+                "./intent_model_wide/final"
+                if os.path.isdir("./intent_model_wide/final")
+                else "./intent_model/final"),
             intent_threshold=_env_float("INTENT_THRESHOLD", 0.75),
             entity_threshold=_env_float("ENTITY_THRESHOLD", 0.80),
             bluehive_api_url=os.getenv("BLUEHIVEAI_URL", ""),

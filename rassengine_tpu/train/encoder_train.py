@@ -402,7 +402,13 @@ def main(steps: int = 600, batch_size: int = 256, out: str = "./encoder_model",
     calib = None
     if saved:
         calib = calibrate_cache_threshold(embed_with(params))
-        save_params(out, params)
+        # ship bf16: matches the serving compute dtype and halves the
+        # device→host fetch (large fetches can wedge this image's tunnel)
+        cast = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, params)
+        save_params(out, cast)
         save_model_meta(out, cfg, extra=calib)
     else:
         log.error("NOT saving %s: trained recall@1 %.3f < floor %.3f "

@@ -308,7 +308,11 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
                      total_steps, window, sps)
             losses_hist.append(round(window, 4))
             del seg_losses[:-log_every]
-        if step % ckpt_every == 0:
+        # ckpt_every=0: NEVER write the 4 GB resume blob — on this image's
+        # tunnel a multi-GB device→host fetch mid-run can wedge the session
+        # (observed twice, round 4); the caller promises total_steps fits
+        # max_seconds and only the bf16 finalize fetch ships
+        if ckpt_every and step % ckpt_every == 0:
             save_resume(step)
             if os.path.exists(rp["stop"]):
                 stopped = "stop_file"
@@ -316,7 +320,7 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
             if time.time() - t0 > max_seconds:
                 stopped = "time_budget"
                 break
-    if step % ckpt_every != 0:
+    if ckpt_every and step % ckpt_every != 0:
         save_resume(step)
 
     if step >= total_steps:
