@@ -124,25 +124,41 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
               ("full", full_fn()), ("full_M32", full_fn(top_m_lex=32)),
               ("full_m32", full_fn(mm=32))]
     for name, fn in stages:
-        dt = _chain_time(fn, q0, it)
+        # relay-transient resilience: one retry per stage (the remote
+        # compile of big kernels is the step that breaks; the retry reuses
+        # the compile cache when the relay recovers)
+        for attempt in (0, 1):
+            try:
+                dt = _chain_time(fn, q0, it)
+                break
+            except Exception as exc:
+                print(f"stage {name} attempt {attempt} failed: {exc}",
+                      flush=True)
+                if attempt:
+                    dt = float("nan")
+                else:
+                    time.sleep(120)
         res[name + "_ms"] = round(dt * 1e3, 3)
-        res[name + "_qps"] = round(b / dt, 1)
+        res[name + "_qps"] = round(b / dt, 1) if dt == dt else -1.0
+        print("stage", name, res[name + "_ms"], "ms", flush=True)
 
-    # oracle gate for the full path (same tie-aware method as the suite)
+    # oracle gate for the full path (same tie-aware method as the suite);
+    # a 64-query subset keeps the one-core host f64 matmul to ~1-2 min
+    bo = min(64, b)
     s_full, r_full = full_fn()(q0)
-    qn = np.asarray(q0, np.float64)
-    lex_rows, lex_scores = (np.asarray(x) for x in
+    qn = np.asarray(q0, np.float64)[:bo]
+    lex_rows, lex_scores = (np.asarray(x)[:bo] for x in
                             _lex_scores_dispatch(view.tables, ci, wvec))
     cos = qn @ v.T.astype(np.float64)
     fused = 2.0 * cos
-    for bi in range(b):
+    for bi in range(bo):
         ok = lex_scores[bi] > -1e30
         np.add.at(fused[bi], lex_rows[bi][ok].clip(0, n - 1),
                   lex_scores[bi][ok])
     kth = -np.sort(-fused, axis=1)[:, k - 1]
-    rn = np.asarray(r_full)
+    rn = np.asarray(r_full)[:bo]
     rec = float(np.mean([
-        np.mean(fused[bi, rn[bi]] >= kth[bi] - 2e-2) for bi in range(b)]))
+        np.mean(fused[bi, rn[bi]] >= kth[bi] - 2e-2) for bi in range(bo)]))
     res["full_recall_vs_f32_oracle"] = round(rec, 4)
     res["fuse_cost_ms"] = round(res["full_ms"] - res["scan_lex_ms"], 3)
     res["lex_cost_ms"] = round(res["scan_lex_ms"] - res["scan_ms"], 3)
