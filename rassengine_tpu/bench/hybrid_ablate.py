@@ -108,7 +108,7 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
         ls, pos = jax.lax.top_k(scores, k)
         return ss[:, :k] + ls, sr[:, :k]
 
-    def full_fn(top_m_lex=64, mm=None):
+    def full_fn(top_m_lex=64, mm=None, join="all"):
         @functools.partial(jax.jit)
         def fn(qq):
             return hybrid_topk_batch(None, mask, qq, view.tables, ci, wvec,
@@ -117,12 +117,15 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
                                      scan_mode="pallas_int8",
                                      int8_tables=(cd, sd),
                                      int8_block_scales=bsd,
-                                     interpret=interp)
+                                     interpret=interp,
+                                     sem_bm_join=join)
         return fn
 
     stages = [("scan", scan_fn), ("lex", lex_fn), ("scan_lex", scan_lex_fn),
               ("full", full_fn()), ("full_M32", full_fn(top_m_lex=32)),
-              ("full_m32", full_fn(mm=32))]
+              ("full_m32", full_fn(mm=32)),
+              ("full_J", full_fn(join="topm")),
+              ("full_J_M32_m32", full_fn(top_m_lex=32, mm=32, join="topm"))]
     for name, fn in stages:
         # relay-transient resilience: one retry per stage (the remote
         # compile of big kernels is the step that breaks; the retry reuses
@@ -145,7 +148,6 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
     # oracle gate for the full path (same tie-aware method as the suite);
     # a 64-query subset keeps the one-core host f64 matmul to ~1-2 min
     bo = min(64, b)
-    s_full, r_full = full_fn()(q0)
     qn = np.asarray(q0, np.float64)[:bo]
     lex_rows, lex_scores = (np.asarray(x)[:bo] for x in
                             _lex_scores_dispatch(view.tables, ci, wvec))
@@ -156,10 +158,16 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
         np.add.at(fused[bi], lex_rows[bi][ok].clip(0, n - 1),
                   lex_scores[bi][ok])
     kth = -np.sort(-fused, axis=1)[:, k - 1]
-    rn = np.asarray(r_full)[:bo]
-    rec = float(np.mean([
-        np.mean(fused[bi, rn[bi]] >= kth[bi] - 2e-2) for bi in range(bo)]))
-    res["full_recall_vs_f32_oracle"] = round(rec, 4)
+
+    def recall_of(fn) -> float:
+        rn = np.asarray(fn(q0)[1])[:bo]
+        return float(np.mean([
+            np.mean(fused[bi, rn[bi]] >= kth[bi] - 2e-2) for bi in range(bo)]))
+
+    res["full_recall_vs_f32_oracle"] = round(recall_of(full_fn()), 4)
+    res["full_J_recall"] = round(recall_of(full_fn(join="topm")), 4)
+    res["full_J_M32_m32_recall"] = round(
+        recall_of(full_fn(top_m_lex=32, mm=32, join="topm")), 4)
     res["fuse_cost_ms"] = round(res["full_ms"] - res["scan_lex_ms"], 3)
     res["lex_cost_ms"] = round(res["scan_lex_ms"] - res["scan_ms"], 3)
     return res

@@ -85,6 +85,12 @@ class EngineConfig:
     # (max QPS; final scores carry ~0.5% bounded quantization noise —
     # bench.py gates its recall vs the f32 fused oracle).
     hybrid_select: str = "auto"         # auto | bf16 | int8 | int8only
+    # where semantic candidates collect their BM25 term in the one-dispatch
+    # hybrid: "all" = exact join vs every sparse candidate; "topm" = join vs
+    # the BM25 top-M only (deletes 8/9 of the fuse join work at production
+    # widths; a sem candidate loses BM25 evidence ranked below the M-th
+    # lexical candidate — bench/hybrid_ablate.py gates it vs the f32 oracle)
+    hybrid_sem_bm_join: str = "all"     # all | topm
     lexical_packed_min_rows: int = 1 << 20  # ≥this, 4 B/posting packed CSR
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
     ner_model_path: str = "./ner_model/final"
@@ -184,6 +190,7 @@ class EngineConfig:
             probe_single_queries=_env_bool("PROBE_SINGLE_QUERIES", True),
             int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),
             hybrid_select=os.getenv("HYBRID_SELECT", "auto"),
+            hybrid_sem_bm_join=os.getenv("HYBRID_SEM_BM_JOIN", "all"),
             lexical_packed_min_rows=_env_int("LEXICAL_PACKED_MIN_ROWS", 1 << 20),
             # round-4 NLU checkpoints (6L/384 MLM-pretrained backbone, 16k
             # shared vocab) take precedence when present; the round-3 tiny

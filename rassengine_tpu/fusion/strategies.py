@@ -867,7 +867,9 @@ class Retriever:
                     sem_weight, min(k, 256), m=m,
                     block_rows=min(idx.block_rows, idx.capacity),
                     scan_mode=mode, int8_tables=int8_tables,
-                    int8_block_scales=int8_bscales)
+                    int8_block_scales=int8_bscales,
+                    sem_bm_join=getattr(self.config, "hybrid_sem_bm_join",
+                                        "all"))
 
         try:
             top_s, top_r = run(scan_mode)

@@ -507,7 +507,8 @@ def _gather_cos(vec_source, rows, q_unit):
 
 
 def _fuse_body(vec_source, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
-               sem_scores, sem_weight, *, k: int, top_m_lex: int):
+               sem_scores, sem_weight, *, k: int, top_m_lex: int,
+               sem_bm_join: str = "all"):
     """Exact additive fusion over (BM25 top-M ∪ semantic top-m) candidates.
 
     vec_source: ``(vecs,)`` bf16 [cap, d] rows or ``(codes, scales)`` int8
@@ -515,6 +516,14 @@ def _fuse_body(vec_source, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
     unit queries, lex_rows/lex_scores from the sparse BM25 stage,
     sem_rows/sem_scores [B, m] from the device scan (scores = cosine +
     mask). Returns (scores [B, k], rows [B, k]).
+
+    ``sem_bm_join``: where semantic candidates collect their BM25 term.
+    "all" joins against every sparse candidate ([B, maxp, m] compare —
+    exact additive fusion). "topm" joins against the top-M lex candidates
+    only, reusing the dup compare — at maxp=1024/M=128/m=64 that deletes
+    8/9 of the join work; a semantic candidate whose BM25 evidence ranks
+    below the M-th lexical candidate loses that (≤ M-th score) term, so
+    run it under the oracle recall gate before trusting a new config.
     """
     cap = vec_source[0].shape[0]
     m_lex = min(top_m_lex, lex_scores.shape[1])
@@ -526,16 +535,21 @@ def _fuse_body(vec_source, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
     ok = (lm_rows < cap) & (lm_s > NEG_INF / 2)
     # drop lexical candidates the semantic branch already covers (it fuses
     # them exactly; double-listing would surface one doc twice in the top-k)
-    dup = jnp.any(lm_rows[:, :, None] == sem_rows[:, None, :], axis=2)
+    hit_top = lm_rows[:, :, None] == sem_rows[:, None, :]     # [B, M, m]
+    dup = jnp.any(hit_top, axis=2)
     fused_lex = jnp.where(ok & ~dup, fused_lex, NEG_INF)
 
     # BM25 for the semantic candidates: broadcast-compare against the sparse
     # rows and sum (duplicates hold NEG_INF → zeroed, the run-last holds the
     # total). A [B, maxp, m] compare beats vmapped searchsorted on TPU
     # (measured 1.7 ms vs 2.6 ms standalone).
-    ls0 = jnp.where(lex_scores > NEG_INF / 2, lex_scores, 0.0)
-    hit = lex_rows[:, :, None] == sem_rows[:, None, :]        # [B, maxp, m]
-    bm_sem = jnp.sum(jnp.where(hit, ls0[:, :, None], 0.0), axis=1)
+    if sem_bm_join == "topm":
+        lm_s0 = jnp.where(lm_s > NEG_INF / 2, lm_s, 0.0)
+        bm_sem = jnp.sum(jnp.where(hit_top, lm_s0[:, :, None], 0.0), axis=1)
+    else:
+        ls0 = jnp.where(lex_scores > NEG_INF / 2, lex_scores, 0.0)
+        hit = lex_rows[:, :, None] == sem_rows[:, None, :]    # [B, maxp, m]
+        bm_sem = jnp.sum(jnp.where(hit, ls0[:, :, None], 0.0), axis=1)
     sem_ok = (sem_rows >= 0) & (sem_scores > NEG_INF / 2)
     fused_sem = jnp.where(sem_ok, sem_weight * sem_scores + bm_sem, NEG_INF)
 
@@ -549,12 +563,13 @@ def _fuse_body(vec_source, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
 
 
 @partial(jax.jit, static_argnames=("k", "m", "top_m_lex", "block_rows",
-                                   "scan_mode", "interpret"))
+                                   "scan_mode", "interpret", "sem_bm_join"))
 def hybrid_topk_batch(vecs, add_mask, queries, lex_tables, chunk_ids,
                       wvec, sem_weight, k: int, m: int = 64,
                       top_m_lex: int = 128, block_rows: int = 2048,
                       scan_mode: str = "pallas", int8_tables=None,
-                      interpret: bool = False, int8_block_scales=None):
+                      interpret: bool = False, int8_block_scales=None,
+                      sem_bm_join: str = "all"):
     """The whole batched hybrid in ONE dispatch: scan + sparse BM25 + fusion.
 
     queries [B, d] raw embeddings (normalized here). ``lex_tables`` is
@@ -608,4 +623,5 @@ def hybrid_topk_batch(vecs, add_mask, queries, lex_tables, chunk_ids,
     lex_rows, lex_scores = _lex_scores_dispatch(lex_tables, chunk_ids, wvec)
     vec_source = (vecs,) if vecs is not None else int8_tables
     return _fuse_body(vec_source, add_mask, qn, lex_rows, lex_scores, sem_r,
-                      sem_s, sem_weight, k=k, top_m_lex=top_m_lex)
+                      sem_s, sem_weight, k=k, top_m_lex=top_m_lex,
+                      sem_bm_join=sem_bm_join)

@@ -394,6 +394,40 @@ def test_hybrid_int8_source_matches_exact(small_corpus, rng):
     np.testing.assert_allclose(s1, s0, rtol=2e-2, atol=2e-2)
 
 
+def test_hybrid_sem_bm_join_topm_matches_all_when_covering(small_corpus, rng):
+    """sem_bm_join="topm" joins semantic candidates' BM25 term against the
+    top-M lex candidates instead of every sparse candidate (round 4: deletes
+    8/9 of the fuse join work at production widths). When top_m_lex covers
+    every sparse candidate the two joins are algebraically identical."""
+    from rassengine_tpu.lexical.device_bm25 import hybrid_topk_batch
+
+    idx, lex = small_corpus
+    queries = [" ".join(VOCAB[i: i + 3]) for i in range(0, 12, 3)]
+    gw = {"text": 1.5, "keyword": 1.0}
+    embs = rng.normal(size=(len(queries), DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    vd = jnp.asarray(idx._vecs[: idx.capacity], jnp.bfloat16)
+    mask = jnp.zeros(idx.capacity, jnp.float32)
+    dl = DeviceLexical(lex)
+    chunk_ids, view, wvec = dl.plan(queries, gw)
+    args = (vd, mask, jnp.asarray(embs), view.tables,
+            jnp.asarray(chunk_ids), wvec, 2.0, 5)
+    # top_m_lex=128 ≥ total sparse candidates on this corpus → identical
+    s0, r0 = hybrid_topk_batch(*args, m=16, top_m_lex=128,
+                               scan_mode="xla_direct")
+    s1, r1 = hybrid_topk_batch(*args, m=16, top_m_lex=128,
+                               scan_mode="xla_direct", sem_bm_join="topm")
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-5)
+    # narrow top-M: fused scores may only DROP (a sem candidate can lose
+    # below-cut BM25 evidence, never gain any)
+    s2, _r2 = hybrid_topk_batch(*args, m=16, top_m_lex=4,
+                                scan_mode="xla_direct", sem_bm_join="topm")
+    s2 = np.asarray(s2)
+    assert (s2 <= np.asarray(s0) + 1e-4).all()
+
+
 def test_hybrid_int8_only_close_to_exact(small_corpus, rng):
     """vecs=None (>bf16-budget regime): every cosine comes from int8 codes.
     Scores must track the exact path within the ~0.5% quantization band and
