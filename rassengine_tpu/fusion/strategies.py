@@ -942,7 +942,9 @@ class Retriever:
                 sem_weight, min(k, 256), m=m,
                 use_pallas=None if self.use_pallas else False,
                 int8_tables=int8_tables,
-                int8_block_scales=int8_bscales, scale_block_rows=sbr)
+                int8_block_scales=int8_bscales, scale_block_rows=sbr,
+                sem_bm_join=getattr(self.config, "hybrid_sem_bm_join",
+                                    "all"))
         return self._fused_rows_to_hits(to_host(top_s), to_host(top_r))
 
     def exact_match_search(self, query: str, k: int = 3,

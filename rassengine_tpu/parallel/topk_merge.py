@@ -348,7 +348,8 @@ def _local_scan_int8(codes, scales, mask, qn, k: int, use_pallas: bool,
 def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
                        local_rows: int, use_pallas: bool, n_tables: int,
                        sem_weight: float, interpret: bool,
-                       int8: bool = False, scale_block_rows: int = 0):
+                       int8: bool = False, scale_block_rows: int = 0,
+                       sem_bm_join: str = "all"):
     from rassengine_tpu.index.exact import l2_normalize
     from rassengine_tpu.lexical.device_bm25 import (_fuse_body,
                                                     _lex_scores_dispatch)
@@ -412,8 +413,11 @@ def _sharded_hybrid_fn(mesh: Mesh, k: int, m: int, top_m_lex: int,
         mine = (ll >= 0) & (ll < local_rows)
         ll = jnp.where(mine, ll, local_rows)   # >= cap → dropped by _fuse_body
         lex_s = jnp.where(mine, lex_scores, NEG_INF)
+        # "topm" joins per-shard: each shard's lex top-M is over the
+        # candidates it owns, a superset of the global top-M's coverage
         s, r = _fuse_body(vec_source, msk, qn, ll, lex_s, sem_r, sem_s,
-                          jnp.float32(sem_weight), k=k, top_m_lex=top_m_lex)
+                          jnp.float32(sem_weight), k=k, top_m_lex=top_m_lex,
+                          sem_bm_join=sem_bm_join)
         r = jnp.where((r >= 0) & (s > NEG_INF / 2), r + off, -1)
         all_s = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
         all_r = jax.lax.all_gather(r, "shard", axis=1, tiled=True)
@@ -438,7 +442,8 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
                         chunk_ids, wvec, sem_weight, k: int, m: int = 64,
                         top_m_lex: int = 128, use_pallas: bool | None = None,
                         interpret: bool = False, int8_tables=None,
-                        int8_block_scales=None, scale_block_rows: int = 2048):
+                        int8_block_scales=None, scale_block_rows: int = 2048,
+                        sem_bm_join: str = "all"):
     """Row-sharded ONE-dISPATCH hybrid: per-shard (Pallas scan + sparse BM25
     + exact additive fusion) + all-gather top-k merge.
 
@@ -486,7 +491,8 @@ def sharded_hybrid_topk(mesh: Mesh, vecs, mask, queries, lex_tables,
     fn = _sharded_hybrid_fn(mesh, k, mm, top_m_lex, local, use_pallas,
                             len(lex_tables), float(sem_weight), interpret,
                             int8=int8_mode,
-                            scale_block_rows=scale_block_rows if use_bs else 0)
+                            scale_block_rows=scale_block_rows if use_bs else 0,
+                            sem_bm_join=sem_bm_join)
     sharded_cols = (vecs,) if vecs is not None else ()
     if int8_tables is not None:
         sharded_cols += tuple(int8_tables)

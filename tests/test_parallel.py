@@ -341,6 +341,14 @@ class TestShardedHybridInt8Select:
         assert (r0 == r1).all(), (r0, r1)
         np.testing.assert_allclose(s1, s0, rtol=2e-2, atol=2e-2)
 
+        # sem_bm_join="topm" at covering top-M is algebraically identical
+        # per shard (each shard's top-M is over the candidates it owns)
+        s2, r2 = sharded_hybrid_topk(*args, m=256, use_pallas=True,
+                                     interpret=True, sem_bm_join="topm")
+        s2, r2 = np.asarray(s2), np.asarray(r2)
+        assert (r0 == r2).all(), (r0, r2)
+        np.testing.assert_allclose(s2, s0, rtol=1e-5, atol=1e-5)
+
     def test_select_respects_filter(self, rng):
         import jax.numpy as jnp
         from rassengine_tpu.index.quant import quantize_int8_block
