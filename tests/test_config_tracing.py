@@ -24,6 +24,11 @@ class TestConfigFromEnv:
         assert cfg.bluehive_api_url == "http://bh.example"
         assert cfg.adaptive_chunking is False
 
+    def test_hybrid_join_knob(self, monkeypatch):
+        assert EngineConfig().hybrid_sem_bm_join == "all"
+        monkeypatch.setenv("HYBRID_SEM_BM_JOIN", "topm")
+        assert EngineConfig.from_env().hybrid_sem_bm_join == "topm"
+
     def test_bad_values_fall_back(self, monkeypatch):
         monkeypatch.setenv("TOP_K", "not-a-number")
         cfg = EngineConfig.from_env()
