@@ -84,32 +84,48 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
     # the timings that matter come from the chip
     interp = not on_tpu
 
-    @jax.jit
-    def scan_fn(qq):
+    # CRITICAL: big device arrays must be jit ARGUMENTS, never closure
+    # captures. A closed-over array embeds as an HLO constant, and on this
+    # image the whole constant ships inside the relay's remote-compile HTTP
+    # payload — a ~1 GB codes table breaks the pipe 100% of the time (three
+    # broken runs before this was found). hybrid_topk_batch and
+    # fused_topk_int8_pooled are themselves jitted with array params, so
+    # plain-python wrappers cost nothing.
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def _scan(cd_, sd_, bsd_, mask_, qq, kk):
         qn = qq / jnp.maximum(jnp.linalg.norm(qq, axis=-1, keepdims=True),
                               1e-12)
-        return fused_topk_int8_pooled(cd, sd, qn, mask, m, block_rows,
-                                      block_scales=bsd, interpret=interp)
+        return fused_topk_int8_pooled(cd_, sd_, qn, mask_, kk, block_rows,
+                                      block_scales=bsd_, interpret=interp)
+
+    def scan_fn(qq):
+        return _scan(cd, sd, bsd, mask, qq, m)
 
     @jax.jit
-    def lex_fn(qq):
-        rows, scores = _lex_scores_dispatch(view.tables, ci, wvec)
+    def _lex(tables, ci_, wvec_, qq):
+        rows, scores = _lex_scores_dispatch(tables, ci_, wvec_)
         s, pos = jax.lax.top_k(scores, k)
         # chain hook: tie the output to qq so _chain_time serializes
         return s + 0.0 * qq[:, :1], jnp.take_along_axis(rows, pos, axis=1)
 
-    @jax.jit
-    def scan_lex_fn(qq):
+    def lex_fn(qq):
+        return _lex(view.tables, ci, wvec, qq)
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def _scan_lex(cd_, sd_, bsd_, mask_, tables, ci_, wvec_, qq, kk):
         qn = qq / jnp.maximum(jnp.linalg.norm(qq, axis=-1, keepdims=True),
                               1e-12)
-        ss, sr = fused_topk_int8_pooled(cd, sd, qn, mask, m, block_rows,
-                                        block_scales=bsd, interpret=interp)
-        rows, scores = _lex_scores_dispatch(view.tables, ci, wvec)
+        ss, sr = fused_topk_int8_pooled(cd_, sd_, qn, mask_, kk, block_rows,
+                                        block_scales=bsd_, interpret=interp)
+        rows, scores = _lex_scores_dispatch(tables, ci_, wvec_)
         ls, pos = jax.lax.top_k(scores, k)
         return ss[:, :k] + ls, sr[:, :k]
 
+    def scan_lex_fn(qq):
+        return _scan_lex(cd, sd, bsd, mask, view.tables, ci, wvec, qq, m)
+
     def full_fn(top_m_lex=64, mm=None, join="all"):
-        @functools.partial(jax.jit)
         def fn(qq):
             return hybrid_topk_batch(None, mask, qq, view.tables, ci, wvec,
                                      2.0, k, m=mm or m, top_m_lex=top_m_lex,
