@@ -125,7 +125,9 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
     def scan_lex_fn(qq):
         return _scan_lex(cd, sd, bsd, mask, view.tables, ci, wvec, qq, m)
 
-    def full_fn(top_m_lex=64, mm=None, join="all"):
+    def full_fn(top_m_lex=128, mm=None, join="all"):
+        # top_m_lex=128 = the production default (strategies passes
+        # hybrid_topk_batch's default) — "full" must measure what serves
         def fn(qq):
             return hybrid_topk_batch(None, mask, qq, view.tables, ci, wvec,
                                      2.0, k, m=mm or m, top_m_lex=top_m_lex,
@@ -142,24 +144,30 @@ def run(scale: str = "full", seed: int = 0, k: int = 5,
               ("full_m32", full_fn(mm=32)),
               ("full_J", full_fn(join="topm")),
               ("full_J_M32_m32", full_fn(top_m_lex=32, mm=32, join="topm"))]
-    for name, fn in stages:
-        # relay-transient resilience: one retry per stage (the remote
-        # compile of big kernels is the step that breaks; the retry reuses
-        # the compile cache when the relay recovers)
-        for attempt in (0, 1):
-            try:
-                dt = _chain_time(fn, q0, it)
-                break
-            except Exception as exc:
-                print(f"stage {name} attempt {attempt} failed: {exc}",
-                      flush=True)
-                if attempt:
-                    dt = float("nan")
-                else:
-                    time.sleep(120)
+    # tunnel throughput drifts on minute scales (a sequential pass measured
+    # the SAME kernel 3× apart depending on when it ran), so interleave:
+    # three round-robin reps per stage, keep the per-stage MIN
+    best: dict = {}
+    for rep in range(3 if on_tpu else 1):
+        for name, fn in stages:
+            for attempt in (0, 1):
+                try:
+                    dt = _chain_time(fn, q0, it)
+                    break
+                except Exception as exc:
+                    print(f"stage {name} attempt {attempt} failed: "
+                          f"{exc}", flush=True)
+                    if attempt:
+                        dt = float("nan")
+                    else:
+                        time.sleep(120)
+            if dt == dt:
+                best[name] = min(best.get(name, dt), dt)
+            print(f"rep{rep} {name} {dt * 1e3:.3f} ms", flush=True)
+    for name, _fn in stages:
+        dt = best.get(name, float("nan"))
         res[name + "_ms"] = round(dt * 1e3, 3)
         res[name + "_qps"] = round(b / dt, 1) if dt == dt else -1.0
-        print("stage", name, res[name + "_ms"], "ms", flush=True)
 
     # oracle gate for the full path (same tie-aware method as the suite);
     # a 64-query subset keeps the one-core host f64 matmul to ~1-2 min
