@@ -41,8 +41,12 @@ class Embedder:
             if self.config.encoder_weights_path:
                 # our trained checkpoints carry their config; bare HF dirs
                 # (mxbai-embed-large class) default to BERT-large
-                bert_cfg = (BertConfig(**meta["bert_config"]) if meta
+                bert_cfg = (BertConfig(**{**meta["bert_config"],
+                                          "remat": False}) if meta
                             else BertConfig.large())
+                # remat is a training-only memory trade; serving never takes
+                # grads, so force it off even for checkpoints whose meta
+                # predates save_model_meta's remat scrub
             else:
                 # weightless mode: tiny deterministic encoder (tests/benches)
                 bert_cfg = BertConfig.tiny()

@@ -106,7 +106,8 @@ class ModelIntentClassifier:
         from rassengine_tpu.train.serialization import load_model_meta
 
         meta = load_model_meta(path)
-        cfg = BertConfig(**meta["bert_config"]) if meta else BertConfig.tiny()
+        cfg = (BertConfig(**{**meta["bert_config"], "remat": False})
+               if meta else BertConfig.tiny())  # remat is training-only
         self.model = BertForSequenceClassification(cfg, num_labels=len(ALL_INTENTS))
         # bucket to the TRAINED sequence length (train/intent_train.py
         # truncates to 64): longer buckets would feed position embeddings

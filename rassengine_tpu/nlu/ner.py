@@ -176,7 +176,8 @@ class ModelNER:
         from rassengine_tpu.train.serialization import load_model_meta
 
         meta = load_model_meta(path)
-        cfg = BertConfig(**meta["bert_config"]) if meta else BertConfig.tiny()
+        cfg = (BertConfig(**{**meta["bert_config"], "remat": False})
+               if meta else BertConfig.tiny())  # remat is training-only
         self.model = BertForTokenClassification(cfg, num_labels=NUM_BIO_LABELS)
         # trained length (train/ner_train.py MAX_LEN) — see intent.py note
         self.max_len = int((meta or {}).get("max_seq_len", 64))
