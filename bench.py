@@ -172,12 +172,22 @@ def main() -> None:
         t_l = time.perf_counter() - t0
         return (t_l - t_s) / n_iter
 
-    # the tunnel's dispatch constant drifts ±10% across minutes; report the
-    # best of three slope measurements (each already cancels the constant —
-    # the min tracks steady-state device throughput, which is the portable
-    # number). Every gate-passing path is timed; the headline is the fastest.
-    dts = {name: min(slope(fn, replan=False) for _ in range(3))
-           for name, fn in paths.items() if recalls[name] >= 0.99}
+    # the tunnel's throughput drifts ±3 ms on MINUTE scales (BENCH.md hybrid-
+    # ablation finding), so reps are INTERLEAVED round-robin across paths —
+    # consecutive same-path reps would share one drift regime and bias both
+    # the A/B and the headline (VERDICT r4 #3: the round-3/4 headline moved
+    # ±17% run-to-run with per-path-sequential reps). Min-of-N tracks
+    # steady-state device throughput (each slope already cancels the
+    # dispatch constant); the spread across reps is reported so a drifty
+    # capture is visible in the JSON line itself.
+    N_REPS = 4
+    reps: dict[str, list[float]] = {
+        name: [] for name in paths if recalls[name] >= 0.99}
+    for _ in range(N_REPS):
+        for name in reps:
+            reps[name].append(slope(paths[name], replan=False))
+    dts = {name: min(r) for name, r in reps.items()}
+    spreads = {name: (max(r) - min(r)) / min(r) for name, r in reps.items()}
     best = min(dts, key=dts.get)
     dt = dts[best]
     dt_up = slope(paths[best], replan=True)
@@ -195,7 +205,8 @@ def main() -> None:
                            else "default"),
         "recall_vs_fused_oracle": round(recalls[best], 4),
         "per_path": {n_: {"ms": round(t_ * 1e3, 3),
-                          "recall": round(recalls[n_], 4)}
+                          "recall": round(recalls[n_], 4),
+                          "rep_spread_pct": round(100 * spreads[n_], 1)}
                      for n_, t_ in dts.items()},
         "qps_with_per_batch_upload": round(b / dt_up, 1),
     }))

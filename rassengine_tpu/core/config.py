@@ -155,6 +155,17 @@ class EngineConfig:
     # chats provisioned out of band); False keeps standalone auto-provision
     strict_chat_auth: bool = False
 
+    def __post_init__(self):
+        # enum knobs fail at CONSTRUCTION (startup for from_env), not on the
+        # first query: a typo like HYBRID_SEM_BM_JOIN=top_m silently taking
+        # the "all" branch is how an A/B measures the wrong join (ADVICE r4)
+        if self.hybrid_sem_bm_join not in ("all", "topm"):
+            raise ValueError("HYBRID_SEM_BM_JOIN must be 'all' or 'topm', "
+                             f"got {self.hybrid_sem_bm_join!r}")
+        if self.hybrid_select not in ("auto", "bf16", "int8", "int8only"):
+            raise ValueError("HYBRID_SELECT must be one of auto|bf16|int8|"
+                             f"int8only, got {self.hybrid_select!r}")
+
     @staticmethod
     def from_env(**overrides) -> "EngineConfig":
         base = dict(

@@ -543,6 +543,12 @@ def _fuse_body(vec_source, add_mask, q_unit, lex_rows, lex_scores, sem_rows,
     # rows and sum (duplicates hold NEG_INF → zeroed, the run-last holds the
     # total). A [B, maxp, m] compare beats vmapped searchsorted on TPU
     # (measured 1.7 ms vs 2.6 ms standalone).
+    if sem_bm_join not in ("all", "topm"):
+        # a typo (e.g. "top_m") must not silently measure the "all" join —
+        # this knob exists for A/Bs, so a misconfigured A/B is the failure
+        # mode that matters (ADVICE r4)
+        raise ValueError(
+            f"sem_bm_join must be 'all' or 'topm', got {sem_bm_join!r}")
     if sem_bm_join == "topm":
         lm_s0 = jnp.where(lm_s > NEG_INF / 2, lm_s, 0.0)
         bm_sem = jnp.sum(jnp.where(hit_top, lm_s0[:, :, None], 0.0), axis=1)

@@ -292,9 +292,14 @@ class IntentClassifier:
             # data (oov_conf from train-time calibration) may win without
             # cue support — the subword vocabulary gives unseen surface
             # forms trained embeddings, unlike the from-scratch models the
-            # cue gate was built for
+            # cue gate was built for. Restricted to queries with NO cue
+            # evidence at all (support == ∅): when in-vocabulary cues
+            # actively support a DIFFERENT intent, the query is
+            # contradicted, not out-of-vocabulary, and calibrate_oov_conf
+            # only measured the unseen-cue split (ADVICE r4)
             oov_conf = getattr(self.model, "oov_conf", None)
-            if not supported and oov_conf is not None and conf >= oov_conf:
+            if (not supported and support is not None and not support
+                    and oov_conf is not None and conf >= oov_conf):
                 out.append((intent, conf))
                 continue
             rule_intent, rule_conf = self.rules.classify(q)

@@ -15,6 +15,7 @@ observability endpoints).
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import json
 import logging
 import os
@@ -43,6 +44,18 @@ def secure_filename(name: str) -> str:
     name = os.path.basename(name or "")
     name = _SAFE_NAME_RE.sub("_", name).strip("._") or "upload"
     return name[:128]
+
+
+async def _ws_try_send(ws: WebSocket, text: str) -> bool:
+    """Send on a socket the client may already have abandoned. A vanished
+    client is a normal disconnect, not a server error (ADVICE r4: the
+    [ERROR]/[DONE] writes in the ws_ask error branches raised on dead
+    sockets; every write after the stream began must tolerate one)."""
+    try:
+        await ws.send_text(text)
+        return True
+    except ConnectionError:
+        return False
 
 
 def _make_audit(engine: RassEngine) -> AuditLog:
@@ -141,16 +154,21 @@ def build_app(engine: RassEngine, service: AskService | None = None,
         prisma/schema.prisma). Follower hosts set
         ``DATABASE_PATH=http://this-host:port`` and their RemoteChatStore
         calls land here, so ownership/403 semantics are fleet-consistent.
-        Requires API_TOKEN: the ops manipulate chat ownership, so the
-        endpoint refuses to exist on an unauthenticated deployment."""
+        Requires ADMIN_TOKEN (the fleet-internal secret, via X-Admin-Token)
+        — NOT the client bearer token: these ops read/write arbitrary
+        chats' ownership and history, bypassing AskService._authorize, so a
+        token any /ask client holds must not open them (ADVICE r4). The
+        endpoint refuses to exist when no admin token is configured — the
+        reference's counterpart (Postgres) is likewise never on the HTTP
+        surface."""
         from rassengine_tpu.serve.chatdb_remote import handle_chat_op
 
-        if not engine.config.api_token:
+        if not engine.config.admin_token:
             return Response.error(
-                403, "shared chat store requires API_TOKEN on the primary")
-        denied = _api_denied(engine.config, req)
-        if denied is not None:
-            return denied
+                403, "shared chat store requires ADMIN_TOKEN on the primary")
+        if req.headers.get("x-admin-token") != engine.config.admin_token:
+            audit.emit("internal.chat", status="denied")
+            return Response.error(401, "admin token required")
         try:
             payload = req.json() or {}
         except json.JSONDecodeError:
@@ -196,11 +214,15 @@ def build_app(engine: RassEngine, service: AskService | None = None,
         # reference: one JSON request per connection, tokens streamed back,
         # "[DONE]" sentinel, connection stays open for the next query
         if _api_denied(engine.config, req) is not None:
-            await ws.send_text("[ERROR] missing or invalid bearer token")
-            await ws.close()
+            if await _ws_try_send(ws, "[ERROR] missing or invalid bearer token"):
+                with contextlib.suppress(ConnectionError):
+                    await ws.close()
             return
         while True:
-            raw = await ws.recv_text()
+            try:
+                raw = await ws.recv_text()
+            except ConnectionError:
+                return  # client gone between queries: normal disconnect
             if raw is None:
                 return
             user_id = chat_id = ""
@@ -233,15 +255,16 @@ def build_app(engine: RassEngine, service: AskService | None = None,
             except AuthorizationError as e:
                 audit.emit("ask", user_id, status="denied", chat_id=chat_id,
                            transport="ws")
-                await ws.send_text(f"[ERROR] {e}")
+                if not await _ws_try_send(ws, f"[ERROR] {e}"):
+                    return
             except (json.JSONDecodeError, ValidationError) as e:
-                await ws.send_text(f"[ERROR] {e}")
+                if not await _ws_try_send(ws, f"[ERROR] {e}"):
+                    return
             except Exception as e:
                 log.exception("ws error")
-                await ws.send_text(f"[ERROR] {e}")
-            try:
-                await ws.send_text("[DONE]")
-            except ConnectionError:
+                if not await _ws_try_send(ws, f"[ERROR] {e}"):
+                    return
+            if not await _ws_try_send(ws, "[DONE]"):
                 return
 
     return app

@@ -84,8 +84,10 @@ class AskService:
         # or http://chat-primary:port (fleet follower — chatdb_remote.py)
         from rassengine_tpu.serve.chatdb_remote import open_chat_store
 
+        # followers authenticate to the chat primary with the FLEET secret
+        # (ADMIN_TOKEN), never the client bearer token (ADVICE r4)
         self.db = db or open_chat_store(self.config.database_path,
-                                        self.config.api_token)
+                                        self.config.admin_token)
         self.llm = llm or make_llm(self.config)
         use_cache = self.config.cache_enabled and getattr(
             engine.embedder, "trusted_semantics", True)

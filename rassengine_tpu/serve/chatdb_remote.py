@@ -8,8 +8,11 @@ sqlite (serve/db.py) — correct on one host, silently fleet-inconsistent when
 shared topology without adopting an external database:
 
 - ONE host (the **chat primary**) owns the sqlite file and exposes it at
-  ``POST /internal/chat`` (serve/app.py; requires ``API_TOKEN`` — the
-  endpoint refuses to exist unauthenticated since it manipulates ownership).
+  ``POST /internal/chat`` (serve/app.py; requires ``ADMIN_TOKEN``, the
+  fleet-internal secret sent as ``X-Admin-Token`` — NOT the client bearer
+  token, which any /ask client holds and must not be able to read or
+  rewrite arbitrary chats with. The endpoint refuses to exist when no
+  admin token is configured).
 - Every other host sets ``DATABASE_PATH=http://primary:8000``, which
   ``open_chat_store`` resolves to a ``RemoteChatStore`` — the same interface
   speaking a tiny JSON op protocol, so ``AskService._authorize`` returns the
@@ -90,7 +93,8 @@ class RemoteChatStore:
         headers = {"Content-Type": "application/json",
                    "Content-Length": str(len(body))}
         if self._token:
-            headers["Authorization"] = f"Bearer {self._token}"
+            headers["X-Admin-Token"] = self._token  # fleet secret, not the
+            # client bearer token (see module docstring / serve/app.py)
         for attempt in (0, 1):
             conn = self._conn()
             try:

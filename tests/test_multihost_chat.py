@@ -43,7 +43,7 @@ async def main():
         embed_dim=32, embed_batch_size=4, index_capacity=512,
         index_block_rows=512, database_path=sys.argv[1], llm_backend="echo",
         intent_model_path="/nonexistent", ner_model_path="/nonexistent",
-        api_token="fleet-secret",
+        admin_token="fleet-secret", api_token="client-token",
     )
     eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
     app = build_app(eng)
@@ -81,7 +81,7 @@ def follower_service(primary):
         embed_dim=32, embed_batch_size=4, index_capacity=512,
         index_block_rows=512, database_path=primary, llm_backend="echo",
         intent_model_path="/nonexistent", ner_model_path="/nonexistent",
-        api_token=TOKEN,
+        admin_token=TOKEN,
     )
     eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
     svc = AskService(eng)  # open_chat_store resolves the URL → RemoteChatStore
@@ -124,6 +124,27 @@ class TestFleetChat:
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req, timeout=5)
         assert exc.value.code == 401
+
+    def test_client_bearer_token_does_not_open_internal_chat(self, primary):
+        """ADVICE r4 (medium): /internal/chat reads/writes arbitrary chats,
+        so the shared client API token must NOT open it — only the fleet
+        ADMIN_TOKEN does (the primary above runs with BOTH configured)."""
+        body = json.dumps({"op": "chat_owner",
+                           "args": {"chat_id": "fleet-chat"}}).encode()
+        req = urllib.request.Request(
+            primary + "/internal/chat", data=body,
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer client-token"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=5)
+        assert exc.value.code == 401
+        # and the fleet secret DOES open it
+        req = urllib.request.Request(
+            primary + "/internal/chat", data=body,
+            headers={"Content-Type": "application/json",
+                     "X-Admin-Token": TOKEN})
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            assert resp.status == 200
 
     def test_endpoint_rejects_unknown_ops(self, primary):
         store = RemoteChatStore(primary, TOKEN)
