@@ -238,15 +238,19 @@ class RassEngine:
             # row; its postings must go too or they inflate BM25 stats
             evict = t.lexical.remove_doc
             with t.lock:
+                rows: list[int] = []
                 for d in structured:
-                    row = t.index.upsert(d, None, on_move=evict)
-                    t.lexical.index_doc(row, d)
+                    rows.append(t.index.upsert(d, None, on_move=evict))
                     n += 1
                 for i, d in enumerate(unstructured):
-                    row = t.index.upsert(d, embs[i] if embs is not None else None,
-                                         on_move=evict)
-                    t.lexical.index_doc(row, d)
+                    rows.append(t.index.upsert(
+                        d, embs[i] if embs is not None else None,
+                        on_move=evict))
                     n += 1
+                # one batched postings build for the whole request — the
+                # per-doc path is 75% tiny-ndarray/dict overhead (bm25.py
+                # index_docs docstring; VERDICT r4 #4)
+                t.lexical.index_docs(rows, structured + unstructured)
                 # shard-region moves on re-upsert leave tombstones too
                 self._maybe_compact(t)
         log.info("indexed %d docs into %s (total %d)", n, t.name, t.index.count)
@@ -282,10 +286,10 @@ class RassEngine:
         with t.lock:
             kept = t.index.compact()
             lexical = LexicalIndex()
-            for row in np.nonzero(t.index._allocated)[0]:
-                doc = t.index.docs[int(row)]
-                if doc is not None:
-                    lexical.index_doc(int(row), doc)
+            live = [(int(row), t.index.docs[int(row)])
+                    for row in np.nonzero(t.index._allocated)[0]
+                    if t.index.docs[int(row)] is not None]
+            lexical.index_docs([r for r, _ in live], [d for _, d in live])
             t.lexical = lexical
             t.retriever.lexical = lexical
             t.retriever._device_lexical = None

@@ -83,6 +83,9 @@ _FIELD_GROUP_BOOSTS = {
     f: np.array([FIELD_GROUPS[g].get(f, 0.0) for g in GROUP_NAMES], np.float32)
     for f in _ALL_FIELDS
 }
+# stable iteration order + dense matrix form for the batched indexer
+_FIELD_BOOST_ITEMS = tuple(_FIELD_GROUP_BOOSTS.items())
+_FIELD_BOOST_MATRIX = np.stack([b for _f, b in _FIELD_BOOST_ITEMS])
 
 
 def analyze(text: str, bigrams: bool = False) -> list[str]:
@@ -124,12 +127,76 @@ def damerau1(a: str, b: str) -> bool:
 
 
 class _Posting:
-    __slots__ = ("rows", "wtf", "fin")
+    """Columnar posting list: one int32 row array + one [n, N_GROUPS] f32
+    weighted-tf matrix, amortized-doubling capacity.
 
-    def __init__(self):
-        self.rows: list[int] = []
-        self.wtf: list[np.ndarray] = []  # per entry: [N_GROUPS] weighted tf
+    Round 5 (VERDICT r4 #4): the previous list-of-tiny-ndarrays layout made
+    BOTH the ingest index stage (a dict op per token + a [N_GROUPS] ndarray
+    per repeated term) and the device-view flush (``np.stack`` over
+    thousands of 4-float arrays per term) per-element Python work. Columnar
+    storage turns batch appends into slab copies and ``finalize`` into two
+    O(1) views. ``fin`` holders never outlive a mutation: every consumer
+    copies via boolean masking before the next index/remove call, and every
+    mutation clears ``fin``.
+    """
+
+    __slots__ = ("n", "_rows", "_wtf", "fin")
+
+    def __init__(self, cap: int = 4):
+        self.n = 0
+        self._rows = np.empty(cap, np.int32)
+        self._wtf = np.empty((cap, N_GROUPS), np.float32)
         self.fin: tuple[np.ndarray, np.ndarray] | None = None  # finalized cache
+
+    @property
+    def rows(self) -> np.ndarray:
+        return self._rows[: self.n]
+
+    @property
+    def wtf(self) -> np.ndarray:
+        return self._wtf[: self.n]
+
+    def _grow(self, need: int) -> None:
+        cap = self._rows.shape[0]
+        if self.n + need <= cap:
+            return
+        new_cap = max(self.n + need, 2 * cap)
+        rows = np.empty(new_cap, np.int32)
+        wtf = np.empty((new_cap, N_GROUPS), np.float32)
+        rows[: self.n] = self._rows[: self.n]
+        wtf[: self.n] = self._wtf[: self.n]
+        self._rows, self._wtf = rows, wtf
+
+    def append(self, row: int, wtf: np.ndarray) -> None:
+        self._grow(1)
+        self._rows[self.n] = row
+        self._wtf[self.n] = wtf
+        self.n += 1
+        self.fin = None
+
+    def extend_slab(self, rows: np.ndarray, wtf: np.ndarray) -> None:
+        k = rows.shape[0]
+        self._grow(k)
+        self._rows[self.n : self.n + k] = rows
+        self._wtf[self.n : self.n + k] = wtf
+        self.n += k
+        self.fin = None
+
+    def remove_row(self, row: int) -> bool:
+        hit = np.nonzero(self._rows[: self.n] == row)[0]
+        if hit.size == 0:
+            return False
+        i = int(hit[0])
+        self._rows[i : self.n - 1] = self._rows[i + 1 : self.n]
+        self._wtf[i : self.n - 1] = self._wtf[i + 1 : self.n]
+        self.n -= 1
+        self.fin = None
+        return True
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.fin is None:
+            self.fin = (self._rows[: self.n], self._wtf[: self.n])
+        return self.fin
 
 
 class LexicalIndex:
@@ -189,14 +256,115 @@ class LexicalIndex:
             p = self._postings.get(t)
             if p is None:
                 p = self._postings[t] = _Posting()
-            p.rows.append(row)
-            p.wtf.append(wtf)
-            p.fin = None
+            p.append(row, wtf)
         self._doc_len[row] = length
         self._row_terms[row] = list(bag)
         self._mutated()
         for t in bag:
             self._touched[t] = self.generation
+
+    def index_docs(self, rows: list[int], docs: list[dict]) -> None:
+        """Batched ``index_doc``: one numpy groupby for the whole batch.
+
+        The per-doc path costs ~0.45 ms/doc in pure-Python postings work —
+        a dict op per TOKEN and a tiny [N_GROUPS] ndarray add per repeated
+        term (profiled: 75% of the ingest ``index`` stage, VERDICT r4 #4).
+        Here token streams from the whole batch flatten into integer arrays
+        (term ids interned per batch), the per-(row, term) weighted-tf
+        matrix accumulates with one ``np.add.at``, and postings extend in
+        per-term slabs. Produces byte-identical posting entries (same
+        (row, wtf) pairs; per-term append order is batch order), so every
+        consumer — finalize, delta flush, removal — is unchanged.
+        """
+        if not rows:
+            return
+        # duplicate rows in one batch (same doc_id upserted twice) would
+        # yield two posting entries for one (row, term); keep the LAST doc
+        # per row, matching sequential re-upsert semantics
+        if len(set(rows)) != len(rows):
+            last = {}
+            for i, r in enumerate(rows):
+                last[r] = i
+            keep = sorted(last.values())
+            rows = [rows[i] for i in keep]
+            docs = [docs[i] for i in keep]
+        self._ensure_len(max(rows))
+        for row in rows:
+            if self._row_terms.get(row):
+                self._remove_row(row)
+            if not np.any(self._doc_len[row]):
+                self._n_docs += 1
+        B = len(rows)
+        vocab: dict[str, int] = {}
+        terms_list: list[str] = []
+        occ_tid: list[int] = []
+        occ_doc: list[int] = []
+        occ_fid: list[int] = []
+        lengths = np.zeros((B, N_GROUPS), np.float32)
+        setdefault = vocab.setdefault
+        for j, doc in enumerate(docs):
+            for fid, (field, gboosts) in enumerate(_FIELD_BOOST_ITEMS):
+                val = doc.get(field)
+                if not val:
+                    continue
+                terms = analyze(str(val), bigrams=True)
+                if not terms:
+                    continue
+                for t in terms:
+                    tid = setdefault(t, len(terms_list))
+                    if tid == len(terms_list):
+                        terms_list.append(t)
+                    occ_tid.append(tid)
+                occ_doc.extend([j] * len(terms))
+                occ_fid.extend([fid] * len(terms))
+                n_uni = sum(1 for t in terms if "_" not in t)
+                lengths[j] += n_uni * gboosts
+        if not occ_tid:
+            for j, row in enumerate(rows):
+                self._doc_len[row] = lengths[j]
+                self._row_terms[row] = []
+            self._mutated()
+            return
+        tid = np.asarray(occ_tid, np.int64)
+        dj = np.asarray(occ_doc, np.int64)
+        fid = np.asarray(occ_fid, np.int64)
+        key = tid * B + dj
+        uk, inv = np.unique(key, return_inverse=True)
+        wtf = np.zeros((uk.size, N_GROUPS), np.float32)
+        np.add.at(wtf, inv, _FIELD_BOOST_MATRIX[fid])
+        u_tid = (uk // B).astype(np.int64)
+        u_doc = (uk % B).astype(np.int64)
+        row_arr = np.asarray(rows, np.int64)
+        u_rows = row_arr[u_doc]
+        # uk is sorted, so u_tid is non-decreasing: consecutive runs are the
+        # per-term slabs
+        bounds = np.flatnonzero(np.diff(u_tid)) + 1
+        starts = np.concatenate(([0], bounds, [u_tid.size]))
+        gen = self.generation + 1  # matches the _mutated() below
+        postings = self._postings
+        touched = self._touched
+        for gi in range(starts.size - 1):
+            lo, hi = int(starts[gi]), int(starts[gi + 1])
+            t = terms_list[int(u_tid[lo])]
+            p = postings.get(t)
+            if p is None:
+                p = postings[t] = _Posting(cap=hi - lo)
+            p.extend_slab(u_rows[lo:hi], wtf[lo:hi])
+            touched[t] = gen
+        # per-row term lists (removal support): group the unique pairs by doc
+        order = np.argsort(u_doc, kind="stable")
+        od = u_doc[order]
+        dbounds = np.flatnonzero(np.diff(od)) + 1
+        dstarts = np.concatenate(([0], dbounds, [od.size]))
+        for gi in range(dstarts.size - 1):
+            lo, hi = int(dstarts[gi]), int(dstarts[gi + 1])
+            j = int(od[lo])
+            self._row_terms[rows[j]] = [terms_list[int(u_tid[o])]
+                                        for o in order[lo:hi]]
+        for j, row in enumerate(rows):
+            self._doc_len[row] = lengths[j]
+            self._row_terms.setdefault(row, [])
+        self._mutated()
 
     def remove_doc(self, row: int) -> None:
         """Drop a document's postings (delete-by-doc_id support)."""
@@ -208,6 +376,9 @@ class LexicalIndex:
         import bisect
 
         starts = [o for o, _n, _u in moves]
+        starts_a = np.asarray(starts, np.int64)
+        # per-region delta (new_start - old_start), applied vectorized
+        delta_a = np.asarray([nn - o for o, nn, _u in moves], np.int64)
 
         def remap(r: int) -> int:
             i = bisect.bisect_right(starts, r) - 1
@@ -215,7 +386,9 @@ class LexicalIndex:
             return r - o + nn
 
         for p in self._postings.values():
-            p.rows = [remap(r) for r in p.rows]
+            live = p._rows[: p.n].astype(np.int64)
+            idx = np.searchsorted(starts_a, live, side="right") - 1
+            p._rows[: p.n] = (live + delta_a[idx]).astype(np.int32)
             p.fin = None
         self._row_terms = {remap(r): t for r, t in self._row_terms.items()}
         new_rows = max((nn + u for _o, nn, u in moves), default=0)
@@ -232,14 +405,9 @@ class LexicalIndex:
             p = self._postings.get(t)
             if p is None:
                 continue
-            try:
-                i = p.rows.index(row)
-            except ValueError:
+            if not p.remove_row(row):
                 continue
-            p.rows.pop(i)
-            p.wtf.pop(i)
-            p.fin = None
-            if not p.rows:
+            if p.n == 0:
                 del self._postings[t]
         if np.any(self._doc_len[row]):
             self._n_docs -= 1
@@ -310,7 +478,7 @@ class LexicalIndex:
         good = sorted(c for c in cands if damerau1(term, c))
         # prefer the most common neighbors (highest df) like OpenSearch's
         # fuzzy expansion; df = posting length
-        good.sort(key=lambda t: -len(self._postings[t].rows))
+        good.sort(key=lambda t: -self._postings[t].n)
         return good[:limit]
 
     def _select_postings(self, query: str, cap: int, g: int, *,
@@ -337,10 +505,7 @@ class LexicalIndex:
             p = self._postings.get(t)
             if p is None:
                 continue
-            if p.fin is None:
-                p.fin = (np.asarray(p.rows, np.int32),
-                         np.stack(p.wtf).astype(np.float32))
-            rows_all, wtf_all = p.fin
+            rows_all, wtf_all = p.finalize()
             wtf_g = wtf_all[:, g]
             live = (wtf_g > 0) & (rows_all < cap)
             rows = rows_all[live]

@@ -244,11 +244,8 @@ class DeviceLexical:
             for t, p in lex._postings.items():
                 if "_" in t:  # bigram postings: host phrase scoring only
                     continue
-                flushed_len[t] = len(p.rows)
-                if p.fin is None:
-                    p.fin = (np.asarray(p.rows, np.int32),
-                             np.stack(p.wtf).astype(np.float32))
-                rows_all, wtf_all = p.fin
+                flushed_len[t] = p.n
+                rows_all, wtf_all = p.finalize()
                 wtf = wtf_all[:, g]
                 live = wtf > 0
                 if not live.any():
@@ -308,10 +305,10 @@ class DeviceLexical:
                 if p is None:
                     continue
                 start = v.flushed_len.get(t, 0)
-                rows_new = np.asarray(p.rows[start:], np.int32)
+                rows_new = p.rows[start:]
                 if rows_new.size == 0:
                     continue
-                wtf_all = np.stack(p.wtf).astype(np.float32)[:, g]
+                wtf_all = p.wtf[:, g]
                 wtf = wtf_all[start:]
                 live = wtf > 0
                 if not live.any():
@@ -329,7 +326,7 @@ class DeviceLexical:
         for t in touched:
             p = lex._postings.get(t)
             if p is not None:
-                flushed_len[t] = len(p.rows)
+                flushed_len[t] = p.n
         if not rows_parts:  # touched terms had no live postings for groups
             return GroupView(v.rows2d, v.contrib2d, terms, lex.generation,
                              v.chunk_group, flushed_len, v.destructive_gen,

@@ -170,3 +170,94 @@ class TestFuzzy:
         # "cart" is in-vocab: fuzzy must not bleed into "care"
         rows, _ = lex.score_sparse("cart", 16, "text", fuzzy=True)
         assert rows.tolist() == [0]
+
+
+class TestBatchedIndexing:
+    """index_docs must produce byte-identical state to sequential index_doc
+    (same postings (row, wtf) pairs, doc lengths, n_docs, scores) — it is the
+    ingest hot path (engine.ingest_docs batches one call per request)."""
+
+    def _rich_docs(self):
+        docs = make_docs() * 3
+        docs += [
+            {},  # no indexable fields
+            {"unstructuredText": ""},  # empty value
+            {"patientName": "Ada Lovelace", "conditionCodeText": "chest pain",
+             "unstructuredText": "chest pain pain chest stable on therapy"},
+        ]
+        return docs
+
+    def _assert_same(self, a, b):
+        assert a._n_docs == b._n_docs
+        assert set(a._postings) == set(b._postings)
+        for t, pa in a._postings.items():
+            pb = b._postings[t]
+            # per-term entries must match as (row, wtf) SETS with identical
+            # values; batch order within a term may differ from doc order
+            ea = sorted((r, tuple(w.tolist())) for r, w in zip(pa.rows, pa.wtf))
+            eb = sorted((r, tuple(w.tolist())) for r, w in zip(pb.rows, pb.wtf))
+            assert ea == eb, t
+        n = max(a._doc_len.shape[0], b._doc_len.shape[0])
+        za = np.zeros((n, a._doc_len.shape[1]), np.float32)
+        zb = za.copy()
+        za[: a._doc_len.shape[0]] = a._doc_len
+        zb[: b._doc_len.shape[0]] = b._doc_len
+        np.testing.assert_array_equal(za, zb)
+        assert {r for r, ts in a._row_terms.items() if ts} == \
+               {r for r, ts in b._row_terms.items() if ts}
+        for r in a._row_terms:
+            assert sorted(a._row_terms.get(r, [])) == sorted(b._row_terms.get(r, []))
+
+    def test_parity_fresh(self):
+        docs = self._rich_docs()
+        seq, bat = LexicalIndex(), LexicalIndex()
+        for i, d in enumerate(docs):
+            seq.index_doc(i, d)
+        bat.index_docs(list(range(len(docs))), docs)
+        self._assert_same(seq, bat)
+        for q in ("chest pain", "routine visit", "ada lovelace"):
+            rs, ss = seq.score_sparse(q, len(docs), "text")
+            rb, sb = bat.score_sparse(q, len(docs), "text")
+            np.testing.assert_array_equal(rs, rb)
+            np.testing.assert_allclose(ss, sb, rtol=1e-6)
+
+    def test_parity_reupsert_over_existing(self):
+        docs = self._rich_docs()
+        seq, bat = LexicalIndex(), LexicalIndex()
+        for lx in (seq, bat):
+            for i, d in enumerate(docs[:5]):
+                lx.index_doc(i, d)
+        new = [{"unstructuredText": "replaced content entirely"},
+               {"conditionNote": "new note"}] + docs[7:9]
+        rows = [1, 3, 10, 11]
+        for r, d in zip(rows, new):
+            seq.index_doc(r, d)
+        bat.index_docs(rows, new)
+        self._assert_same(seq, bat)
+
+    def test_duplicate_rows_keep_last(self):
+        seq, bat = LexicalIndex(), LexicalIndex()
+        a = {"unstructuredText": "first version alpha"}
+        b = {"unstructuredText": "second version beta"}
+        seq.index_doc(0, a)
+        seq.index_doc(0, b)
+        bat.index_docs([0, 0], [a, b])
+        self._assert_same(seq, bat)
+        rows, _ = bat.score_sparse("beta", 4, "text")
+        assert rows.tolist() == [0]
+        assert bat.score_sparse("alpha", 4, "text")[0].size == 0
+
+    def test_removal_after_batch(self):
+        docs = self._rich_docs()
+        bat = LexicalIndex()
+        bat.index_docs(list(range(len(docs))), docs)
+        n0 = bat._n_docs
+        bat.remove_doc(0)
+        assert bat._n_docs == n0 - 1
+        rows, _ = bat.score_sparse("severe chest pain", len(docs), "text")
+        assert 0 not in rows.tolist()
+
+    def test_empty_batch(self):
+        bat = LexicalIndex()
+        bat.index_docs([], [])
+        assert bat._n_docs == 0
