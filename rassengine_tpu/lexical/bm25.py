@@ -33,6 +33,8 @@ import numpy as np
 
 from rassengine_tpu.core import schema
 from rassengine_tpu.lexical.native import get_native_bm25
+from rassengine_tpu.lexical.native.loader import (
+    batch_analyze as _native_batch_analyze)
 
 K1 = 1.2
 B = 0.75
@@ -292,43 +294,66 @@ class LexicalIndex:
         for row in rows:
             if self._row_terms.get(row):
                 self._remove_row(row)
-            if not np.any(self._doc_len[row]):
-                self._n_docs += 1
+        row_idx = np.asarray(rows, np.int64)
+        self._n_docs += int((~np.any(self._doc_len[row_idx] != 0.0,
+                                     axis=1)).sum())
         B = len(rows)
-        vocab: dict[str, int] = {}
-        terms_list: list[str] = []
-        occ_tid: list[int] = []
-        occ_doc: list[int] = []
-        occ_fid: list[int] = []
-        lengths = np.zeros((B, N_GROUPS), np.float32)
-        setdefault = vocab.setdefault
+        # collect (text, doc, field) triplets once; the native batch analyzer
+        # tokenizes + stopword-filters + bigrams + interns them in one C++
+        # call (~10× the python loop), with the python path as fallback
+        texts: list[str] = []
+        tdoc: list[int] = []
+        tfid: list[int] = []
         for j, doc in enumerate(docs):
-            for fid, (field, gboosts) in enumerate(_FIELD_BOOST_ITEMS):
+            for f_i, (field, _g) in enumerate(_FIELD_BOOST_ITEMS):
                 val = doc.get(field)
                 if not val:
                     continue
-                terms = analyze(str(val), bigrams=True)
+                texts.append(str(val))
+                tdoc.append(j)
+                tfid.append(f_i)
+        native = _native_batch_analyze(texts) if texts else None
+        lengths = np.zeros((B, N_GROUPS), np.float32)
+        if native is not None:
+            tid_raw, tix, n_uni_per_text, terms_list = native
+            tdoc_a = np.asarray(tdoc, np.int64)
+            tfid_a = np.asarray(tfid, np.int64)
+            occ_tid = tid_raw  # already an int32 array
+            dj = tdoc_a[tix]
+            fid = tfid_a[tix]
+            np.add.at(lengths, tdoc_a,
+                      n_uni_per_text[:, None].astype(np.float32)
+                      * _FIELD_BOOST_MATRIX[tfid_a])
+        else:
+            vocab: dict[str, int] = {}
+            terms_list = []
+            occ_tid_l: list[int] = []
+            occ_doc: list[int] = []
+            occ_fid: list[int] = []
+            setdefault = vocab.setdefault
+            for txt, j, f_i in zip(texts, tdoc, tfid):
+                terms = analyze(txt, bigrams=True)
                 if not terms:
                     continue
                 for t in terms:
-                    tid = setdefault(t, len(terms_list))
-                    if tid == len(terms_list):
+                    t_i = setdefault(t, len(terms_list))
+                    if t_i == len(terms_list):
                         terms_list.append(t)
-                    occ_tid.append(tid)
+                    occ_tid_l.append(t_i)
                 occ_doc.extend([j] * len(terms))
-                occ_fid.extend([fid] * len(terms))
+                occ_fid.extend([f_i] * len(terms))
                 n_uni = sum(1 for t in terms if "_" not in t)
-                lengths[j] += n_uni * gboosts
-        if not occ_tid:
+                lengths[j] += n_uni * _FIELD_BOOST_MATRIX[f_i]
+            occ_tid = np.asarray(occ_tid_l, np.int64)
+            dj = np.asarray(occ_doc, np.int64)
+            fid = np.asarray(occ_fid, np.int64)
+        if occ_tid.size == 0:
             for j, row in enumerate(rows):
                 self._doc_len[row] = lengths[j]
                 self._row_terms[row] = []
             self._mutated()
             return
-        tid = np.asarray(occ_tid, np.int64)
-        dj = np.asarray(occ_doc, np.int64)
-        fid = np.asarray(occ_fid, np.int64)
-        key = tid * B + dj
+        key = occ_tid.astype(np.int64) * B + dj
         uk, inv = np.unique(key, return_inverse=True)
         wtf = np.zeros((uk.size, N_GROUPS), np.float32)
         np.add.at(wtf, inv, _FIELD_BOOST_MATRIX[fid])
@@ -356,11 +381,12 @@ class LexicalIndex:
         od = u_doc[order]
         dbounds = np.flatnonzero(np.diff(od)) + 1
         dstarts = np.concatenate(([0], dbounds, [od.size]))
+        terms_arr = np.asarray(terms_list, dtype=object)
+        tl_sorted = terms_arr[u_tid[order]]
         for gi in range(dstarts.size - 1):
             lo, hi = int(dstarts[gi]), int(dstarts[gi + 1])
             j = int(od[lo])
-            self._row_terms[rows[j]] = [terms_list[int(u_tid[o])]
-                                        for o in order[lo:hi]]
+            self._row_terms[rows[j]] = tl_sorted[lo:hi].tolist()
         for j, row in enumerate(rows):
             self._doc_len[row] = lengths[j]
             self._row_terms.setdefault(row, [])

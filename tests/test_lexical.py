@@ -261,3 +261,56 @@ class TestBatchedIndexing:
         bat = LexicalIndex()
         bat.index_docs([], [])
         assert bat._n_docs == 0
+
+
+class TestNativeBatchAnalyze:
+    """The C++ batch analyzer must match python analyze() token-for-token
+    (the index must be identical whether or not the native lane loaded)."""
+
+    def test_fuzz_parity(self):
+        import random
+
+        import pytest
+
+        from rassengine_tpu.lexical.native.loader import batch_analyze
+
+        rng = random.Random(7)
+        words = ["the", "patient", "Hypertension", "on", "lisinopril-10mg",
+                 "BP", "142/88", "stable", "a", "an", "And", "their", "café",
+                 "naïve", "Ödem", "x", "", "follow-up", "2024-05-01", "QRS",
+                 "micro²", "ＡＢＣ", "İstanbul", "ß", "with", "wills"]
+        texts = [" ".join(rng.choice(words)
+                          for _ in range(rng.randint(0, 12)))
+                 for _ in range(300)]
+        texts += ["", "   ", "a an and the with", "zebra", "\t\n", "!!!",
+                  "é" * 5, "such that there these they this to was will"]
+        res = batch_analyze(texts)
+        if res is None:
+            pytest.skip("native lane unavailable (no compiler)")
+        tid, tix, nu, terms = res
+        per = [[] for _ in texts]
+        for t, i in zip(tid.tolist(), tix.tolist()):
+            per[i].append(terms[t])
+        for i, txt in enumerate(texts):
+            py = analyze(txt, bigrams=True)
+            assert per[i] == py, (i, txt)
+            assert nu[i] == sum(1 for t in py if "_" not in t)
+
+    def test_index_docs_same_with_and_without_native(self, monkeypatch):
+        import rassengine_tpu.lexical.bm25 as bm25_mod
+
+        docs = [{"unstructuredText": "chest pain and fever", "patientName":
+                 "Ada B"}, {"conditionNote": "the pain is stable"}]
+        nat = LexicalIndex()
+        nat.index_docs([0, 1], docs)
+        monkeypatch.setattr(bm25_mod, "_native_batch_analyze", lambda _t: None)
+        py = LexicalIndex()
+        py.index_docs([0, 1], docs)
+        assert set(nat._postings) == set(py._postings)
+        for t in nat._postings:
+            np.testing.assert_array_equal(nat._postings[t].rows,
+                                          py._postings[t].rows)
+            np.testing.assert_array_equal(nat._postings[t].wtf,
+                                          py._postings[t].wtf)
+        np.testing.assert_array_equal(
+            nat._doc_len[:2], py._doc_len[:2])
