@@ -148,12 +148,10 @@ def run(n_docs: int = 10_000, batch: int = 256, dim: int | None = None,
     evict = t.lexical.remove_doc
     t0 = time.perf_counter()
     with t.lock:
-        for d in structured:
-            row = t.index.upsert(d, None, on_move=evict)
-            t.lexical.index_doc(row, d)
-        for i, d in enumerate(unstructured):
-            row = t.index.upsert(d, embs[i], on_move=evict)
-            t.lexical.index_doc(row, d)
+        rows = [t.index.upsert(d, None, on_move=evict) for d in structured]
+        rows += [t.index.upsert(d, embs[i], on_move=evict)
+                 for i, d in enumerate(unstructured)]
+        t.lexical.index_docs(rows, structured + unstructured)
     res["index_s"] = round(time.perf_counter() - t0, 3)
 
     # --- flush (device views: semantic columns + BM25 CSR push + compiles) ----
