@@ -27,7 +27,11 @@ import time
 import numpy as np
 
 
-def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
+def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0,
+        encoder: str = "") -> dict:
+    """``encoder`` selects a weights dir (e.g. ``encoder_model_prod24``) so
+    the anatomy measures the PRODUCTION serving default instead of the tiny
+    encoder (VERDICT r4 next #2)."""
     import jax
     import jax.numpy as jnp
 
@@ -38,14 +42,20 @@ def run(n_docs: int = 4096, n_queries: int = 48, seed: int = 0) -> dict:
 
     rng = np.random.default_rng(seed)
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    cfg = EngineConfig(embed_dim=256, embed_batch_size=64,
-                       index_capacity=max(8192, n_docs), index_block_rows=2048,
-                       database_path=":memory:", llm_backend="echo",
-                       intent_model_path="/none", ner_model_path="/none",
-                       micro_batching=False)
+    kw = dict(index_capacity=max(8192, n_docs), index_block_rows=2048,
+              database_path=":memory:", llm_backend="echo",
+              intent_model_path="/none", ner_model_path="/none",
+              micro_batching=False)
+    if encoder:
+        kw.update(embed_dim=1024, embed_batch_size=64,
+                  encoder_weights_path=encoder)
+    else:
+        kw.update(embed_dim=256, embed_batch_size=64)
+    cfg = EngineConfig(**kw)
     from rassengine_tpu.models.bert import BertConfig
 
-    engine = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=on_tpu)
+    engine = RassEngine(cfg, bert_cfg=None if encoder else BertConfig.tiny(),
+                        use_pallas=on_tpu)
     # single-stream baseline: no batcher (its collect window would tax every
     # sequential ask); concurrent phases: window sized to the device-sync
     # constant — on a tunneled chip arrivals stagger by whole sync periods
@@ -163,8 +173,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--docs", type=int, default=4096)
     p.add_argument("--queries", type=int, default=48)
+    p.add_argument("--encoder", default="",
+                   help="weights dir for the production encoder")
     a = p.parse_args()
-    r = run(a.docs, a.queries)
+    r = run(a.docs, a.queries, encoder=a.encoder)
     print(r.pop("table"))
     print(json.dumps(r))
 

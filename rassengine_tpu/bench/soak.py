@@ -69,10 +69,16 @@ QUERIES = [
 
 
 async def run(minutes: float = 30.0, concurrency: int = 4,
-              sample_s: float = 10.0, seed: int = 0) -> dict:
+              sample_s: float = 10.0, seed: int = 0,
+              encoder: str = "", use_tpu: bool = False) -> dict:
+    """``encoder``/``use_tpu`` select the production serving stack: the
+    shipped 24L checkpoint on the real chip (VERDICT r4 next #2 — the
+    round-4 soak ran the tiny CPU encoder, whose queueing behavior under
+    micro-batching differs from a 160 ms/batch 24L embed forward)."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from rassengine_tpu.core.config import EngineConfig
     from rassengine_tpu.core.tracing import METRICS
@@ -84,8 +90,8 @@ async def run(minutes: float = 30.0, concurrency: int = 4,
     import tempfile
 
     audit_dir = tempfile.mkdtemp(prefix="soak_audit_")
-    cfg = EngineConfig(
-        embed_dim=64, embed_batch_size=8, index_capacity=1 << 12,
+    kw = dict(
+        index_capacity=1 << 12,
         index_block_rows=1 << 12, database_path=":memory:",
         llm_backend="echo", intent_model_path="/nonexistent",
         ner_model_path="/nonexistent",
@@ -93,7 +99,15 @@ async def run(minutes: float = 30.0, concurrency: int = 4,
         cache_max_items=256,  # small: eviction MUST fire during the soak
         upload_rate_limit_per_min=0.0,
     )
-    engine = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=False)
+    if encoder:
+        kw.update(embed_dim=1024, embed_batch_size=16,
+                  encoder_weights_path=encoder)
+        bert_cfg = None  # Embedder reads the checkpoint's own config
+    else:
+        kw.update(embed_dim=64, embed_batch_size=8)
+        bert_cfg = BertConfig.tiny()
+    cfg = EngineConfig(**kw)
+    engine = RassEngine(cfg, bert_cfg=bert_cfg, use_pallas=use_tpu)
     service = AskService(engine)
     rng = random.Random(seed)
     for u in range(8):
@@ -300,8 +314,13 @@ if __name__ == "__main__":
     p.add_argument("--minutes", type=float, default=30.0)
     p.add_argument("--concurrency", type=int, default=4)
     p.add_argument("--sample-s", type=float, default=10.0)
+    p.add_argument("--encoder", default="",
+                   help="weights dir (e.g. encoder_model_prod24) for the "
+                        "production serving stack")
+    p.add_argument("--tpu", action="store_true")
     a = p.parse_args()
-    out = asyncio.run(run(a.minutes, a.concurrency, a.sample_s))
+    out = asyncio.run(run(a.minutes, a.concurrency, a.sample_s,
+                          encoder=a.encoder, use_tpu=a.tpu))
     out_small = {k: v for k, v in out.items() if k != "samples"}
     print(json.dumps(out_small, indent=2))
     print("SAMPLES", json.dumps(out["samples"]))

@@ -592,9 +592,19 @@ def run_suite(scale: str = "small", seed: int = 0) -> list[dict]:
     from rassengine_tpu.engine import RassEngine
     from rassengine_tpu.models.bert import BertConfig
 
+    # on the chip at production dim, e2e_rag measures the SERVING DEFAULT
+    # encoder (the shipped 24L checkpoint), not the tiny stand-in — VERDICT
+    # r4 next #2: every e2e number must come from the model that serves
+    import os as _os
+
+    enc = ("./encoder_model_prod24"
+           if on_tpu and d == 1024 and _os.path.isdir("./encoder_model_prod24")
+           else "")
     cfg = EngineConfig(embed_dim=d, embed_batch_size=64, index_capacity=8192,
-                       intent_model_path="/none", ner_model_path="/none")
-    eng = RassEngine(cfg, bert_cfg=BertConfig.tiny(), use_pallas=on_tpu)
+                       intent_model_path="/none", ner_model_path="/none",
+                       encoder_weights_path=enc)
+    eng = RassEngine(cfg, bert_cfg=None if enc else BertConfig.tiny(),
+                     use_pallas=on_tpu)
     docs = [{"doc_id": f"n{i}", "doc_type": "unstructured",
              "patientId": f"p{i % 40}",
              "unstructuredText": f"note {i} " + " ".join(rng.choice(vocab, 24))}
