@@ -55,7 +55,17 @@ def main() -> None:
     rng = np.random.default_rng(0)
     v = rng.normal(size=(cap, d)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
-    vd = jnp.asarray(v, jnp.bfloat16)
+
+    def upload_chunked(arr, dtype, rows=131072):
+        # one multi-GB H2D transfer can wedge this image's tunnel relay;
+        # ~256 MB slices transfer identically on real PCIe hosts
+        parts = [jax.device_put(jnp.asarray(arr[i : i + rows], dtype))
+                 for i in range(0, arr.shape[0], rows)]
+        out = jnp.concatenate(parts, axis=0)
+        out.block_until_ready()
+        return out
+
+    vd = upload_chunked(v, jnp.bfloat16)
     mask = jnp.zeros((cap,), jnp.float32)
     on_tpu = jax.default_backend() not in ("cpu",)
 
@@ -102,7 +112,7 @@ def main() -> None:
         from rassengine_tpu.index.quant import quantize_int8_block
 
         codes, bscales = quantize_int8_block(v, 2048)
-        cd = jnp.asarray(codes)
+        cd = upload_chunked(codes, codes.dtype)
         sd = jnp.asarray(np.repeat(bscales, 2048))
         bsd = jnp.asarray(bscales)
 
