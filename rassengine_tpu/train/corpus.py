@@ -494,71 +494,120 @@ PROSE_HELDOUT = "/tmp/rassengine_prose_heldout.txt"
 _PY_ROOTS = ("/usr/lib/python3.12", "/opt/venv/lib/python3.12/site-packages")
 
 
-def _prose_lines(src: str) -> list[str]:
-    """Docstring lines that read as English prose (not code/markup)."""
+def _prose_filter(lines) -> list[str]:
+    """Keep lines that read as English prose (not code/markup)."""
     out = []
-    for m in _TRIPLE_RE.finditer(src):
-        for ln in m.group(2).split("\n"):
-            ln = ln.strip().lstrip("#>*- ")
-            if not (20 <= len(ln) <= 300):
-                continue
-            words = ln.split()
-            if len(words) < 4:
-                continue
-            alpha = sum(1 for w in words if _ALPHA_WORD.fullmatch(w))
-            if alpha / len(words) < 0.65:
-                continue
-            if ln.startswith((">>>", "...", "def ", "class ", "import ")):
-                continue
-            out.append(ln)
+    for ln in lines:
+        ln = ln.strip().lstrip("#>*- ")
+        if not (20 <= len(ln) <= 300):
+            continue
+        words = ln.split()
+        if len(words) < 4:
+            continue
+        alpha = sum(1 for w in words if _ALPHA_WORD.fullmatch(w))
+        if alpha / len(words) < 0.65:
+            continue
+        if ln.startswith((">>>", "...", "def ", "class ", "import ")):
+            continue
+        out.append(ln)
     return out
 
 
+def _prose_lines(src: str) -> list[str]:
+    """Docstring lines that read as English prose."""
+    out = []
+    for m in _TRIPLE_RE.finditer(src):
+        out.extend(_prose_filter(m.group(2).split("\n")))
+    return out
+
+
+_COMMENT_RE = re.compile(r"^\s*#\s?(.*)$")
+
+
+def _comment_prose_lines(src: str) -> list[str]:
+    """``#``-comment lines that read as prose (round-5 corpus extension:
+    the docstring miner exhausts at ~50 MB; comments add a distinct prose
+    register from the same sources)."""
+    lines = []
+    for raw in src.split("\n"):
+        m = _COMMENT_RE.match(raw)
+        if m:
+            lines.append(m.group(1))
+    return _prose_filter(lines)
+
+
+_TEXT_EXTS = (".md", ".rst", ".txt")
+_TEXT_ROOTS = _PY_ROOTS + ("/usr/share/doc", "/opt/skills")
+
+
 def mine_prose(max_bytes: int = 64_000_000, heldout_mod: int = 23,
-               force: bool = False) -> tuple[str, str]:
+               force: bool = False,
+               sources: tuple[str, ...] = ("docstrings",)) -> tuple[str, str]:
     """Mine English prose from installed Python sources → (train, heldout).
 
     Files whose path-hash % ``heldout_mod`` == 0 go to the held-out shard
     (never used for vocab/MLM training; the coverage eval reads it). Results
-    cache on disk; re-runs are free.
+    cache on disk keyed by ``sources``; re-runs are free.
+
+    ``sources``: "docstrings" (the round-3/4 corpus, ~50 MB exhaustive),
+    plus optionally "comments" (# lines through the same prose filter) and
+    "textfiles" (.md/.rst/.txt under the package + doc roots) — the round-5
+    extensions for the MLM-token scaling study.
     """
-    if (not force and os.path.exists(PROSE_CACHE)
-            and os.path.exists(PROSE_HELDOUT)):
-        return PROSE_CACHE, PROSE_HELDOUT
-    train_f = open(PROSE_CACHE + ".tmp", "w", encoding="utf-8")
-    held_f = open(PROSE_HELDOUT + ".tmp", "w", encoding="utf-8")
+    suffix = "" if sources == ("docstrings",) else \
+        "_" + "".join(s[0] for s in sorted(sources))
+    cache = PROSE_CACHE.replace(".txt", suffix + ".txt")
+    heldout = PROSE_HELDOUT.replace(".txt", suffix + ".txt")
+    if not force and os.path.exists(cache) and os.path.exists(heldout):
+        return cache, heldout
+    train_f = open(cache + ".tmp", "w", encoding="utf-8")
+    held_f = open(heldout + ".tmp", "w", encoding="utf-8")
     written = 0
-    for root in _PY_ROOTS:
+
+    def emit(path: str, lines: list[str]) -> None:
+        nonlocal written
+        if not lines:
+            return
+        h = int(hashlib.md5(path.encode()).hexdigest()[:8], 16)
+        sink = held_f if h % heldout_mod == 0 else train_f
+        for ln in lines:
+            sink.write(ln + "\n")
+            if sink is train_f:
+                written += len(ln) + 1
+
+    want_text = "textfiles" in sources
+    roots = _TEXT_ROOTS if want_text else _PY_ROOTS
+    for root in roots:
         if written >= max_bytes:
             break
         for dirpath, _dirs, files in os.walk(root):
             if written >= max_bytes:
                 break
             for fn in sorted(files):
-                if not fn.endswith(".py"):
-                    continue
                 path = os.path.join(dirpath, fn)
+                is_py = fn.endswith(".py")
+                is_text = want_text and fn.endswith(_TEXT_EXTS)
+                if not (is_py or is_text):
+                    continue
                 try:
                     with open(path, encoding="utf-8", errors="ignore") as fh:
                         src = fh.read()
                 except OSError:
                     continue
-                lines = _prose_lines(src)
-                if not lines:
-                    continue
-                h = int(hashlib.md5(path.encode()).hexdigest()[:8], 16)
-                sink = held_f if h % heldout_mod == 0 else train_f
-                for ln in lines:
-                    sink.write(ln + "\n")
-                    if sink is train_f:
-                        written += len(ln) + 1
+                if is_py:
+                    lines = _prose_lines(src)
+                    if "comments" in sources:
+                        lines += _comment_prose_lines(src)
+                else:
+                    lines = _prose_filter(src.split("\n"))
+                emit(path, lines)
                 if written >= max_bytes:
                     break
     train_f.close()
     held_f.close()
-    os.replace(PROSE_CACHE + ".tmp", PROSE_CACHE)
-    os.replace(PROSE_HELDOUT + ".tmp", PROSE_HELDOUT)
-    return PROSE_CACHE, PROSE_HELDOUT
+    os.replace(cache + ".tmp", cache)
+    os.replace(heldout + ".tmp", heldout)
+    return cache, heldout
 
 
 def load_prose(path: str, max_lines: int | None = None) -> list[str]:
@@ -587,11 +636,12 @@ def build_vocab_corpus(n_clinical: int = 120_000, seed: int = 0,
 
 
 def build_mlm_corpus(n_clinical: int = 250_000, seed: int = 0,
-                     prose_lines: int | None = 450_000) -> list[str]:
+                     prose_lines: int | None = 450_000,
+                     sources: tuple[str, ...] = ("docstrings",)) -> list[str]:
     """Sentences for MLM pretraining: clinical narratives + real English
     prose, clinical-weighted (the serving domain) but with enough real text
     that general-language subword semantics get trained."""
-    train_path, _ = mine_prose()
+    train_path, _ = mine_prose(sources=sources)
     corpus = load_prose(train_path, prose_lines)
     corpus.extend(generate_clinical_corpus(n_clinical, seed))
     rng = random.Random(seed + 1)

@@ -110,19 +110,22 @@ def pack_examples(tokenizer, sentences: list[str], seq_len: int,
 
 
 def packed_corpus(vocab_dir: str, seq_len: int, n_clinical: int,
-                  prose_lines: int | None, seed: int = 0) -> np.ndarray:
+                  prose_lines: int | None, seed: int = 0,
+                  sources: tuple[str, ...] = ("docstrings",)) -> np.ndarray:
     """Packed MLM examples, cached on disk keyed by the pipeline params."""
     from rassengine_tpu.train.corpus import build_mlm_corpus
 
     os.makedirs(CACHE_DIR, exist_ok=True)
     with open(os.path.join(vocab_dir, "vocab.txt"), "rb") as f:
         vh = hashlib.md5(f.read()).hexdigest()[:10]
-    key = f"packed_{vh}_{seq_len}_{n_clinical}_{prose_lines}_{seed}.npy"
+    src_key = "" if sources == ("docstrings",) else \
+        "_" + "".join(s[0] for s in sorted(sources))
+    key = f"packed_{vh}_{seq_len}_{n_clinical}_{prose_lines}_{seed}{src_key}.npy"
     path = os.path.join(CACHE_DIR, key)
     if os.path.exists(path):
         return np.load(path)
     corpus = build_mlm_corpus(n_clinical=n_clinical, seed=seed,
-                              prose_lines=prose_lines)
+                              prose_lines=prose_lines, sources=sources)
     tokenizer = load_tokenizer(vocab_dir, 0, seq_len)
     t0 = time.time()
     ids = pack_examples(tokenizer, corpus, seq_len, seed)
@@ -181,7 +184,8 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
                 n_clinical: int = 250_000, prose_lines: int | None = 450_000,
                 max_seconds: float = 1500.0, ckpt_every: int = 500,
                 log_every: int = 50, size: str = "production_large",
-                vocab_dir: str | None = None) -> dict:
+                vocab_dir: str | None = None,
+                prose_sources: tuple[str, ...] = ("docstrings",)) -> dict:
     """Train one bounded-wall-clock segment; resume from ``out/resume``.
 
     ``size`` picks the backbone scale: ``production_large`` (24L/1024h, the
@@ -218,7 +222,8 @@ def run_segment(out: str = "./nlu_pretrain_24", total_steps: int = 20000,
             shutil.copy(src, dst)
     os.makedirs(out, exist_ok=True)
     build_vocab(out, vocab_size, seed)
-    ids_all = packed_corpus(out, seq_len, n_clinical, prose_lines, seed)
+    ids_all = packed_corpus(out, seq_len, n_clinical, prose_lines, seed,
+                            sources=prose_sources)
     n = ids_all.shape[0]
     n_pred = max(1, int(round(seq_len * 0.15)) + 1)
 
