@@ -191,13 +191,29 @@ def main() -> None:
     # dispatch constant); the spread across reps is reported so a drifty
     # capture is visible in the JSON line itself.
     N_REPS = 4
+    MAX_REPS = 10
     reps: dict[str, list[float]] = {
         name: [] for name in paths if recalls[name] >= 0.99}
     for _ in range(N_REPS):
         for name in reps:
             reps[name].append(slope(paths[name], replan=False))
+    # drift is one-sided (the tunnel only ever ADDS latency), so min-of-N
+    # converges to true device time from above; keep adding interleaved
+    # rounds until the best path's two smallest samples agree within 5% —
+    # a drifty capture otherwise ships a min that is itself drifted
+    # (observed: back-to-back runs 62.4k vs 54.5k when a 74%-spread round
+    # stopped at 4 reps)
+    while len(next(iter(reps.values()))) < MAX_REPS:
+        dts = {name: min(r) for name, r in reps.items()}
+        s2 = sorted(reps[min(dts, key=dts.get)])
+        if s2[1] / s2[0] - 1.0 <= 0.05:
+            break
+        for name in reps:
+            reps[name].append(slope(paths[name], replan=False))
     dts = {name: min(r) for name, r in reps.items()}
     spreads = {name: (max(r) - min(r)) / min(r) for name, r in reps.items()}
+    min_stable = {name: round(sorted(r)[1] / sorted(r)[0] - 1.0, 4)
+                  for name, r in reps.items()}
     best = min(dts, key=dts.get)
     dt = dts[best]
     dt_up = slope(paths[best], replan=True)
@@ -216,8 +232,10 @@ def main() -> None:
         "recall_vs_fused_oracle": round(recalls[best], 4),
         "per_path": {n_: {"ms": round(t_ * 1e3, 3),
                           "recall": round(recalls[n_], 4),
-                          "rep_spread_pct": round(100 * spreads[n_], 1)}
+                          "rep_spread_pct": round(100 * spreads[n_], 1),
+                          "min_gap_pct": round(100 * min_stable[n_], 1)}
                      for n_, t_ in dts.items()},
+        "n_reps": len(next(iter(reps.values()))),
         "qps_with_per_batch_upload": round(b / dt_up, 1),
     }))
 
