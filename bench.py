@@ -124,6 +124,20 @@ def main() -> None:
 
         paths["int8"] = hybrid_int8
 
+        # narrow-epilogue candidate: top_m_lex=32 halves the fuse gather +
+        # join (hybrid_ablate full_M32: ~1.4 ms faster). A doc whose BM25
+        # evidence ranks below the 32nd lexical candidate loses that term —
+        # production-reachable via HYBRID_TOP_M_LEX=32, used for the
+        # headline ONLY if it passes the same oracle gate
+        def hybrid_int8_m32(qq, ci, vw, w):
+            return hybrid_topk_batch(None, mask, qq, vw.tables, ci, w,
+                                     2.0, k, top_m_lex=32,
+                                     scan_mode="pallas_int8",
+                                     int8_tables=(cd, sd),
+                                     int8_block_scales=bsd)
+
+        paths["int8_M32"] = hybrid_int8_m32
+
     # correctness gate: tie-aware recall@5 vs a host f32 fused oracle — a
     # returned row counts when its true fused score reaches the oracle's k-th
     # score within 5e-3 + 2e-3·|kth| (the corpus is stored bf16: each cosine
@@ -227,8 +241,10 @@ def main() -> None:
         "vs_baseline": round(qps / BASELINE_OPENSEARCH_QPS, 2),
         "latency_ms_batch": round(dt * 1e3, 3),
         "path": best,
-        "serving_config": ("HYBRID_SELECT=int8only" if best == "int8"
-                           else "default"),
+        "serving_config": {
+            "int8": "HYBRID_SELECT=int8only",
+            "int8_M32": "HYBRID_SELECT=int8only HYBRID_TOP_M_LEX=32",
+        }.get(best, "default"),
         "recall_vs_fused_oracle": round(recalls[best], 4),
         "per_path": {n_: {"ms": round(t_ * 1e3, 3),
                           "recall": round(recalls[n_], 4),

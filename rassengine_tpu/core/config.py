@@ -91,6 +91,12 @@ class EngineConfig:
     # widths; a sem candidate loses BM25 evidence ranked below the M-th
     # lexical candidate — bench/hybrid_ablate.py gates it vs the f32 oracle)
     hybrid_sem_bm_join: str = "all"     # all | topm
+    # BM25 candidates carried into the fusion epilogue per query. 128 is
+    # the safe default; 32 halves the epilogue's gather/join and measured
+    # ~1.4 ms faster per batch256 (hybrid_ablate full_M32) — a doc whose
+    # BM25 evidence ranks below the M-th lexical candidate loses that term,
+    # so drop it only under the bench's f32-fused-oracle recall gate
+    hybrid_top_m_lex: int = 128
     lexical_packed_min_rows: int = 1 << 20  # ≥this, 4 B/posting packed CSR
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
     ner_model_path: str = "./ner_model/final"
@@ -165,6 +171,9 @@ class EngineConfig:
         if self.hybrid_select not in ("auto", "bf16", "int8", "int8only"):
             raise ValueError("HYBRID_SELECT must be one of auto|bf16|int8|"
                              f"int8only, got {self.hybrid_select!r}")
+        if self.hybrid_top_m_lex < 1:
+            raise ValueError("HYBRID_TOP_M_LEX must be >= 1, "
+                             f"got {self.hybrid_top_m_lex}")
 
     @staticmethod
     def from_env(**overrides) -> "EngineConfig":
@@ -202,6 +211,7 @@ class EngineConfig:
             int8_hbm_budget_bytes=_env_int("INT8_HBM_BUDGET_BYTES", 12 * 1024**3),
             hybrid_select=os.getenv("HYBRID_SELECT", "auto"),
             hybrid_sem_bm_join=os.getenv("HYBRID_SEM_BM_JOIN", "all"),
+            hybrid_top_m_lex=_env_int("HYBRID_TOP_M_LEX", 128),
             lexical_packed_min_rows=_env_int("LEXICAL_PACKED_MIN_ROWS", 1 << 20),
             # round-4 NLU checkpoints (6L/384 MLM-pretrained backbone, 16k
             # shared vocab) take precedence when present; the round-3 tiny

@@ -865,6 +865,7 @@ class Retriever:
                     vecs_arg, mask, jnp.asarray(q), view.tables,
                     jnp.asarray(chunk_ids), wvec,
                     sem_weight, min(k, 256), m=m,
+                    top_m_lex=getattr(self.config, "hybrid_top_m_lex", 128),
                     block_rows=min(idx.block_rows, idx.capacity),
                     scan_mode=mode, int8_tables=int8_tables,
                     int8_block_scales=int8_bscales,
@@ -940,6 +941,7 @@ class Retriever:
                 self.mesh, vecs_arg, mask,
                 jnp.asarray(q), view.tables, jnp.asarray(chunk_ids), wvec,
                 sem_weight, min(k, 256), m=m,
+                top_m_lex=getattr(self.config, "hybrid_top_m_lex", 128),
                 use_pallas=None if self.use_pallas else False,
                 int8_tables=int8_tables,
                 int8_block_scales=int8_bscales, scale_block_rows=sbr,

@@ -139,6 +139,12 @@ class Embedder:
         bs = batch_size or self.config.embed_batch_size
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         nonempty = [(i, t) for i, t in enumerate(texts) if t and t.strip()]
+        if len(nonempty) > bs:
+            # batches pad to their longest member (tokenizer buckets), so a
+            # lone long text in a batch of short ones wastes MXU FLOPs on
+            # padding; length-sorting groups like with like (out[i] below
+            # restores order; word count is a cheap token-count proxy)
+            nonempty.sort(key=lambda it: len(it[1].split()))
         with stage("embed"):
             for start in range(0, len(nonempty), bs):
                 chunk = nonempty[start : start + bs]

@@ -29,6 +29,15 @@ class TestConfigFromEnv:
         monkeypatch.setenv("HYBRID_SEM_BM_JOIN", "topm")
         assert EngineConfig.from_env().hybrid_sem_bm_join == "topm"
 
+    def test_hybrid_top_m_lex_knob(self, monkeypatch):
+        import pytest
+
+        assert EngineConfig().hybrid_top_m_lex == 128
+        monkeypatch.setenv("HYBRID_TOP_M_LEX", "32")
+        assert EngineConfig.from_env().hybrid_top_m_lex == 32
+        with pytest.raises(ValueError):
+            EngineConfig(hybrid_top_m_lex=0)
+
     def test_bad_values_fall_back(self, monkeypatch):
         monkeypatch.setenv("TOP_K", "not-a-number")
         cfg = EngineConfig.from_env()
