@@ -180,6 +180,24 @@ def run(n_docs: int = 10_000, batch: int = 256, dim: int | None = None,
     ref_ceiling = 1000.0 / REFERENCE_CHUNK_HTTP_MS
     res["vs_reference_per_chunk_http"] = round(
         res["chunks_per_s"] / ref_ceiling, 2)
+
+    # the PRODUCTION path: engine.ingest_docs overlaps device embedding
+    # with host indexing (engine.py pipelined slabs), so its wall clock
+    # beats the sum of the isolated stages above; min-of-2 defends the
+    # number against minute-scale tunnel drift
+    eng_s = []
+    for rep in range(2):
+        tname = f"bench-pipe{rep}"
+        t0 = time.perf_counter()
+        engine.ingest_docs(tname, structured, unstructured)
+        eng_s.append(time.perf_counter() - t0)
+    res["engine_s"] = round(min(eng_s), 3)
+    res["engine_s_reps"] = [round(x, 3) for x in eng_s]
+    e_total = res["engine_s"] + res["parse_s"] + res["flush_s"]
+    res["engine_docs_per_s"] = round(total_docs / e_total, 1)
+    res["engine_chunks_per_s"] = round(len(unstructured) / e_total, 1)
+    res["engine_vs_reference_per_chunk_http"] = round(
+        res["engine_chunks_per_s"] / ref_ceiling, 2)
     return res
 
 
