@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import asyncio
 import contextlib
+import hmac
 import json
 import logging
 import os
@@ -63,13 +64,19 @@ def _make_audit(engine: RassEngine) -> AuditLog:
     return AuditLog(path) if path else null_audit()
 
 
+def _tok_eq(given: str | None, expected: str) -> bool:
+    """Constant-time secret comparison; False when no secret is configured
+    (a byte-by-byte == on a token is a timing oracle on the secret)."""
+    return bool(expected) and hmac.compare_digest(given or "", expected)
+
+
 def _api_denied(cfg, req: Request) -> Response | None:
     """Bearer-token gate for every serving endpoint (API_TOKEN; off by
     default = reference parity, whose surface is unauthenticated)."""
     if not cfg.api_token:
         return None
-    auth = req.headers.get("authorization", "")
-    if auth == f"Bearer {cfg.api_token}":
+    if _tok_eq(req.headers.get("authorization", ""),
+               f"Bearer {cfg.api_token}"):
         return None
     return Response.error(401, "missing or invalid bearer token")
 
@@ -93,10 +100,9 @@ def build_app(engine: RassEngine, service: AskService | None = None,
         # caller the exact identifiers the self-asserted endpoints accept.
         # When any token is configured, per-tenant detail requires it.
         tokens = (cfg.admin_token, cfg.api_token)
-        authed = not any(tokens) or (
-            req.headers.get("x-admin-token") == cfg.admin_token != "") or (
-            req.headers.get("authorization") == f"Bearer {cfg.api_token}"
-            and cfg.api_token != "")
+        authed = not any(tokens) or _tok_eq(
+            req.headers.get("x-admin-token"), cfg.admin_token) or _tok_eq(
+            req.headers.get("authorization"), f"Bearer {cfg.api_token}")
         if authed:
             tenants = {
                 name: {"docs": t.index.count, "capacity": t.index.capacity}
@@ -166,7 +172,8 @@ def build_app(engine: RassEngine, service: AskService | None = None,
         if not engine.config.admin_token:
             return Response.error(
                 403, "shared chat store requires ADMIN_TOKEN on the primary")
-        if req.headers.get("x-admin-token") != engine.config.admin_token:
+        if not _tok_eq(req.headers.get("x-admin-token"),
+                       engine.config.admin_token):
             audit.emit("internal.chat", status="denied")
             return Response.error(401, "admin token required")
         try:
@@ -233,10 +240,17 @@ def build_app(engine: RassEngine, service: AskService | None = None,
                 chat_id = payload.get("chat_id") or ""
                 top_k = payload.get("top_k")
                 if not query or not user_id or not chat_id:
-                    await ws.send_text("[ERROR] query, user_id and chat_id are required")
+                    # _ws_try_send: a client that validated-and-vanished must
+                    # not fall into the mid-stream ConnectionError handler
+                    # below, whose audit record asserts an ask actually ran
+                    if not await _ws_try_send(
+                            ws, "[ERROR] query, user_id and chat_id "
+                                "are required"):
+                        return
                     continue
                 if not _USER_ID_RE.match(user_id):
-                    await ws.send_text("[ERROR] invalid user_id")
+                    if not await _ws_try_send(ws, "[ERROR] invalid user_id"):
+                        return
                     continue
                 async for chunk in service.ask_stream(query, user_id, chat_id, top_k):
                     await ws.send_text(chunk)
@@ -282,7 +296,8 @@ def build_upload_app(engine: RassEngine, service: AskService | None = None,
     limiter = RateLimiter(cfg.upload_rate_limit_per_min)
 
     def _admin_denied(req: Request) -> Response | None:
-        if cfg.admin_token and req.headers.get("x-admin-token") != cfg.admin_token:
+        if cfg.admin_token and not _tok_eq(req.headers.get("x-admin-token"),
+                                           cfg.admin_token):
             return Response.error(403, "admin token required")
         return None
 

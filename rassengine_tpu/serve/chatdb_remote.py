@@ -71,6 +71,14 @@ class RemoteChatStore:
         u = urlparse(base_url)
         if u.scheme not in ("http", "https"):
             raise ValueError(f"unsupported chat store url: {base_url}")
+        if not token:
+            # fail at CONSTRUCTION, not at the first chat op: a follower
+            # without the fleet secret would boot cleanly and then 500
+            # every /ask when the primary answers 401
+            raise ValueError(
+                "a remote chat store (DATABASE_PATH=http...) requires "
+                "ADMIN_TOKEN — the primary's /internal/chat only accepts "
+                "the fleet admin secret")
         self._https = u.scheme == "https"
         self._host = u.hostname or "127.0.0.1"
         self._port = u.port or (443 if self._https else 80)
