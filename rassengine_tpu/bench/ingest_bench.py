@@ -84,8 +84,25 @@ def gen_text_doc(rng: random.Random, words: int = 600) -> str:
     return " ".join(out)
 
 
+def _resolve_encoder(use_tpu: bool, encoder_weights: str | None) -> str:
+    """TPU runs default to the SERVING-DEFAULT encoder, not the weightless
+    tiny one. Round-5 postmortem: ``EngineConfig(**kw)`` without
+    ``encoder_weights_path`` silently fell into the embedder's weightless
+    tiny mode, so rows labeled \"24L\" in earlier BENCH revisions had
+    actually measured a random-init 2-layer model. Resolve explicitly and
+    RECORD the resolved encoder in the result so a mislabel can't recur.
+    Pass ``encoder_weights=""`` for a deliberate tiny-encoder row."""
+    import os
+
+    if not use_tpu or encoder_weights is not None:
+        return encoder_weights or ""
+    w = os.getenv("ENCODER_WEIGHTS_PATH", "./encoder_model_prod24")
+    return w if os.path.isdir(w) else ""
+
+
 def run(n_docs: int = 10_000, batch: int = 256, dim: int | None = None,
-        use_tpu: bool = False, seed: int = 0, upload_mb: float = 4.0) -> dict:
+        use_tpu: bool = False, seed: int = 0, upload_mb: float = 4.0,
+        encoder_weights: str | None = None) -> dict:
     """→ phase timings + docs/s + chunks/s. ``n_docs`` counts FHIR entries
     plus text files (70/30 mix, reference directory-ingest shape)."""
     import jax
@@ -113,11 +130,20 @@ def run(n_docs: int = 10_000, batch: int = 256, dim: int | None = None,
               database_path=":memory:", llm_backend="echo",
               intent_model_path="/nonexistent",
               ner_model_path="/nonexistent", embed_batch_size=batch)
+    enc = _resolve_encoder(use_tpu, encoder_weights)
+    if enc:
+        kw["encoder_weights_path"] = enc
     bert_cfg = None if use_tpu else BertConfig.tiny()
-    if bert_cfg is not None:
+    if bert_cfg is not None and not enc:
         kw["embed_dim"] = 64
     cfg = EngineConfig(**kw)
-    engine = RassEngine(cfg, bert_cfg=bert_cfg, use_pallas=use_tpu)
+    engine = RassEngine(cfg, bert_cfg=None if enc else bert_cfg,
+                        use_pallas=use_tpu)
+    res["encoder"] = {
+        "weights": enc or "weightless-tiny-random",
+        "layers": engine.embedder.bert_cfg.num_layers,
+        "hidden": engine.embedder.bert_cfg.hidden_size,
+    }
 
     # --- parse + chunk --------------------------------------------------------
     t0 = time.perf_counter()
@@ -202,7 +228,7 @@ def run(n_docs: int = 10_000, batch: int = 256, dim: int | None = None,
 
 
 def run_upload(use_tpu: bool = False, upload_mb: float = 4.0,
-               seed: int = 1) -> dict:
+               seed: int = 1, encoder_weights: str | None = None) -> dict:
     """POST /upload_data wall-clock through the real HTTP server."""
     import asyncio
 
@@ -231,12 +257,16 @@ def run_upload(use_tpu: bool = False, upload_mb: float = 4.0,
                   database_path=":memory:", llm_backend="echo",
                   intent_model_path="/nonexistent",
                   ner_model_path="/nonexistent")
-        if not use_tpu:
+        enc = _resolve_encoder(use_tpu, encoder_weights)
+        if enc:
+            kw["encoder_weights_path"] = enc
+        if not use_tpu and not enc:
             kw["embed_dim"] = 64
         from rassengine_tpu.serve.ask import AskService
 
         engine = RassEngine(
-            EngineConfig(**kw), bert_cfg=None if use_tpu else BertConfig.tiny(),
+            EngineConfig(**kw),
+            bert_cfg=None if (use_tpu or enc) else BertConfig.tiny(),
             use_pallas=use_tpu)
         service = AskService(engine)
         service.db.create_user("bench-user")
@@ -269,7 +299,11 @@ def run_upload(use_tpu: bool = False, upload_mb: float = 4.0,
         return {"upload_mb": round(len(payload) / 1e6, 2),
                 "upload_s": round(dt, 3), "status": status,
                 "upload_mb_per_s": round(len(payload) / 1e6 / dt, 2),
-                "entries": n, "resp": data[:120].decode(errors="replace")}
+                "entries": n, "resp": data[:120].decode(errors="replace"),
+                "encoder": {
+                    "weights": enc or "weightless-tiny-random",
+                    "layers": engine.embedder.bert_cfg.num_layers,
+                    "hidden": engine.embedder.bert_cfg.hidden_size}}
 
     return asyncio.run(main())
 
