@@ -349,6 +349,77 @@ class TestHttpServer:
 
         run(scenario())
 
+    def test_ws_validation_error_to_vanished_client(self, engine):
+        """ADVICE r4 (low): the [ERROR] writes in ws_ask's validation
+        branches (missing fields, bad user_id) sat outside the dead-socket
+        guards — a client that sent garbage and vanished made the handler
+        raise on the dead socket. Both branches must be quiet disconnects
+        and the server must keep serving."""
+        async def scenario():
+            svc = AskService(engine, db=ChatStore(":memory:"))
+            app = build_app(engine, svc)
+            server = await app.start("127.0.0.1", 0)
+            port = server.sockets[0].getsockname()[1]
+
+            async def ws_connect():
+                r, w = await asyncio.open_connection("127.0.0.1", port)
+                w.write(
+                    b"GET /ws/ask HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                    b"Connection: Upgrade\r\n"
+                    b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                    b"Sec-WebSocket-Version: 13\r\n\r\n")
+                await w.drain()
+                head = await r.readuntil(b"\r\n\r\n")
+                assert b"101" in head.split(b"\r\n")[0]
+                return r, w
+
+            def frame(obj):
+                payload = json.dumps(obj).encode()
+                mask = b"\x05\x06\x07\x08"
+                masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+                assert len(payload) < 126
+                return bytes([0x81, 0x80 | len(payload)]) + mask + masked
+
+            # missing chat_id, then RST before reading the [ERROR]
+            r, w = await ws_connect()
+            w.write(frame({"query": "q", "user_id": "u1"}))
+            await w.drain()
+            w.transport.abort()
+            await asyncio.sleep(0.2)
+
+            # invalid user_id charset, same vanish
+            r, w = await ws_connect()
+            w.write(frame({"query": "q", "user_id": "../evil",
+                           "chat_id": "c"}))
+            await w.drain()
+            w.transport.abort()
+            await asyncio.sleep(0.2)
+
+            # the server still streams a full answer to a healthy client
+            r, w = await ws_connect()
+            w.write(frame({"query": "hypertension note", "user_id": "u1",
+                           "chat_id": "ok1"}))
+            await w.drain()
+            chunks = []
+            while True:
+                h = await r.readexactly(2)
+                n = h[1] & 0x7F
+                if n == 126:
+                    import struct as _s
+                    n = _s.unpack(">H", await r.readexactly(2))[0]
+                data = await r.readexactly(n)
+                if h[0] & 0x0F == 0x8:
+                    break
+                chunks.append(data.decode())
+                if chunks[-1] == "[DONE]":
+                    break
+            assert chunks and chunks[-1] == "[DONE]"
+            w.close()
+            server.close()
+            await server.wait_closed()
+
+        run(scenario())
+
 
 class TestHttpRobustness:
     def test_malformed_requests(self, engine):

@@ -76,6 +76,15 @@ def main():
                 ok = False
                 buf.write("\n" + traceback.format_exc())
             finally:
+                # a job that called logging.basicConfig while redirected
+                # left root handlers bound to THIS job's buf; drop them or
+                # every later job logs into a closed file. With no
+                # handlers, logging's lastResort resolves sys.stderr at
+                # emit time, which lands in the next job's redirect.
+                import logging as _logging
+                root = _logging.getLogger()
+                for h in root.handlers[:]:
+                    root.removeHandler(h)
                 buf.close()
             dt = time.time() - t0
             with open(done, "w") as f:
