@@ -56,6 +56,11 @@ def main():
             seen.add(name)
             path = os.path.join(JOBS, name)
             print(f"tpu_worker: running {name}", flush=True)
+            # jobs share one process: a job that mutates os.environ (e.g.
+            # ENCODER_WEIGHTS_PATH) must not leak config into later jobs —
+            # round-5 postmortem: an env leak silently turned a 24L bench
+            # row into an 8L one
+            env_snapshot = dict(os.environ)
             # line-buffered file, not StringIO: long jobs (training
             # segments) stream progress so the session can watch them
             buf = open(os.path.join(JOBS, base + ".out"), "w", buffering=1)
@@ -85,6 +90,8 @@ def main():
                 root = _logging.getLogger()
                 for h in root.handlers[:]:
                     root.removeHandler(h)
+                os.environ.clear()
+                os.environ.update(env_snapshot)
                 buf.close()
             dt = time.time() - t0
             with open(done, "w") as f:
