@@ -146,6 +146,20 @@ class Embedder:
             # restores order; word count is a cheap token-count proxy)
             nonempty.sort(key=lambda it: len(it[1].split()))
         with stage("embed"):
+            # software pipeline: dispatch batch i's forward (async under
+            # jax), tokenize batch i+1 WHILE the device runs, and only then
+            # block on batch i's result. Host WordPiece is ~40% of the
+            # 8L-encoder embed stage on a one-core host (11.4 s / 13k
+            # chunks measured round 5); serializing it behind the forward
+            # wasted exactly that
+            pending: tuple[list, object] | None = None
+
+            def _drain(p):
+                chunk_, emb_ = p
+                arr = np.asarray(emb_[: len(chunk_)], dtype=np.float32)
+                for (i, _), e in zip(chunk_, arr):
+                    out[i] = e
+
             for start in range(0, len(nonempty), bs):
                 chunk = nonempty[start : start + bs]
                 ids, mask = self.tokenizer.encode_batch(
@@ -157,9 +171,11 @@ class Embedder:
                     mask = np.pad(mask, ((0, pad), (0, 0)))
                 emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask),
                                     self._proj)
-                emb = np.asarray(emb[: len(chunk)], dtype=np.float32)
-                for (i, _), e in zip(chunk, emb):
-                    out[i] = e
+                if pending is not None:
+                    _drain(pending)
+                pending = (chunk, emb)
+            if pending is not None:
+                _drain(pending)
         return out
 
     def embed_query(self, query: str) -> np.ndarray:
