@@ -279,3 +279,30 @@ class TestAdaptiveChunkingPropagates:
         n_adaptive = mk(True).ingest_file("u", str(p))
         n_plain = mk(False).ingest_file("u", str(p))
         assert n_plain == 3 and n_adaptive == 2, (n_plain, n_adaptive)
+
+
+class TestIngestBenchEncoderResolution:
+    """Round-5 postmortem guard: ingest_bench must never silently measure
+    the weightless tiny encoder while claiming a weights dir (the round-4/5
+    '24L' rows did exactly that), and every result must carry the stamp."""
+
+    def test_tiny_fallback_is_explicit_and_stamped(self):
+        from rassengine_tpu.bench.ingest_bench import _resolve_encoder, run
+
+        # CPU runs without an override stay tiny — and say so in the result
+        assert _resolve_encoder(False, None) == ""
+        r = run(80, use_tpu=False)
+        assert r["encoder"]["weights"] == "weightless-tiny-random"
+        assert r["encoder"]["layers"] == 2
+
+    def test_tpu_default_resolves_serving_default(self, monkeypatch):
+        from rassengine_tpu.bench.ingest_bench import _resolve_encoder
+
+        monkeypatch.delenv("ENCODER_WEIGHTS_PATH", raising=False)
+        import os
+        expect = ("./encoder_model_prod24"
+                  if os.path.isdir("./encoder_model_prod24") else "")
+        assert _resolve_encoder(True, None) == expect
+        # an explicit empty override always wins (deliberate tiny row)
+        assert _resolve_encoder(True, "") == ""
+        assert _resolve_encoder(True, "./x") == "./x"
