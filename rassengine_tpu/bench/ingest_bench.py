@@ -256,7 +256,10 @@ def run_upload(use_tpu: bool = False, upload_mb: float = 4.0,
         kw = dict(index_capacity=1 << 10, index_block_rows=1 << 10,
                   database_path=":memory:", llm_backend="echo",
                   intent_model_path="/nonexistent",
-                  ner_model_path="/nonexistent")
+                  ner_model_path="/nonexistent",
+                  # the serving default (EngineConfig.from_env): bulk
+                  # ingestion embeds at 256 regardless of the query batch
+                  ingest_embed_batch=256)
         enc = _resolve_encoder(use_tpu, encoder_weights)
         if enc:
             kw["encoder_weights_path"] = enc

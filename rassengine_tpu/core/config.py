@@ -45,6 +45,12 @@ class EngineConfig:
     embed_model: str = "mxbai-embed-large-tpu"  # BERT-large-class bi-encoder
     embed_max_seq_len: int = 512
     embed_batch_size: int = 64          # reference BATCH_SIZE (main.py:78)
+    # bulk-ingest embed batch: ingestion is throughput- not latency-bound,
+    # so it amortizes dispatch + tunnel round-trips over larger forwards
+    # than the per-query default (measured: the engine ingest path at
+    # batch 256 vs the upload app's 64 is the bulk of their docs/s gap).
+    # 0 → fall back to embed_batch_size; from_env serves 256
+    ingest_embed_batch: int = 0
     encoder_weights_path: str = ""      # empty → deterministic random init
     # --- chunking (reference: CHUNK_SIZE main.py:79, ADAPTIVE_CHUNKING main.py:100) ---
     chunk_size: int = 512               # words per chunk
@@ -181,6 +187,7 @@ class EngineConfig:
             embed_dim=_env_int("EMBED_DIM", 1024),
             embed_model=os.getenv("EMBED_MODEL", "mxbai-embed-large-tpu"),
             embed_batch_size=_env_int("BATCH_SIZE", 64),
+            ingest_embed_batch=_env_int("INGEST_EMBED_BATCH", 256),
             # serving default: the shipped production 1024-d bi-encoder
             # (reference serves mxbai-embed-large, main.py:67; tests construct
             # EngineConfig directly and stay weightless). Round 4 ships the

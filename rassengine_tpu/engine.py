@@ -264,8 +264,12 @@ class RassEngine:
             if unstructured:
                 texts = [d.get("unstructuredText", "") for d in unstructured]
                 slab = self._INGEST_SLAB
+                # bulk path: larger forwards than the per-query default
+                # (config.ingest_embed_batch) amortize dispatch + tunnel
+                ibs = self.config.ingest_embed_batch or None
                 if len(unstructured) <= slab:
-                    apply(unstructured, self.embedder.embed_texts_in_batches(texts))
+                    apply(unstructured, self.embedder.embed_texts_in_batches(
+                        texts, batch_size=ibs))
                 else:
                     import queue
                     import threading
@@ -276,7 +280,7 @@ class RassEngine:
                         try:
                             for s in range(0, len(texts), slab):
                                 q.put((s, self.embedder.embed_texts_in_batches(
-                                    texts[s : s + slab])))
+                                    texts[s : s + slab], batch_size=ibs)))
                             q.put(None)
                         except BaseException as e:  # noqa: BLE001 — re-raised
                             q.put(e)

@@ -24,6 +24,14 @@ class TestConfigFromEnv:
         assert cfg.bluehive_api_url == "http://bh.example"
         assert cfg.adaptive_chunking is False
 
+    def test_ingest_embed_batch_knob(self, monkeypatch):
+        # direct construction: 0 = fall back to embed_batch_size (keeps
+        # test/bench configs small); serving (from_env) bulk-ingests at 256
+        assert EngineConfig().ingest_embed_batch == 0
+        assert EngineConfig.from_env().ingest_embed_batch == 256
+        monkeypatch.setenv("INGEST_EMBED_BATCH", "128")
+        assert EngineConfig.from_env().ingest_embed_batch == 128
+
     def test_hybrid_join_knob(self, monkeypatch):
         assert EngineConfig().hybrid_sem_bm_join == "all"
         monkeypatch.setenv("HYBRID_SEM_BM_JOIN", "topm")
