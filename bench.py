@@ -43,6 +43,40 @@ BASELINE_OPENSEARCH_QPS = 5000.0
 CAP, DIM, BATCH, TOPK = 1_048_576, 1024, 256, 5
 
 
+def sample_until_stable(reps, sample_round, floors, *, enforce_floor,
+                        budget_s=600.0, now=time.perf_counter):
+    """Keep adding interleaved timing rounds until the best path's min is
+    both STABLE and SANE (or the budget expires). Returns per-path mins.
+
+    Drift on this platform is one-sided — the tunnel only ever ADDS latency —
+    so min-of-N converges to true device time from above. Two guards:
+
+    1. stability: the best path's two smallest samples agree within 5%
+       (observed: back-to-back runs 62.4k vs 54.5k when a 74%-spread round
+       stopped at 4 reps);
+    2. sanity: the best min is within 4x that path's static HBM-roofline
+       floor (corpus bytes / 819 GB/s on v5e). A fresh-attach tunnel
+       pathology was observed holding EVERY sample ~11x high for a full
+       12-minute run — stable but wrong; agreement between drifted samples
+       is not a measurement, so keep sampling until the regime passes or
+       the budget expires (the caller reports sanity in its JSON line).
+
+    On a locally-attached TPU both guards pass within the first rounds;
+    only the drift-prone tunnel pays extra sampling.
+    """
+    t0 = now()
+    while True:
+        dts = {name: min(r) for name, r in reps.items()}
+        best = min(dts, key=dts.get)
+        s2 = sorted(reps[best])
+        stable = s2[1] / s2[0] - 1.0 <= 0.05
+        sane = (not enforce_floor) or dts[best] <= 4.0 * floors[best]
+        if (stable and sane) or now() - t0 > budget_s:
+            return dts
+        for name in reps:
+            reps[name].append(sample_round(name))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -205,26 +239,16 @@ def main() -> None:
     # dispatch constant); the spread across reps is reported so a drifty
     # capture is visible in the JSON line itself.
     N_REPS = 4
-    MAX_REPS = 10
     reps: dict[str, list[float]] = {
         name: [] for name in paths if recalls[name] >= 0.99}
     for _ in range(N_REPS):
         for name in reps:
             reps[name].append(slope(paths[name], replan=False))
-    # drift is one-sided (the tunnel only ever ADDS latency), so min-of-N
-    # converges to true device time from above; keep adding interleaved
-    # rounds until the best path's two smallest samples agree within 5% —
-    # a drifty capture otherwise ships a min that is itself drifted
-    # (observed: back-to-back runs 62.4k vs 54.5k when a 74%-spread round
-    # stopped at 4 reps)
-    while len(next(iter(reps.values()))) < MAX_REPS:
-        dts = {name: min(r) for name, r in reps.items()}
-        s2 = sorted(reps[min(dts, key=dts.get)])
-        if s2[1] / s2[0] - 1.0 <= 0.05:
-            break
-        for name in reps:
-            reps[name].append(slope(paths[name], replan=False))
-    dts = {name: min(r) for name, r in reps.items()}
+    hbm_bytes = {"bf16": 2 * cap * d, "int8": cap * d, "int8_M32": cap * d}
+    floors = {name: hbm_bytes.get(name, cap * d) / 819e9 for name in reps}
+    dts = sample_until_stable(
+        reps, lambda name: slope(paths[name], replan=False), floors,
+        enforce_floor=on_tpu)
     spreads = {name: (max(r) - min(r)) / min(r) for name, r in reps.items()}
     min_stable = {name: round(sorted(r)[1] / sorted(r)[0] - 1.0, 4)
                   for name, r in reps.items()}
@@ -252,6 +276,10 @@ def main() -> None:
                           "min_gap_pct": round(100 * min_stable[n_], 1)}
                      for n_, t_ in dts.items()},
         "n_reps": len(next(iter(reps.values()))),
+        # False means the capture never escaped a drifted-tunnel regime
+        # (best min > 4x the static HBM floor) before the sampling budget
+        # expired — the number is an environment artifact, not the kernel
+        "sane_vs_hbm_floor": (not on_tpu) or dt <= 4.0 * floors[best],
         "qps_with_per_batch_upload": round(b / dt_up, 1),
     }))
 
