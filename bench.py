@@ -43,36 +43,62 @@ BASELINE_OPENSEARCH_QPS = 5000.0
 CAP, DIM, BATCH, TOPK = 1_048_576, 1024, 256, 5
 
 
+def corroborated_min(samples, floor, tol=0.05, need=3):
+    """Smallest sample that (a) respects the physical floor and (b) is
+    confirmed by ``need``-1 further samples within ``tol`` of it; None if
+    no such cluster exists. Slope timing under tunnel drift errs in BOTH
+    directions: a slow window during the short chain makes the slope read
+    LOW (one 379-sample run captured 0.993 ms for a kernel whose HBM floor
+    is 1.31 ms — physically impossible), so a bare min-of-N biases low as
+    N grows. Sub-floor samples are artifacts by definition; a low cluster
+    is only trusted at ``need`` agreeing samples — pairs were observed to
+    false-corroborate ~20% low in heavy drift (two samples is agreement,
+    three is a regime)."""
+    valid = sorted(s for s in samples if s >= floor)
+    for i in range(len(valid) - need + 1):
+        if valid[i + need - 1] <= valid[i] * (1.0 + tol):
+            return valid[i]
+    return None
+
+
 def sample_until_stable(reps, sample_round, floors, *, enforce_floor,
-                        budget_s=600.0, now=time.perf_counter):
-    """Keep adding interleaved timing rounds until the best path's min is
-    both STABLE and SANE (or the budget expires). Returns per-path mins.
+                        budget_s=600.0, max_rounds=20,
+                        now=time.perf_counter):
+    """Keep adding interleaved timing rounds until the best path has a
+    CORROBORATED and SANE estimate (or budget/round cap expires). Returns
+    {path: estimate}.
 
-    Drift on this platform is one-sided — the tunnel only ever ADDS latency —
-    so min-of-N converges to true device time from above. Two guards:
-
-    1. stability: the best path's two smallest samples agree within 5%
-       (observed: back-to-back runs 62.4k vs 54.5k when a 74%-spread round
-       stopped at 4 reps);
-    2. sanity: the best min is within 4x that path's static HBM-roofline
-       floor (corpus bytes / 819 GB/s on v5e). A fresh-attach tunnel
-       pathology was observed holding EVERY sample ~11x high for a full
-       12-minute run — stable but wrong; agreement between drifted samples
-       is not a measurement, so keep sampling until the regime passes or
-       the budget expires (the caller reports sanity in its JSON line).
-
-    On a locally-attached TPU both guards pass within the first rounds;
-    only the drift-prone tunnel pays extra sampling.
+    estimate = corroborated_min (two floor-respecting samples within 5%);
+    until a path corroborates, the median of its floor-respecting samples
+    stands in (never a bare min — see corroborated_min on why min-of-N is
+    unsafe under drift). Sanity: the best estimate must sit within 4x its
+    static HBM-roofline floor (corpus bytes / 819 GB/s on v5e) — a
+    fresh-attach tunnel pathology held EVERY sample ~11x high for 12
+    minutes, stable-but-wrong, so agreement alone is not accepted while
+    the floor test fails. The round cap bounds artifact exposure: more
+    samples in a bad regime only raise the chance of two artifacts
+    agreeing. On a locally-attached TPU everything converges within the
+    first rounds; only the drift-prone tunnel pays extra sampling.
     """
+    def estimate(name):
+        fl = floors[name] if enforce_floor else 0.0
+        cm = corroborated_min(reps[name], fl)
+        if cm is not None:
+            return cm, True
+        valid = sorted(s for s in reps[name] if s >= fl) or sorted(reps[name])
+        return valid[len(valid) // 2], False
+
     t0 = now()
+    rounds = 0
     while True:
-        dts = {name: min(r) for name, r in reps.items()}
+        ests = {name: estimate(name) for name in reps}
+        dts = {name: e for name, (e, _c) in ests.items()}
         best = min(dts, key=dts.get)
-        s2 = sorted(reps[best])
-        stable = s2[1] / s2[0] - 1.0 <= 0.05
-        sane = (not enforce_floor) or dts[best] <= 4.0 * floors[best]
-        if (stable and sane) or now() - t0 > budget_s:
+        ok = ests[best][1] and (
+            (not enforce_floor) or dts[best] <= 4.0 * floors[best])
+        if ok or rounds >= max_rounds or now() - t0 > budget_s:
             return dts
+        rounds += 1
         for name in reps:
             reps[name].append(sample_round(name))
 
@@ -131,17 +157,12 @@ def main() -> None:
     scan = "pallas" if on_tpu else (
         "xla_direct" if cap <= 65536 else "xla_scan")
 
-    def hybrid(qq, ci, vw, w):
-        return hybrid_topk_batch(vd, mask, qq, vw.tables, ci, w,
-                                 2.0, k, scan_mode=scan)
-
-    # candidate fast path: the whole hybrid from block-scale int8 codes
-    # (vecs=None — half the HBM read, all-integer selection epilogue). This
-    # is the serving path for HYBRID_SELECT=int8only (strategies
-    # ._hybrid_batch_device int8_only mode) — production-reachable at this
-    # config by explicit opt-in. Used for the headline ONLY if it passes
-    # the same oracle recall gate as the bf16 path below
-    paths = {"bf16": hybrid}
+    # each path is a spec (arrays + static widths) rather than a closure so
+    # the chained timing program below can take the big arrays as jit
+    # ARGUMENTS — a closed-over GB device array becomes an HLO constant and
+    # ships inside the relay's remote-compile payload (BENCH.md: breaks the
+    # pipe 100% of the time)
+    specs = {"bf16": dict(vecs=vd, it=None, bs=None, w=128, m=64, mode=scan)}
     if on_tpu:
         from rassengine_tpu.index.quant import quantize_int8_block
 
@@ -150,27 +171,38 @@ def main() -> None:
         sd = jnp.asarray(np.repeat(bscales, 2048))
         bsd = jnp.asarray(bscales)
 
-        def hybrid_int8(qq, ci, vw, w):
-            return hybrid_topk_batch(None, mask, qq, vw.tables, ci, w,
-                                     2.0, k, scan_mode="pallas_int8",
-                                     int8_tables=(cd, sd),
-                                     int8_block_scales=bsd)
+        # int8 fast path: the whole hybrid from block-scale int8 codes
+        # (vecs=None — half the HBM read, all-integer selection epilogue),
+        # the serving path for HYBRID_SELECT=int8only. Narrow-epilogue
+        # variants (production-reachable via HYBRID_TOP_M_LEX /
+        # HYBRID_SEM_M): a round-5 on-chip width sweep found the epilogue
+        # cost is dominated by the candidate widths, not the join mode —
+        # M=96 keeps the M=128 default's full 0.9969 oracle recall ~0.8 ms
+        # /batch256 faster, and M=64/m=48 passes the 0.99 gate ~1.4 ms
+        # faster still; M=32 (round-4 knob) drops to 0.966 on this corpus
+        # and never serves the headline. A doc whose BM25 evidence ranks
+        # below the M-th lexical candidate loses that term — hence the
+        # per-corpus gate. Every path is used for the headline ONLY if it
+        # passes the same oracle recall gate.
+        def int8_spec(width, m):
+            return dict(vecs=None, it=(cd, sd), bs=bsd, w=width, m=m,
+                        mode="pallas_int8")
 
-        paths["int8"] = hybrid_int8
+        specs["int8"] = int8_spec(128, 64)
+        specs["int8_M96"] = int8_spec(96, 64)
+        specs["int8_M64m48"] = int8_spec(64, 48)
+        specs["int8_M32"] = int8_spec(32, 64)
 
-        # narrow-epilogue candidate: top_m_lex=32 halves the fuse gather +
-        # join (hybrid_ablate full_M32: ~1.4 ms faster). A doc whose BM25
-        # evidence ranks below the 32nd lexical candidate loses that term —
-        # production-reachable via HYBRID_TOP_M_LEX=32, used for the
-        # headline ONLY if it passes the same oracle gate
-        def hybrid_int8_m32(qq, ci, vw, w):
-            return hybrid_topk_batch(None, mask, qq, vw.tables, ci, w,
-                                     2.0, k, top_m_lex=32,
-                                     scan_mode="pallas_int8",
-                                     int8_tables=(cd, sd),
-                                     int8_block_scales=bsd)
+    def single(sp):
+        def fn(qq, ci, vw, w):
+            return hybrid_topk_batch(sp["vecs"], mask, qq, vw.tables, ci, w,
+                                     2.0, k, m=sp["m"], top_m_lex=sp["w"],
+                                     scan_mode=sp["mode"],
+                                     int8_tables=sp["it"],
+                                     int8_block_scales=sp["bs"])
+        return fn
 
-        paths["int8_M32"] = hybrid_int8_m32
+    paths = {name: single(sp) for name, sp in specs.items()}
 
     # correctness gate: tie-aware recall@5 vs a host f32 fused oracle — a
     # returned row counts when its true fused score reaches the oracle's k-th
@@ -205,9 +237,33 @@ def main() -> None:
                           "error": f"recall gate failed: {recall:.3f}"}))
         sys.exit(1)
 
-    def chain(fn, n, replan):
+    # RPC amortization: K_INNER data-chained hybrids run inside ONE device
+    # dispatch (lax.scan), so per-dispatch transport overhead — which on
+    # this tunnel wobbles by whole milliseconds and otherwise reads as
+    # kernel time for the shortest paths — divides by K_INNER. On a
+    # locally-attached host this just shaves dispatch overhead. The big
+    # arrays are jit ARGUMENTS via the path specs, never closures.
+    K_INNER = 8
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("kk", "m", "top_m_lex", "scan_mode",
+                                        "k_inner"))
+    def chain_k(vecs, msk, qq, tables, ci, wvec, kk, m, top_m_lex,
+                scan_mode, int8_tables, int8_block_scales, k_inner):
+        def step(q, _):
+            s, _i = hybrid_topk_batch(vecs, msk, q, tables, ci, wvec,
+                                      2.0, kk, m=m, top_m_lex=top_m_lex,
+                                      scan_mode=scan_mode,
+                                      int8_tables=int8_tables,
+                                      int8_block_scales=int8_block_scales)
+            return qq + 1e-12 * s[:, :1].astype(jnp.float32), s[:, :1]
+        _qf, ss = jax.lax.scan(step, qq, None, length=k_inner)
+        return ss[-1]
+
+    def chain(name, n, replan, k_inner=K_INNER):
+        sp = specs[name]
         qq = batches[0][1]
-        s = None
+        out = None
         for it in range(n):
             if replan:
                 queries, _q, _ci, _vw, _w = batches[it % 4]
@@ -215,20 +271,25 @@ def main() -> None:
                 ci = jnp.asarray(ci)
             else:
                 _qs, _q, ci, vw, w = batches[it % 4]
-            s, _i = fn(qq, ci, vw, w)
-            qq = batches[0][1] + 1e-12 * s[:, :1].astype(jnp.float32)
-        return np.asarray(s)
+            out = chain_k(sp["vecs"], mask, qq, vw.tables, ci, w, k,
+                          sp["m"], sp["w"], sp["mode"], sp["it"], sp["bs"],
+                          k_inner)
+            qq = batches[0][1] + 1e-12 * out.astype(jnp.float32)
+        return np.asarray(out)
 
-    def slope(fn, replan, n_iter=40):
-        chain(fn, 4, replan)  # warm all batch shapes
-        ns = max(4, n_iter // 8)
+    # n_iter sets the residual drift error per sample: the slope subtracts
+    # two host-sync constants that each wobble ±tens of ms on this tunnel —
+    # per-sample error ~ sync-delta / (n_iter * k_inner) kernels
+    def slope(name, replan, n_iter=16, k_inner=K_INNER):
+        chain(name, 4, replan, k_inner)  # warm all batch shapes
+        ns = max(2, n_iter // 8)
         t0 = time.perf_counter()
-        chain(fn, ns, replan)
+        chain(name, ns, replan, k_inner)
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        chain(fn, n_iter + ns, replan)
+        chain(name, n_iter + ns, replan, k_inner)
         t_l = time.perf_counter() - t0
-        return (t_l - t_s) / n_iter
+        return (t_l - t_s) / (n_iter * k_inner)
 
     # the tunnel's throughput drifts ±3 ms on MINUTE scales (BENCH.md hybrid-
     # ablation finding), so reps are INTERLEAVED round-robin across paths —
@@ -243,18 +304,21 @@ def main() -> None:
         name: [] for name in paths if recalls[name] >= 0.99}
     for _ in range(N_REPS):
         for name in reps:
-            reps[name].append(slope(paths[name], replan=False))
-    hbm_bytes = {"bf16": 2 * cap * d, "int8": cap * d, "int8_M32": cap * d}
+            reps[name].append(slope(name, replan=False))
+    hbm_bytes = {"bf16": 2 * cap * d}  # every int8 path reads cap*d codes
     floors = {name: hbm_bytes.get(name, cap * d) / 819e9 for name in reps}
     dts = sample_until_stable(
-        reps, lambda name: slope(paths[name], replan=False), floors,
+        reps, lambda name: slope(name, replan=False), floors,
         enforce_floor=on_tpu)
+    corrob = {name: corroborated_min(
+        reps[name], floors[name] if on_tpu else 0.0) is not None
+        for name in reps}
     spreads = {name: (max(r) - min(r)) / min(r) for name, r in reps.items()}
     min_stable = {name: round(sorted(r)[1] / sorted(r)[0] - 1.0, 4)
                   for name, r in reps.items()}
     best = min(dts, key=dts.get)
     dt = dts[best]
-    dt_up = slope(paths[best], replan=True)
+    dt_up = slope(best, replan=True, k_inner=1)
     qps = b / dt
 
     mstr = f"{cap // 1048576}M" if cap % 1048576 == 0 else str(cap)
@@ -267,11 +331,15 @@ def main() -> None:
         "path": best,
         "serving_config": {
             "int8": "HYBRID_SELECT=int8only",
+            "int8_M96": "HYBRID_SELECT=int8only HYBRID_TOP_M_LEX=96",
+            "int8_M64m48": "HYBRID_SELECT=int8only HYBRID_TOP_M_LEX=64 "
+                           "HYBRID_SEM_M=48",
             "int8_M32": "HYBRID_SELECT=int8only HYBRID_TOP_M_LEX=32",
         }.get(best, "default"),
         "recall_vs_fused_oracle": round(recalls[best], 4),
         "per_path": {n_: {"ms": round(t_ * 1e3, 3),
                           "recall": round(recalls[n_], 4),
+                          "corroborated": corrob[n_],
                           "rep_spread_pct": round(100 * spreads[n_], 1),
                           "min_gap_pct": round(100 * min_stable[n_], 1)}
                      for n_, t_ in dts.items()},

@@ -103,6 +103,12 @@ class EngineConfig:
     # BM25 evidence ranks below the M-th lexical candidate loses that term,
     # so drop it only under the bench's f32-fused-oracle recall gate
     hybrid_top_m_lex: int = 128
+    # semantic candidates carried into the fusion epilogue per query
+    # (the scan's in-kernel top-m). None = derived from k as
+    # min(max(4k, 64), 128); narrowing shrinks the [B, maxp, m] fuse join
+    # and the scan epilogue — same oracle-gate rule as hybrid_top_m_lex
+    # (bench.py's M64/m48 path measured ~1.4 ms/batch256 faster at 0.9938)
+    hybrid_sem_m: int | None = None
     lexical_packed_min_rows: int = 1 << 20  # ≥this, 4 B/posting packed CSR
     # --- NLU (reference: NER_MODEL_PATH, INTENT_MODEL_PATH, thresholds) ---
     ner_model_path: str = "./ner_model/final"
@@ -180,6 +186,9 @@ class EngineConfig:
         if self.hybrid_top_m_lex < 1:
             raise ValueError("HYBRID_TOP_M_LEX must be >= 1, "
                              f"got {self.hybrid_top_m_lex}")
+        if self.hybrid_sem_m is not None and self.hybrid_sem_m < 1:
+            raise ValueError("HYBRID_SEM_M must be >= 1, "
+                             f"got {self.hybrid_sem_m}")
 
     @staticmethod
     def from_env(**overrides) -> "EngineConfig":
@@ -219,6 +228,8 @@ class EngineConfig:
             hybrid_select=os.getenv("HYBRID_SELECT", "auto"),
             hybrid_sem_bm_join=os.getenv("HYBRID_SEM_BM_JOIN", "all"),
             hybrid_top_m_lex=_env_int("HYBRID_TOP_M_LEX", 128),
+            hybrid_sem_m=(int(os.environ["HYBRID_SEM_M"])
+                          if os.getenv("HYBRID_SEM_M") else None),
             lexical_packed_min_rows=_env_int("LEXICAL_PACKED_MIN_ROWS", 1 << 20),
             # round-4 NLU checkpoints (6L/384 MLM-pretrained backbone, 16k
             # shared vocab) take precedence when present; the round-3 tiny

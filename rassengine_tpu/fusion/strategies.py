@@ -823,7 +823,9 @@ class Retriever:
             queries, lex_weights or {"text": 1.5, "keyword": 1.0})
         mask = idx.filter_mask(spec)
         q = np.atleast_2d(np.asarray(query_embs, np.float32))
-        m = min(max(4 * k, 64), 128, idx.capacity)
+        sem_m = getattr(self.config, "hybrid_sem_m", None)
+        m = min(sem_m or max(4 * k, 64),
+                idx.capacity if sem_m else min(128, idx.capacity))
         # beyond the bf16 hybrid budget the dispatch runs from int8 codes
         # ONLY (~0.5% bounded score noise, 6× more rows/chip); bf16 rows
         # never upload. Within budget, bf16 rows are the single resident
@@ -919,7 +921,9 @@ class Retriever:
             queries, lex_weights or {"text": 1.5, "keyword": 1.0})
         mask = self._routed_mask(idx.filter_mask(spec), spec)
         q = np.atleast_2d(np.asarray(query_embs, np.float32))
-        m = min(max(4 * k, 64), 128, idx.capacity)
+        sem_m = getattr(self.config, "hybrid_sem_m", None)
+        m = min(sem_m or max(4 * k, 64),
+                idx.capacity if sem_m else min(128, idx.capacity))
         int8_bscales, sbr = None, 2048
         int8only = (self.use_pallas and getattr(
             self.config, "hybrid_select", "auto") == "int8only")

@@ -46,6 +46,15 @@ class TestConfigFromEnv:
         with pytest.raises(ValueError):
             EngineConfig(hybrid_top_m_lex=0)
 
+    def test_hybrid_sem_m_knob(self, monkeypatch):
+        import pytest
+
+        assert EngineConfig().hybrid_sem_m is None  # derived from k
+        monkeypatch.setenv("HYBRID_SEM_M", "48")
+        assert EngineConfig.from_env().hybrid_sem_m == 48
+        with pytest.raises(ValueError):
+            EngineConfig(hybrid_sem_m=0)
+
     def test_bad_values_fall_back(self, monkeypatch):
         monkeypatch.setenv("TOP_K", "not-a-number")
         cfg = EngineConfig.from_env()

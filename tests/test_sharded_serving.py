@@ -414,6 +414,30 @@ class TestShardedHybridBatch:
         sharded.tenant("u").retriever.hybrid_search_batch(queries, embs, k=5)
         assert called.get("yes")
 
+    def test_hybrid_sem_m_knob_narrows_without_loss(self, engines):
+        """HYBRID_SEM_M narrows the scan's semantic candidate width (the
+        bench's M64/m48 fast path); on a corpus far smaller than the width
+        the hits must be identical to the derived default, on both the
+        single-device and the sharded dispatch."""
+        import dataclasses
+
+        single, sharded = engines
+        queries = ["hypertension management", "asthma note overview"]
+        embs = self._embs(single, queries)
+        base = single.tenant("u").retriever.hybrid_search_batch(
+            queries, embs, k=5)
+        for eng in (single, sharded):
+            rt = eng.tenant("u").retriever
+            old = rt.config
+            try:
+                rt.config = dataclasses.replace(old, hybrid_sem_m=8)
+                narrow = rt.hybrid_search_batch(queries, embs, k=5)
+            finally:
+                rt.config = old
+            for qa, qb, q in zip(base, narrow, queries):
+                assert {h[0]["doc_id"] for h in qa} \
+                    == {h[0]["doc_id"] for h in qb}, (q, qa, qb)
+
     def test_batch_respects_patient_filter(self, engines):
         single, sharded = engines
         from rassengine_tpu.index.store import FilterSpec
